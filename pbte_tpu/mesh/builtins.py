@@ -1,0 +1,171 @@
+"""Built-in Cartesian mesh generators.
+
+Equivalents of mfem::Mesh::MakeCartesian2D/3D as used by the reference's
+built-in mesh names (ref: src/SpatialMesh.cpp:305-340). Vertex numbering is
+lexicographic x-fastest; boundary attributes follow MFEM's convention:
+
+- 2D: bottom=1, right=2, top=3, left=4
+- 3D: bottom(z=0)=1, front(y=0)=2, right(x=1)=3, back(y=1)=4, left(x=0)=5,
+      top(z=1)=6
+
+Built-in names and default sizes match the reference
+(unit-square[-tri/-quad] 8x8, unit-cube[-tet/-hex] 4x4x4;
+ref: src/SpatialMesh.cpp:17-21).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pbte_tpu.mesh import core
+
+DEFAULT_N2D = 8
+DEFAULT_N3D = 4
+
+
+def make_cartesian_2d(
+    nx: int, ny: int, geom: str = core.GEOM_TRIANGLE, sx: float = 1.0, sy: float = 1.0
+) -> core.MeshData:
+    xs = np.linspace(0.0, sx, nx + 1)
+    ys = np.linspace(0.0, sy, ny + 1)
+    X, Y = np.meshgrid(xs, ys, indexing="xy")
+    vertices = np.stack([X.reshape(-1), Y.reshape(-1)], axis=-1)
+
+    def vid(i, j):
+        return j * (nx + 1) + i
+
+    elems = []
+    for j in range(ny):
+        for i in range(nx):
+            v0, v1, v2, v3 = vid(i, j), vid(i + 1, j), vid(i + 1, j + 1), vid(i, j + 1)
+            if geom == core.GEOM_TRIANGLE:
+                elems.append([v0, v1, v2])
+                elems.append([v0, v2, v3])
+            elif geom == core.GEOM_QUAD:
+                elems.append([v0, v1, v2, v3])
+            else:
+                raise ValueError(f"unsupported 2D geometry: {geom}")
+
+    bdry, battr = [], []
+    for i in range(nx):  # bottom=1, top=3
+        bdry.append([vid(i, 0), vid(i + 1, 0)])
+        battr.append(1)
+        bdry.append([vid(i + 1, ny), vid(i, ny)])
+        battr.append(3)
+    for j in range(ny):  # right=2, left=4
+        bdry.append([vid(nx, j), vid(nx, j + 1)])
+        battr.append(2)
+        bdry.append([vid(0, j + 1), vid(0, j)])
+        battr.append(4)
+
+    mesh = core.MeshData(
+        dim=2,
+        geom=geom,
+        vertices=vertices,
+        elem_verts=np.asarray(elems, dtype=np.int32),
+        elem_attr=np.ones(len(elems), dtype=np.int32),
+        bdry_verts=np.asarray(bdry, dtype=np.int32),
+        bdry_attr=np.asarray(battr, dtype=np.int32),
+        source=f"builtin-cartesian2d-{geom}-{nx}x{ny}",
+    )
+    return core.finalize(mesh)
+
+
+# The 6-tet split of a cube used by MFEM's Make3D — matches the committed
+# unit-cube-tet-iso.mesh asset exactly (tets over local corners 0..7).
+_SIX_TET_SPLIT = (
+    (0, 1, 2, 6),
+    (0, 2, 3, 6),
+    (0, 3, 7, 6),
+    (0, 7, 4, 6),
+    (0, 4, 5, 6),
+    (0, 5, 1, 6),
+)
+
+
+def make_cartesian_3d(
+    nx: int,
+    ny: int,
+    nz: int,
+    geom: str = core.GEOM_TET,
+    sx: float = 1.0,
+    sy: float = 1.0,
+    sz: float = 1.0,
+) -> core.MeshData:
+    xs = np.linspace(0.0, sx, nx + 1)
+    ys = np.linspace(0.0, sy, ny + 1)
+    zs = np.linspace(0.0, sz, nz + 1)
+    Z, Y, X = np.meshgrid(zs, ys, xs, indexing="ij")
+    vertices = np.stack([X.reshape(-1), Y.reshape(-1), Z.reshape(-1)], axis=-1)
+
+    def vid(i, j, k):
+        return (k * (ny + 1) + j) * (nx + 1) + i
+
+    elems = []
+    for k in range(nz):
+        for j in range(ny):
+            for i in range(nx):
+                c = [
+                    vid(i, j, k), vid(i + 1, j, k), vid(i + 1, j + 1, k), vid(i, j + 1, k),
+                    vid(i, j, k + 1), vid(i + 1, j, k + 1), vid(i + 1, j + 1, k + 1),
+                    vid(i, j + 1, k + 1),
+                ]
+                if geom == core.GEOM_TET:
+                    for t in _SIX_TET_SPLIT:
+                        elems.append([c[t[0]], c[t[1]], c[t[2]], c[t[3]]])
+                elif geom == core.GEOM_HEX:
+                    elems.append(c)
+                else:
+                    raise ValueError(f"unsupported 3D geometry: {geom}")
+
+    bdry, battr = [], []
+
+    def add_quad_bdry(q, attr):
+        if geom == core.GEOM_HEX:
+            bdry.append(q)
+            battr.append(attr)
+        else:
+            # split the boundary quad consistently with the 6-tet cube split
+            bdry.append([q[0], q[1], q[2]])
+            battr.append(attr)
+            bdry.append([q[0], q[2], q[3]])
+            battr.append(attr)
+
+    for j in range(ny):
+        for i in range(nx):
+            add_quad_bdry([vid(i, j, 0), vid(i + 1, j, 0), vid(i + 1, j + 1, 0), vid(i, j + 1, 0)], 1)
+            add_quad_bdry([vid(i, j, nz), vid(i, j + 1, nz), vid(i + 1, j + 1, nz), vid(i + 1, j, nz)], 6)
+    for k in range(nz):
+        for i in range(nx):
+            add_quad_bdry([vid(i, 0, k), vid(i, 0, k + 1), vid(i + 1, 0, k + 1), vid(i + 1, 0, k)], 2)
+            add_quad_bdry([vid(i, ny, k), vid(i + 1, ny, k), vid(i + 1, ny, k + 1), vid(i, ny, k + 1)], 4)
+    for k in range(nz):
+        for j in range(ny):
+            add_quad_bdry([vid(0, j, k), vid(0, j + 1, k), vid(0, j + 1, k + 1), vid(0, j, k + 1)], 5)
+            add_quad_bdry([vid(nx, j, k), vid(nx, j, k + 1), vid(nx, j + 1, k + 1), vid(nx, j + 1, k)], 3)
+
+    mesh = core.MeshData(
+        dim=3,
+        geom=geom,
+        vertices=vertices,
+        elem_verts=np.asarray(elems, dtype=np.int32),
+        elem_attr=np.ones(len(elems), dtype=np.int32),
+        bdry_verts=np.asarray(bdry, dtype=np.int32),
+        bdry_attr=np.asarray(battr, dtype=np.int32),
+        source=f"builtin-cartesian3d-{geom}-{nx}x{ny}x{nz}",
+    )
+    return core.finalize(mesh)
+
+
+def load_builtin(name: str) -> core.MeshData:
+    """Built-in names accepted by the reference CLI
+    (ref: src/SpatialMesh.cpp:305-340)."""
+    if name in ("unit-square", "unit-square-tri"):
+        return make_cartesian_2d(DEFAULT_N2D, DEFAULT_N2D, core.GEOM_TRIANGLE)
+    if name == "unit-square-quad":
+        return make_cartesian_2d(DEFAULT_N2D, DEFAULT_N2D, core.GEOM_QUAD)
+    if name in ("unit-cube", "unit-cube-tet"):
+        return make_cartesian_3d(DEFAULT_N3D, DEFAULT_N3D, DEFAULT_N3D, core.GEOM_TET)
+    if name == "unit-cube-hex":
+        return make_cartesian_3d(DEFAULT_N3D, DEFAULT_N3D, DEFAULT_N3D, core.GEOM_HEX)
+    raise ValueError(f"unrecognized built-in mesh name: {name}")

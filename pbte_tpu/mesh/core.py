@@ -1,0 +1,289 @@
+"""Mesh data model: flat arrays instead of the reference's object graphs.
+
+The reference keeps meshes as MFEM object graphs (src/SpatialMesh.cpp) or
+Node/Face/Cell objects (Reference Project/include/SpatialMesh/Element.hpp).
+A TPU-native solver wants a frozen *structure-of-arrays* mesh whose
+connectivity tensors can be consumed directly by gather/scatter ops inside
+jitted code:
+
+- `MeshData`    — raw geometry: vertices, element/boundary connectivity.
+- `MeshTopology`— derived face tables: per-element neighbors, boundary
+                  attributes and outward unit normals, shaped (ne, nf).
+
+Conventions deliberately mirror MFEM where they are observable in the
+reference's golden dumps:
+- triangles are rotated so their longest edge is (v0, v1)
+  (MFEM MarkTriMeshForRefinement; visible in output/log/mesh_*_dim2.txt),
+- global faces are numbered first-seen while iterating elements in order and
+  local faces in geometry order (MFEM GetElementToFaceTable),
+- per-element face lists are sorted by global face id (the order
+  DGElementIntegrator::AssembleFaceContributions visits them,
+  ref: src/ElementIntegrator.cpp:115-258),
+- outward normals are computed from face vertices + element-centroid
+  orientation test (ref: src/Utils.cpp:262-354).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Reference geometry tables (local vertex numbering follows MFEM's
+# mfem::Geometry constants so mesh files are interpreted identically).
+# ---------------------------------------------------------------------------
+
+GEOM_TRIANGLE = "triangle"
+GEOM_QUAD = "quad"
+GEOM_TET = "tet"
+GEOM_HEX = "hex"
+
+# MFEM geometry type codes used in "MFEM mesh v1.0" files.
+MFEM_GEOM_CODES = {1: "segment", 2: GEOM_TRIANGLE, 3: GEOM_QUAD, 4: GEOM_TET, 5: GEOM_HEX}
+MFEM_CODE_OF_GEOM = {v: k for k, v in MFEM_GEOM_CODES.items()}
+
+# Local faces (codim-1 entities), MFEM ordering.
+LOCAL_FACES = {
+    GEOM_TRIANGLE: ((0, 1), (1, 2), (2, 0)),
+    GEOM_QUAD: ((0, 1), (1, 2), (2, 3), (3, 0)),
+    GEOM_TET: ((1, 2, 3), (0, 3, 2), (0, 1, 3), (0, 2, 1)),
+    GEOM_HEX: (
+        (3, 2, 1, 0),
+        (0, 1, 5, 4),
+        (1, 2, 6, 5),
+        (2, 3, 7, 6),
+        (3, 0, 4, 7),
+        (4, 5, 6, 7),
+    ),
+}
+
+# Local edges (for refinement), MFEM ordering.
+LOCAL_EDGES = {
+    GEOM_TRIANGLE: ((0, 1), (1, 2), (2, 0)),
+    GEOM_QUAD: ((0, 1), (1, 2), (2, 3), (3, 0)),
+    GEOM_TET: ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)),
+    GEOM_HEX: (
+        (0, 1), (1, 2), (3, 2), (0, 3),
+        (4, 5), (5, 6), (7, 6), (4, 7),
+        (0, 4), (1, 5), (2, 6), (3, 7),
+    ),
+}
+
+GEOM_DIM = {GEOM_TRIANGLE: 2, GEOM_QUAD: 2, GEOM_TET: 3, GEOM_HEX: 3}
+GEOM_NV = {GEOM_TRIANGLE: 3, GEOM_QUAD: 4, GEOM_TET: 4, GEOM_HEX: 8}
+
+
+@dataclasses.dataclass
+class MeshData:
+    """Raw mesh: geometry + element/boundary connectivity (host, numpy)."""
+
+    dim: int
+    geom: str
+    vertices: np.ndarray  # (nv, dim) float64
+    elem_verts: np.ndarray  # (ne, nv_e) int32
+    elem_attr: np.ndarray  # (ne,) int32
+    bdry_verts: np.ndarray  # (nb, nv_f) int32
+    bdry_attr: np.ndarray  # (nb,) int32
+    source: str = ""
+
+    @property
+    def num_elements(self) -> int:
+        return self.elem_verts.shape[0]
+
+    @property
+    def num_vertices(self) -> int:
+        return self.vertices.shape[0]
+
+    def scaled(self, factor: float) -> "MeshData":
+        """Coordinate scaling (ref: src/SpatialMesh.cpp:24-64)."""
+        return dataclasses.replace(self, vertices=self.vertices * float(factor))
+
+
+@dataclasses.dataclass
+class MeshTopology:
+    """Derived connectivity consumed by assembly/sweeps (host, numpy)."""
+
+    mesh: MeshData
+    # global face tables
+    face_verts: np.ndarray  # (nfaces, nv_f) int32, first-seen orientation
+    face_elems: np.ndarray  # (nfaces, 2) int32, -1 where absent
+    face_attr: np.ndarray  # (nfaces,) int32, 0 interior
+    # per-element tables, faces sorted by global face id; shape (ne, nf)
+    elem_face: np.ndarray  # global face id
+    elem_neighbor: np.ndarray  # neighbor element, -1 boundary
+    elem_face_attr: np.ndarray  # boundary attribute (0 interior)
+    normals: np.ndarray  # (ne, nf, dim) outward unit normals
+    centroids: np.ndarray  # (ne, dim) element vertex centroids
+
+    @property
+    def num_faces(self) -> int:
+        return self.face_verts.shape[0]
+
+    @property
+    def faces_per_elem(self) -> int:
+        return self.elem_face.shape[1]
+
+    @property
+    def is_boundary(self) -> np.ndarray:
+        return self.elem_neighbor < 0
+
+
+def _rotate_triangles(elem_verts: np.ndarray, vertices: np.ndarray) -> np.ndarray:
+    """Rotate each triangle so its longest edge is (v0, v1).
+
+    Mirrors MFEM's MarkTriMeshForRefinement (strict > comparisons; first
+    occurrence wins on ties), which the reference runs on load — visible in
+    output/log/mesh_unit-square-iso_p1_dim2.txt where element 0 appears as
+    (v2, v0, v1).
+    """
+    v = vertices[elem_verts]  # (ne, 3, dim)
+    l0 = np.linalg.norm(v[:, 1] - v[:, 0], axis=-1)
+    l1 = np.linalg.norm(v[:, 2] - v[:, 1], axis=-1)
+    l2 = np.linalg.norm(v[:, 0] - v[:, 2], axis=-1)
+    j = np.zeros(len(elem_verts), dtype=np.int64)
+    best = l0.copy()
+    upd = l1 > best
+    j[upd] = 1
+    best[upd] = l1[upd]
+    upd = l2 > best
+    j[upd] = 2
+    out = elem_verts.copy()
+    for shift in (1, 2):
+        m = j == shift
+        out[m] = np.roll(elem_verts[m], -shift, axis=1)
+    return out
+
+
+_TET_EDGE_TO_FRONT = {
+    # orientation-preserving (even) permutations bringing edge -> (0, 1)
+    (0, 1): (0, 1, 2, 3),
+    (0, 2): (2, 0, 1, 3),
+    (0, 3): (0, 3, 1, 2),
+    (1, 2): (1, 2, 0, 3),
+    (1, 3): (1, 3, 2, 0),
+    (2, 3): (2, 3, 0, 1),
+}
+
+
+def _mark_tets(elem_verts: np.ndarray, vertices: np.ndarray) -> np.ndarray:
+    """Rotate each tet so its longest edge is (v0, v1), preserving orientation.
+
+    Functional analog of MFEM's MarkTetMeshForRefinement. (MFEM additionally
+    ranks ties via a global edge-length sort; with no committed 3D coefficient
+    goldens, first-occurrence tie-breaking is used here. Physics outputs are
+    independent of this ordering.)
+    """
+    edges = LOCAL_EDGES[GEOM_TET]
+    v = vertices[elem_verts]  # (ne, 4, dim)
+    lengths = np.stack(
+        [np.linalg.norm(v[:, b] - v[:, a], axis=-1) for (a, b) in edges], axis=-1
+    )
+    longest = np.argmax(lengths, axis=-1)
+    out = np.empty_like(elem_verts)
+    for ei, edge in enumerate(edges):
+        m = longest == ei
+        if np.any(m):
+            perm = _TET_EDGE_TO_FRONT[edge]
+            out[m] = elem_verts[np.ix_(m.nonzero()[0], list(perm))]
+    return out
+
+
+def finalize(mesh: MeshData) -> MeshData:
+    """Apply MFEM's on-load element marking (triangle rotation, tet marking)."""
+    if mesh.geom == GEOM_TRIANGLE:
+        ev = _rotate_triangles(mesh.elem_verts, mesh.vertices)
+        return dataclasses.replace(mesh, elem_verts=ev)
+    if mesh.geom == GEOM_TET:
+        ev = _mark_tets(mesh.elem_verts, mesh.vertices)
+        return dataclasses.replace(mesh, elem_verts=ev)
+    return mesh
+
+
+def _face_normal_from_verts(fv: np.ndarray, vertices: np.ndarray, dim: int) -> np.ndarray:
+    """Unit normal of faces from their stored vertex order
+    (ref: src/Utils.cpp:262-304). fv: (nfaces, nv_f)."""
+    if dim == 2:
+        d = vertices[fv[:, 1]] - vertices[fv[:, 0]]
+        n = np.stack([d[:, 1], -d[:, 0]], axis=-1)
+    else:
+        e1 = vertices[fv[:, 1]] - vertices[fv[:, 0]]
+        e2 = vertices[fv[:, 2]] - vertices[fv[:, 0]]
+        n = np.cross(e1, e2)
+    norm = np.linalg.norm(n, axis=-1, keepdims=True)
+    return n / np.where(norm > 0, norm, 1.0)
+
+
+def connect(mesh: MeshData) -> MeshTopology:
+    """Build global/per-element face tables and outward normals."""
+    geom = mesh.geom
+    local_faces = LOCAL_FACES[geom]
+    nf = len(local_faces)
+    ne = mesh.num_elements
+    dim = mesh.dim
+
+    face_index: Dict[tuple, int] = {}
+    face_verts_list = []
+    face_elems_list = []
+    elem_face = np.full((ne, nf), -1, dtype=np.int32)
+
+    ev = mesh.elem_verts
+    for e in range(ne):
+        for lf, loc in enumerate(local_faces):
+            fverts = tuple(int(ev[e, i]) for i in loc)
+            key = tuple(sorted(fverts))
+            fid = face_index.get(key)
+            if fid is None:
+                fid = len(face_verts_list)
+                face_index[key] = fid
+                face_verts_list.append(fverts)
+                face_elems_list.append([e, -1])
+            else:
+                face_elems_list[fid][1] = e
+            elem_face[e, lf] = fid
+
+    face_verts = np.asarray(face_verts_list, dtype=np.int32)
+    face_elems = np.asarray(face_elems_list, dtype=np.int32)
+    nfaces = len(face_verts)
+
+    # Boundary attributes from boundary-element list.
+    face_attr = np.zeros(nfaces, dtype=np.int32)
+    for bv, battr in zip(mesh.bdry_verts, mesh.bdry_attr):
+        key = tuple(sorted(int(x) for x in bv))
+        fid = face_index.get(key)
+        if fid is not None:
+            face_attr[fid] = battr
+
+    # Per-element lists sorted by global face id (assembly/dump order).
+    order = np.argsort(elem_face, axis=1)
+    elem_face = np.take_along_axis(elem_face, order, axis=1)
+
+    e1 = face_elems[elem_face, 0]
+    e2 = face_elems[elem_face, 1]
+    own = np.arange(ne, dtype=np.int32)[:, None]
+    elem_neighbor = np.where(e1 == own, e2, e1).astype(np.int32)
+    elem_face_attr = face_attr[elem_face]
+    elem_face_attr = np.where(elem_neighbor < 0, elem_face_attr, 0)
+
+    # Outward unit normals via centroid orientation test
+    # (ref: src/Utils.cpp:306-354).
+    base_normals = _face_normal_from_verts(face_verts, mesh.vertices, dim)  # (nfaces, dim)
+    centroids = mesh.vertices[ev].mean(axis=1)  # (ne, dim)
+    face_centroids = mesh.vertices[face_verts].mean(axis=1)  # (nfaces, dim)
+    n = base_normals[elem_face]  # (ne, nf, dim)
+    to_face = face_centroids[elem_face] - centroids[:, None, :]
+    flip = np.sum(n * to_face, axis=-1) < 0.0
+    normals = np.where(flip[..., None], -n, n)
+
+    return MeshTopology(
+        mesh=mesh,
+        face_verts=face_verts,
+        face_elems=face_elems,
+        face_attr=face_attr,
+        elem_face=elem_face,
+        elem_neighbor=elem_neighbor,
+        elem_face_attr=elem_face_attr,
+        normals=normals,
+        centroids=centroids,
+    )
