@@ -7,8 +7,12 @@ reproducible:
 
 - new vertices appended after the originals: edge midpoints in edge-id order,
   then face centers (quad interiors / 3D faces), then cell centers,
-- child 0 replaces the parent in place, remaining children are appended, so
-  children of parent i occupy positions {i} U {ne + (nchild-1)*i + c}.
+- children of parent i are stored consecutively at positions
+  nchild*i + c; for triangles the child order is
+  [corner@v0, center, corner@v1, corner@v2] — this exact layout was
+  reverse-engineered from the committed 8-element sweep-order golden
+  (output/log/sweep_dim3_*.txt): it is the unique labeling of the red-refined
+  triangles that reproduces all 576 greedy orders.
 
 Edge/face ids are first-seen over elements in order with MFEM's local
 edge/face ordering (core.LOCAL_EDGES / core.LOCAL_FACES).
@@ -69,31 +73,31 @@ def _refine_once(mesh: core.MeshData) -> core.MeshData:
     def fctr(quad_verts) -> int:
         return ofa + face_index[tuple(sorted(int(v) for v in quad_verts))]
 
-    children_in_place = []
-    children_appended = [[] for _ in range(ne)]
+    children = [[] for _ in range(ne)]  # nchild consecutive children per parent
 
     if geom == core.GEOM_TRIANGLE:
         for e in range(ne):
             v0, v1, v2 = (int(x) for x in ev[e])
             m0, m1, m2 = emid(v0, v1), emid(v1, v2), emid(v2, v0)
-            children_in_place.append([v0, m0, m2])
-            children_appended[e] = [[m0, v1, m1], [m2, m1, v2], [m0, m1, m2]]
+            # MFEM order: corner@v0, center, corner@v1, corner@v2
+            children[e] = [[v0, m0, m2], [m0, m1, m2], [m0, v1, m1], [m2, m1, v2]]
     elif geom == core.GEOM_QUAD:
         for e in range(ne):
             v0, v1, v2, v3 = (int(x) for x in ev[e])
             m0, m1, m2, m3 = emid(v0, v1), emid(v1, v2), emid(v2, v3), emid(v3, v0)
             c = ocell + e
-            children_in_place.append([v0, m0, c, m3])
-            children_appended[e] = [[m0, v1, m1, c], [c, m1, v2, m2], [m3, c, m2, v3]]
+            children[e] = [
+                [v0, m0, c, m3], [m0, v1, m1, c], [c, m1, v2, m2], [m3, c, m2, v3],
+            ]
         new_coords += [verts[list(ev[e])].mean(axis=0) for e in range(ne)]
     elif geom == core.GEOM_TET:
         for e in range(ne):
             v0, v1, v2, v3 = (int(x) for x in ev[e])
             m01, m02, m03 = emid(v0, v1), emid(v0, v2), emid(v0, v3)
             m12, m13, m23 = emid(v1, v2), emid(v1, v3), emid(v2, v3)
-            children_in_place.append([v0, m01, m02, m03])
             # corners then Bey's octahedron split along the m02-m13 diagonal
-            children_appended[e] = [
+            children[e] = [
+                [v0, m01, m02, m03],
                 [m01, v1, m12, m13],
                 [m02, m12, v2, m23],
                 [m03, m13, m23, v3],
@@ -130,17 +134,16 @@ def _refine_once(mesh: core.MeshData) -> core.MeshData:
                     for (dx, dy, dz) in child_pattern
                 ]
                 kids.append(kid)
-            children_in_place.append(kids[0])
-            children_appended[e] = kids[1:]
+            children[e] = kids
         new_coords += [verts[list(ev[e])].mean(axis=0) for e in range(ne)]
     else:
         raise ValueError(f"unsupported geometry: {geom}")
 
-    new_elems = list(children_in_place)
-    new_attrs = list(mesh.elem_attr)
+    new_elems = []
+    new_attrs = []
     for e in range(ne):
-        new_elems.extend(children_appended[e])
-        new_attrs.extend([int(mesh.elem_attr[e])] * len(children_appended[e]))
+        new_elems.extend(children[e])
+        new_attrs.extend([int(mesh.elem_attr[e])] * len(children[e]))
 
     # Boundary elements split with the same midpoint ids.
     new_bdry, new_battr = [], []

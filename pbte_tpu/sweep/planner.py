@@ -1,0 +1,198 @@
+"""Sweep planning: upwind DAG levelization + reference-compatible greedy order.
+
+The reference sweeps each ordinate sequentially through a greedy topological
+element order (ref: src/AngularSweepOrder.cpp:78-147). On TPU the sweep must be
+*batched*: for each direction, Kahn-layer the same upwind precedence relation
+(element e depends on neighbor n across face f iff outward_normal(e,f)·s < 0)
+into wavefront levels; all elements in a level are independent and solved as
+one batched op, so the per-ordinate recurrence becomes a `lax.scan` over levels
+(SURVEY.md section 5, "sweep sequentiality vs TPU batching").
+
+Directions with identical upwind sign patterns share the same DAG and hence
+identical levels — on axis-aligned meshes there are at most 2^dim distinct
+patterns, so the plan stores one level table per *group* plus a (K,) group
+index. This is the key memory/compute dedup for the batched sweep.
+
+The greedy order (exact mirror of the reference semantics, including
+within-pass readiness propagation in element-index order) is kept for golden
+sweep-log parity and for debugging.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+class SweepCycleError(RuntimeError):
+    """Raised when the upwind precedence graph contains a cycle
+    (the reference throws 'sweep ordering stalled';
+    ref: src/AngularSweepOrder.cpp:138-142)."""
+
+
+def upwind_inflow(
+    neighbor: np.ndarray, normals: np.ndarray, directions: np.ndarray
+) -> np.ndarray:
+    """Dependency mask: inflow[k, e, f] = True iff element e's face f receives
+    from an interior neighbor for direction k (outward normal dot dir < 0,
+    strict — matching the reference's `dot < 0.0`)."""
+    dim = normals.shape[-1]
+    dots = np.einsum("efd,kd->kef", normals, directions[:, :dim])
+    return (dots < 0.0) & (neighbor >= 0)[None, :, :]
+
+
+def compute_levels(
+    neighbor: np.ndarray, normals: np.ndarray, directions: np.ndarray
+) -> np.ndarray:
+    """Wavefront level of each element per direction: (K, ne) int32.
+
+    level[k, e] = 1 + max(level[k, upwind neighbors]) (0 when none).
+    Vectorized fixpoint iteration over all directions at once."""
+    K = directions.shape[0]
+    ne, nf = neighbor.shape
+    inflow = upwind_inflow(neighbor, normals, directions)  # (K, ne, nf)
+    nbr_safe = np.where(neighbor >= 0, neighbor, 0)  # (ne, nf)
+
+    level = np.zeros((K, ne), dtype=np.int64)
+    for it in range(ne + 1):
+        nbr_lvl = level[:, nbr_safe]  # (K, ne, nf)
+        cand = np.where(inflow, nbr_lvl + 1, 0)
+        new = cand.max(axis=-1)
+        if np.array_equal(new, level):
+            return level.astype(np.int32)
+        level = new
+    raise SweepCycleError(
+        "upwind sweep levelization did not converge; the precedence graph "
+        "contains a cycle (check mesh connectivity)"
+    )
+
+
+@dataclasses.dataclass
+class SweepPlan:
+    """Padded level tables, deduplicated by upwind sign pattern.
+
+    levels[g, l, w] = element id (or -1 padding) of slot w in level l of
+    direction-group g. All directions k with group_of_dir[k] == g share it.
+    """
+
+    group_of_dir: np.ndarray  # (K,) int32
+    dirs_of_group: list  # list of (Kg,) int arrays
+    levels: np.ndarray  # (G, L_max, W_max) int32, -1 padded
+    n_levels: np.ndarray  # (G,) int32
+    level_of_elem: np.ndarray  # (G, ne) int32
+
+    @property
+    def num_groups(self) -> int:
+        return self.levels.shape[0]
+
+    @property
+    def max_levels(self) -> int:
+        return self.levels.shape[1]
+
+    @property
+    def max_width(self) -> int:
+        return self.levels.shape[2]
+
+    def padding_ratio(self) -> float:
+        """Fraction of padded slots in the level tables (diagnostic)."""
+        total = self.levels.size
+        real = int((self.levels >= 0).sum())
+        return 1.0 - real / total
+
+
+def build_plan(
+    neighbor: np.ndarray, normals: np.ndarray, directions: np.ndarray
+) -> SweepPlan:
+    K = directions.shape[0]
+    ne = neighbor.shape[0]
+    inflow = upwind_inflow(neighbor, normals, directions)
+
+    # group directions by identical dependency pattern
+    flat = np.packbits(inflow.reshape(K, -1), axis=1)
+    _, group_idx, inverse = np.unique(
+        flat, axis=0, return_index=True, return_inverse=True
+    )
+    G = len(group_idx)
+    rep_dirs = directions[group_idx]
+
+    levels_g = compute_levels(neighbor, normals, rep_dirs)  # (G, ne)
+
+    n_levels = levels_g.max(axis=1) + 1
+    L_max = int(n_levels.max())
+    # width per (g, l)
+    W_max = 1
+    for g in range(G):
+        counts = np.bincount(levels_g[g], minlength=L_max)
+        W_max = max(W_max, int(counts.max()))
+
+    tables = np.full((G, L_max, W_max), -1, dtype=np.int32)
+    for g in range(G):
+        for l in range(int(n_levels[g])):
+            elems = np.flatnonzero(levels_g[g] == l)
+            tables[g, l, : len(elems)] = elems
+
+    dirs_of_group = [np.flatnonzero(inverse == g) for g in range(G)]
+    return SweepPlan(
+        group_of_dir=inverse.astype(np.int32),
+        dirs_of_group=dirs_of_group,
+        levels=tables,
+        n_levels=n_levels.astype(np.int32),
+        level_of_elem=levels_g.astype(np.int32),
+    )
+
+
+def greedy_orders(
+    neighbor: np.ndarray, normals: np.ndarray, directions: np.ndarray
+) -> list:
+    """Exact mirror of the reference's greedy sweep ordering
+    (ref: src/AngularSweepOrder.cpp:93-144): repeated passes over elements in
+    index order; an element is ready when every interior-face neighbor with
+    outward_normal·dir < 0 is already processed; processing within a pass makes
+    later elements ready in the same pass; a pass with no progress raises."""
+    K = directions.shape[0]
+    ne, nf = neighbor.shape
+    dim = normals.shape[-1]
+    orders = []
+    for k in range(K):
+        dots = normals @ directions[k, :dim]  # (ne, nf)
+        upwind = (dots < 0.0) & (neighbor >= 0)
+        processed = np.zeros(ne, dtype=bool)
+        order = []
+        while len(order) < ne:
+            progressed = False
+            for e in range(ne):
+                if processed[e]:
+                    continue
+                deps = neighbor[e][upwind[e]]
+                if np.all(processed[deps]):
+                    order.append(e)
+                    processed[e] = True
+                    progressed = True
+            if not progressed:
+                raise SweepCycleError(
+                    "angular sweep ordering stalled; check mesh connectivity"
+                )
+        orders.append(np.asarray(order, dtype=np.int32))
+    return orders
+
+
+def write_sweep_orders(quad, topo, path: str) -> None:
+    """Golden-format sweep order dump (ref: src/AngularSweepOrder.cpp:149-181)."""
+    import os
+
+    orders = greedy_orders(topo.elem_neighbor, topo.normals, quad.directions)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write("Sweep order per direction\n")
+        f.write(f"dimension: {topo.mesh.dim}\n")
+        f.write(f"elements: {topo.mesh.num_elements}\n")
+        f.write(f"directions: {quad.num_directions}\n\n")
+        for k, order in enumerate(orders):
+            f.write(
+                f"dir {k} theta={quad.polar[k]:g} phi={quad.azimuth[k]:g} "
+                f"w={quad.weights[k]:g} order:"
+            )
+            for e in order:
+                f.write(f" {e}")
+            f.write("\n")
