@@ -1,0 +1,100 @@
+"""Sampled temperature slices (vectorized point location + basis evaluation).
+
+Replaces MacroscopicQuantities::Write2DSliceTemperature
+(ref: src/MacroscopicQuantities.cpp:273-345) and the legacy
+NonGraySMRT::output_*_slice_* samplers. The reference brute-forces an
+InverseElementTransformation per point per element; here point location is a
+batched inverse-map + inside test over all (point, element) pairs, first
+matching element in index order wins (the reference's loop order — this
+matters for points exactly on interior faces, where the DG field is
+discontinuous).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pbte_tpu.fem import assembly as fem_assembly
+from pbte_tpu.fem import reference as fem_ref
+from pbte_tpu.mesh import core as mesh_core
+
+
+def locate_points(mesh: mesh_core.MeshData, pts: np.ndarray, tol: float = 1e-10):
+    """Find containing element per point (first match in element order).
+
+    Returns (elem (n,), ref_coords (n, dim)); elem = -1 when not found."""
+    ne = mesh.num_elements
+    n = len(pts)
+    Xv = mesh.vertices[mesh.elem_verts]  # (ne, nv, dim)
+    # ref coords of every point in every element: (ne, n, dim)
+    r = fem_assembly.inverse_map(
+        mesh.geom, Xv, np.broadcast_to(pts, (ne,) + pts.shape)
+    )
+    if mesh.geom in (mesh_core.GEOM_TRIANGLE, mesh_core.GEOM_TET):
+        inside = np.all(r >= -tol, axis=-1) & (r.sum(-1) <= 1.0 + tol)
+    else:
+        inside = np.all((r >= -tol) & (r <= 1.0 + tol), axis=-1)
+    # first element that contains each point
+    any_in = inside.any(axis=0)
+    first = np.argmax(inside, axis=0)
+    elem = np.where(any_in, first, -1)
+    ref = r[first, np.arange(n)]
+    return elem, ref
+
+
+def sample_field(mesh: mesh_core.MeshData, order: int, coeffs: np.ndarray,
+                 pts: np.ndarray, tol: float = 1e-10):
+    """Evaluate a DG field (coeffs (ne, D)) at points; NaN where not found."""
+    elem, ref = locate_points(mesh, pts, tol)
+    b = fem_ref.basis(mesh.geom, order)
+    shape = b.eval(ref)  # (n, D)
+    vals = np.einsum("ni,ni->n", coeffs[np.where(elem >= 0, elem, 0)], shape)
+    return np.where(elem >= 0, vals, np.nan)
+
+
+def write_2d_slice(mesh, order, Tc, path, nx=100, ny=100, clamp_tol=1e-12):
+    """Golden-format 2D temperature slice
+    (ref: src/MacroscopicQuantities.cpp:273-345)."""
+    import os
+
+    if mesh.dim != 2:
+        raise ValueError("write_2d_slice supports 2D meshes only")
+    mn = mesh.vertices.min(axis=0)
+    mx = mesh.vertices.max(axis=0)
+    xs = mn[0] + np.arange(nx) / (nx - 1) * (mx[0] - mn[0])
+    ys = mn[1] + np.arange(ny) / (ny - 1) * (mx[1] - mn[1])
+    # clamp slightly inside the domain (matching the reference's edge handling)
+    xc = xs.copy()
+    yc = ys.copy()
+    xc[0] = mn[0] + clamp_tol
+    xc[-1] = mx[0] - clamp_tol
+    yc[0] = mn[1] + clamp_tol
+    yc[-1] = mx[1] - clamp_tol
+    X, Y = np.meshgrid(xc, yc, indexing="xy")
+    pts = np.stack([X.reshape(-1), Y.reshape(-1)], axis=-1)
+    T = sample_field(mesh, order, np.asarray(Tc), pts)
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write(f"# nx {nx} ny {ny}\n")
+        f.write("x y T\n")
+        idx = 0
+        for j in range(ny):
+            for i in range(nx):
+                f.write(f"{xs[i]:.16f} {ys[j]:.16f} {T[idx]:.16f}\n")
+                idx += 1
+    return T.reshape(ny, nx)
+
+
+def sample_3d_plane(mesh, order, Tc, z, nx=100, ny=100, clamp_tol=1e-12):
+    """3D analog: sample a z=const plane (legacy output_3D_2Dslice_T_Q,
+    ref: reference/PhononModel/NonGraySMRT.cpp:377-524)."""
+    if mesh.dim != 3:
+        raise ValueError("sample_3d_plane requires a 3D mesh")
+    mn = mesh.vertices.min(axis=0)
+    mx = mesh.vertices.max(axis=0)
+    xs = np.linspace(mn[0] + clamp_tol, mx[0] - clamp_tol, nx)
+    ys = np.linspace(mn[1] + clamp_tol, mx[1] - clamp_tol, ny)
+    X, Y = np.meshgrid(xs, ys, indexing="xy")
+    pts = np.stack([X.reshape(-1), Y.reshape(-1), np.full(X.size, z)], axis=-1)
+    return sample_field(mesh, order, np.asarray(Tc), pts).reshape(ny, nx)
