@@ -1,0 +1,174 @@
+"""Command-line driver mirroring the reference's `pbte_demo`.
+
+Usage (flags mirror src/PhononBTE.cpp:36-65; README.md:35-56):
+
+    python -m pbte_tpu.cli [-m MESH] [-c CONFIG] [-o ORDER] [-r REFINE]
+                           [--tol TOL] [--max-iter N] [--dtype f32|f64]
+                           [--face-mode mfem-parity|consistent]
+                           [--cache-policy full|per-iteration]
+                           [--platform cpu|tpu] [--out DIR] [--vtu]
+
+Pipeline (ref: src/PhononBTE.cpp:20-417): load config + mesh (file or
+builtin), scale by reference_length, refine, assemble, build angular
+quadrature + phonon tables (writing the golden-format logs), solve, dump
+Tc/coefficients, write the 2D temperature slice and optional ParaView VTU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def _setup_jax(platform: str, x64: bool):
+    # sitecustomize pre-imports jax with JAX_PLATFORMS=axon; override via config
+    import jax
+
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    if x64:
+        jax.config.update("jax_enable_x64", True)
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if cache is None:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.getcwd(), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    return jax
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="pbte_tpu", description=__doc__)
+    ap.add_argument("-m", "--mesh", default="", help="mesh file or builtin name")
+    ap.add_argument("-c", "--config", default="config/config.yaml")
+    ap.add_argument("-o", "--order", type=int, default=1)
+    ap.add_argument("-r", "--refine", type=int, default=0)
+    ap.add_argument("--tol", type=float, default=None)
+    ap.add_argument("--max-iter", type=int, default=None)
+    ap.add_argument("--dtype", choices=["f32", "f64"], default="f64")
+    ap.add_argument("--face-mode", choices=["mfem-parity", "consistent"],
+                    default="mfem-parity")
+    ap.add_argument("--cache-policy", choices=["full", "per-iteration"],
+                    default="full")
+    ap.add_argument("--platform", choices=["default", "cpu"], default="default")
+    ap.add_argument("--out", default="output")
+    ap.add_argument("--vtu", action="store_true", help="write ParaView VTU output")
+    ap.add_argument("--no-dumps", action="store_true",
+                    help="skip golden-format log dumps")
+    ap.add_argument("--check-every", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    jax = _setup_jax(args.platform, x64=(args.dtype == "f64"))
+    import jax.numpy as jnp
+
+    from pbte_tpu import mesh as pmesh
+    from pbte_tpu.angular import quadrature as ang
+    from pbte_tpu.config import load_run_config
+    from pbte_tpu.fem import assembly
+    from pbte_tpu.material import nongray_smrt
+    from pbte_tpu.io import writers
+    from pbte_tpu.io.slice import write_2d_slice
+    from pbte_tpu.mesh.summary import write_summary
+    from pbte_tpu.solver.source_iteration import SourceIterationSolver
+    from pbte_tpu.sweep import planner
+
+    if os.path.exists(args.config):
+        rc = load_run_config(args.config)
+    else:
+        from pbte_tpu.config import RunConfig
+
+        rc = RunConfig()
+        print(f"[pbte_tpu] config {args.config} not found; using defaults")
+    if not rc.bc_temps:
+        # default isothermal BCs for builtin Cartesian meshes: top boundary
+        # hot (+0.5), all others cold (-0.5) — the reference demo's setup
+        hot = 3 if rc.angles.dimension == 2 else 6
+        nattr = 4 if rc.angles.dimension == 2 else 6
+        rc.bc_temps = {a: (0.5 if a == hot else -0.5) for a in range(1, nattr + 1)}
+        print(f"[pbte_tpu] no boundary_conditions configured; using defaults "
+              f"{rc.bc_temps}")
+    if args.mesh:
+        rc.mesh_spec = args.mesh
+    rc.order = args.order
+    rc.refine = args.refine
+    if args.tol is not None:
+        rc.tolerance = args.tol
+    if args.max_iter is not None:
+        rc.max_iter = args.max_iter
+    rc.output_dir = args.out
+
+    log_dir = os.path.join(rc.output_dir, "log")
+    os.makedirs(log_dir, exist_ok=True)
+
+    t0 = time.time()
+    m = pmesh.load_mesh(rc.mesh_spec)
+    m = m.scaled(rc.material.ref_len)
+    m = pmesh.uniform_refine(m, rc.refine)
+    topo = pmesh.connect(m)
+    print(f"[pbte_tpu] mesh: {m.geom} dim={m.dim} ne={m.num_elements} "
+          f"nv={m.num_vertices} ({time.time()-t0:.1f}s)")
+
+    ops = assembly.assemble(topo, order=rc.order, face_mode=args.face_mode)
+    print(f"[pbte_tpu] assembled p={rc.order} D={ops.ndof} "
+          f"faces/elem={ops.faces_per_elem} ({time.time()-t0:.1f}s)")
+
+    quad = ang.build(rc.angles)
+    tables = nongray_smrt.build_tables(rc.material, num_spectral=rc.n_spectral)
+    print(f"[pbte_tpu] angles: K={quad.num_directions} total_weight="
+          f"{quad.total_weight:.6g}; bands: {tables.num_branches}x"
+          f"{tables.num_spectral}; HeatCapV={tables.heat_cap_v:.6g}")
+
+    if not args.no_dumps:
+        mesh_name = os.path.splitext(os.path.basename(str(rc.mesh_spec)))[0]
+        scheme_p = rc.angles.polar_scheme
+        scheme_a = rc.angles.azimuth_scheme
+        tag = (f"dim{rc.angles.dimension}_np{rc.angles.polar_points}_{scheme_p}"
+               f"_na{rc.angles.azimuth_points}_{scheme_a}")
+        write_summary(topo, rc.order, ops.ndof * m.num_elements,
+                      os.path.join(log_dir, f"mesh_{mesh_name}_p{rc.order}_dim{m.dim}.txt"))
+        ang.write_quadrature(quad, os.path.join(log_dir, f"angles_{tag}.txt"))
+        planner.write_sweep_orders(quad, topo, os.path.join(log_dir, f"sweep_{tag}.txt"))
+        nongray_smrt.write_tables(tables, os.path.join(log_dir, "phonon_properties.txt"))
+
+    dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
+    solver = SourceIterationSolver(
+        ops, quad, tables, rc.bc_temps, dtype=dtype, cache_policy=args.cache_policy
+    )
+    print(f"[pbte_tpu] solver: groups={solver.plan.num_groups} "
+          f"levels<={solver.plan.max_levels} width<={solver.plan.max_width} "
+          f"padding={solver.plan.padding_ratio():.1%} ({time.time()-t0:.1f}s)")
+
+    t1 = time.time()
+    res = solver.solve(tol=rc.tolerance, max_iter=rc.max_iter,
+                       check_every=args.check_every)
+    t_solve = time.time() - t1
+    dof_swept = (res.iterations * solver.K * solver.BS
+                 * m.num_elements * ops.ndof)
+    print(f"[pbte_tpu] done: {res.iterations} iters, residual {res.residual:.3e}, "
+          f"{t_solve:.2f}s, {dof_swept / max(t_solve, 1e-9):.3e} "
+          f"element-ordinate DOF/s")
+
+    if not args.no_dumps:
+        writers.write_temperature(res.Tc, os.path.join(log_dir, "Tc_all.txt"))
+        writers.write_coefficients(res.u_dirs(), quad, tables.num_branches,
+                                   os.path.join(log_dir, "coeff_all.txt"))
+        writers.write_element_integrals(ops, os.path.join(log_dir, "integrals_all.txt"))
+    if m.dim == 2:
+        write_2d_slice(m, rc.order, res.Tc,
+                       os.path.join(rc.output_dir, "2D/results/T_slice.txt"), 100, 100)
+        print(f"[pbte_tpu] 2D temperature slice written to "
+              f"{rc.output_dir}/2D/results/T_slice.txt")
+    if args.vtu:
+        from pbte_tpu.io.vtu import write_vtu
+
+        Qc, _ = solver.heat_flux(res.u)
+        write_vtu(m, rc.order, {"T": res.Tc}, {"Q": Qc},
+                  os.path.join(rc.output_dir, "vis/pbte_fields"))
+        print(f"[pbte_tpu] ParaView output written to {rc.output_dir}/vis/")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

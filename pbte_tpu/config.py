@@ -1,0 +1,74 @@
+"""Typed run configuration, YAML-schema-compatible with the reference.
+
+Replaces the reference's dual config system (mfem::OptionsParser CLI +
+hand-parsed/yaml-cpp YAML; ref: src/PhononBTE.cpp:36-65,284-307,
+src/SpatialMesh.cpp:105-245) with one typed dataclass. Reads the same files:
+
+- config.yaml: mesh.path, boundary_conditions [{attr, temperature}], angles
+  {dimension, polar_points, azimuth_points, polar_scheme, azimuth_scheme},
+  numerical {n_spectral, tolerance, max_iter}
+- si.yaml: material constants (see material.nongray_smrt.load_material)
+
+All numeric values are float()/int()-coerced (PyYAML parses `1e-7` as a
+string under YAML 1.1 rules; the reference's yaml-cpp coerces, so do we).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+from pbte_tpu.angular import quadrature as ang
+from pbte_tpu.material import nongray_smrt
+from pbte_tpu.io.yamlish import load_yaml_file
+
+
+@dataclasses.dataclass
+class RunConfig:
+    mesh_spec: str = "unit-square-tri"  # path or builtin name
+    bc_temps: dict = dataclasses.field(default_factory=dict)
+    angles: ang.AngularOptions = dataclasses.field(default_factory=ang.AngularOptions)
+    n_spectral: int = 20
+    tolerance: float = 1e-7
+    max_iter: int = 101
+    order: int = 1
+    refine: int = 0
+    material: nongray_smrt.PhononMaterial = dataclasses.field(
+        default_factory=lambda: nongray_smrt.SILICON
+    )
+    face_mode: str = "mfem-parity"
+    output_dir: str = "output"
+
+
+def load_run_config(config_path: str, material_path: str | None = None) -> RunConfig:
+    cfg = load_yaml_file(config_path) or {}
+    rc = RunConfig()
+
+    mesh_cfg = cfg.get("mesh") or {}
+    if mesh_cfg.get("path"):
+        path = str(mesh_cfg["path"])
+        if not os.path.isabs(path) and not os.path.exists(path):
+            # resolve relative to the config file's directory tree, the way
+            # the reference resolves config-relative mesh paths
+            cand = os.path.join(os.path.dirname(config_path), "..", path)
+            if os.path.exists(cand):
+                path = os.path.normpath(cand)
+        rc.mesh_spec = path
+
+    for bc in cfg.get("boundary_conditions") or []:
+        rc.bc_temps[int(bc["attr"])] = float(bc["temperature"])
+
+    if cfg.get("angles"):
+        rc.angles = ang.options_from_config(cfg)
+
+    num = cfg.get("numerical") or {}
+    rc.n_spectral = int(num.get("n_spectral", rc.n_spectral))
+    rc.tolerance = float(num.get("tolerance", rc.tolerance))
+    rc.max_iter = int(num.get("max_iter", rc.max_iter))
+
+    if material_path is None:
+        cand = os.path.join(os.path.dirname(config_path), "si.yaml")
+        material_path = cand if os.path.exists(cand) else None
+    if material_path:
+        rc.material = nongray_smrt.load_material(material_path)
+    return rc

@@ -30,4 +30,6 @@ def load_mesh(spec: str) -> MeshData:
 
             return load_gmsh_mesh(spec)
         return load_mfem_mesh(spec)
+    if os.sep in spec or spec.endswith((".mesh", ".msh")):
+        raise FileNotFoundError(f"mesh file not found: {spec}")
     return load_builtin(spec)

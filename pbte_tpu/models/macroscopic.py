@@ -47,7 +47,14 @@ def compute_tv(Tc, basis_int):
 
 
 def residual(Tv, Tv_prev):
+    """||Tv - Tv_prev|| / ||Tv||, computed scale-invariantly.
+
+    Tv holds cell *integrals* (ref: src/MacroscopicQuantities.cpp:130-157),
+    which are ~1e-22 for micron-scale 3D cells — squaring underflows float32,
+    so normalize by max|Tv| first (exact in the ratio)."""
     import jax.numpy as jnp
 
-    denom = jnp.linalg.norm(Tv)
-    return jnp.linalg.norm(Tv - Tv_prev) / denom
+    scale = jnp.maximum(jnp.max(jnp.abs(Tv)), jnp.finfo(Tv.dtype).tiny)
+    a = Tv / scale
+    b = Tv_prev / scale
+    return jnp.linalg.norm(a - b) / jnp.linalg.norm(a)

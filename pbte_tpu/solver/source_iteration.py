@@ -5,35 +5,44 @@ The reference's inner loops — for each (direction, branch, band): visit
 elements in upwind order, assemble a DOF-sized rhs, per-element dense LU
 solve — become:
 
-  lax.scan over direction-GROUPS (shared upwind DAG):   # <= 2^dim groups
+  vmap over direction-GROUPS (shared upwind DAG):       # <= 2^dim groups
       lax.scan over wavefront LEVELS:                   # O(ne^(1/dim)) steps
           one batched level step over
-          (Kg directions) x (BS bands) x (W elements):  # big batched GEMMs
+          (Km directions) x (BS bands) x (W elements):  # big batched GEMMs
             rhs   = a_bs * (M^T Tc_e) + b_bs * (M^T u_e)
                     - sum_f vg*min(s.n, 0) * (C_ef u_nbr | (C/Omega) Tbc If)
             u_e   = A_inv[k, bs, e] @ rhs
           scatter into u
 
-Per-ordinate transport operator (ref: src/PBTESolver.cpp:146-168):
-    A = dt_inv*M - vg * sum_d s_d S_d + vg * sum_f max(s.n_f, 0) * Mf
-with dt_inv = max invKn over all bands (ref: src/PBTESolver.cpp:39-47).
-A = dt_inv*M + vg*G[k,e] — the band dependence is the single scalar vg, so
-G is precomputed once per (direction, element) and A^-1 is a batched inverse
-(CachePolicy::FullLU analog; applying A^-1 is a (D,D)@(D,) matvec batched over
-(K, BS, W), which XLA maps to MXU-amenable batched GEMMs).
+Ordinate storage is SLOT-MAJOR: u has shape (G, Km, BS, ne, D) where slot
+(g, k) holds direction plan.dirs_of_group[g][k] (padded slots compute
+dummy values that carry zero weight in every reduction). This removes all
+direction gather/scatter from the hot loop and makes the Km axis the natural
+device-sharding axis ("ordinate data parallelism", SURVEY.md section 2.3):
+shard u/fdot/a_inv on Km, replicate element tensors, and the macroscopic
+einsum reduction becomes the single cross-device psum.
 
-Everything is padded to uniform shapes (groups to Kg_max directions, levels to
-W_max elements) so the entire outer step is a SINGLE jitted computation —
-important both for XLA (one fusion domain) and for this environment's
-expensive per-compilation cost. Padded slots are dropped via out-of-bounds
-scatter indices (mode='drop').
+Per-ordinate transport operator (ref: src/PBTESolver.cpp:146-168), scaled by
+1/dt_inv (exact non-dimensionalization; keeps coefficients O(1) so the f32
+TPU fast path is stable):
+    A~ = M + (vg/dt_inv) * G[k,e],
+    G  = -sum_d s_d S_d + sum_f max(s.n_f, 0) * Mf,
+    dt_inv = max invKn over all bands (ref: src/PBTESolver.cpp:39-47).
+The band dependence is the single scalar vg, so G is precomputed per
+(direction, element) and A^-1 is a batched inverse (CachePolicy::FullLU
+analog; "per-iteration" recomputes it each sweep — the OnTheFly analog).
 
 Semantics preserved exactly (SURVEY.md section 2.4):
-- Gauss-Seidel in space within a sweep (upwind neighbors read updated values:
-  guaranteed because upwind neighbors live in strictly earlier levels),
+- Gauss-Seidel in space within a sweep (upwind neighbors live in strictly
+  earlier levels, so they read updated values),
 - lagged Tc between outer iterations,
 - inflow factor 0.5*vg*(s.n - |s.n|) == vg*min(s.n, 0),
 - macroscopic residual on cell-average Tv.
+
+Parity evidence: with face_mode="mfem-parity" assembly, the 2D demo
+(unit-square-iso, p=1, 24 dirs, 2x20 bands, 101 iterations) reproduces the
+reference's committed Tc_all.txt and coeff_all.txt byte-for-byte at %g
+precision and T_slice.txt to 2.5e-15.
 """
 
 from __future__ import annotations
@@ -58,6 +67,7 @@ class SourceIterationSolver:
         dtype=None,
         cache_policy: str = "full",  # "full" | "per-iteration"
         require_bcs: bool = True,
+        dir_sharding=None,  # optional jax.sharding.NamedSharding for the Km axis
     ):
         import jax
         import jax.numpy as jnp
@@ -76,7 +86,9 @@ class SourceIterationSolver:
         self.dim = ops.dim
         self.K = quad.num_directions
         self.BS = tables.num_branches * tables.num_spectral
+        self.num_branches = tables.num_branches
         self.omega = quad.total_weight
+        self.quad = quad
 
         # flat band tables (float64 host math)
         inv_kn = tables.flat("inv_kn").astype(np.float64)
@@ -96,48 +108,54 @@ class SourceIterationSolver:
         for attr, T in bc_temps.items():
             bc_T[ops.face_attr == int(attr)] = float(T)
 
-        # ---- sweep plan, padded to uniform group shapes --------------------
+        # ---- sweep plan, slot-major (G, Km) layout -------------------------
         plan = planner.build_plan(ops.neighbor, ops.normals, quad.directions)
         self.plan = plan
         G = plan.num_groups
         Km = max(len(d) for d in plan.dirs_of_group)
+        if dir_sharding is not None:
+            # pad Km so the slot axis divides evenly across devices
+            ndev = int(np.prod([dir_sharding.mesh.shape[a]
+                                for a in dir_sharding.spec if a is not None])) or 1
+            Km = -(-Km // ndev) * ndev
         dirs_pad = np.full((G, Km), -1, dtype=np.int64)
         for g, d in enumerate(plan.dirs_of_group):
             dirs_pad[g, : len(d)] = d
+        self.dirs_pad = dirs_pad  # host copy; slot (g,k) -> global dir or -1
+        self.G, self.Km = G, Km
         dir_valid = dirs_pad >= 0
         dirs_np = quad.directions[:, : self.dim]
-
-        # fdot per padded group slot (invalid slots reuse dir 0 — masked out
-        # at scatter time)
         dirs_safe = np.where(dir_valid, dirs_pad, 0)
+
         fdot = np.einsum(
             "efd,gkd->gkef", ops.normals, dirs_np[dirs_safe]
         )  # (G, Km, ne, nf)
 
         # ---- transport operator inverses (host, float64, batched) ----------
-        # G_mat[g,k,e] = -sum_d s_d S_d + sum_f max(s.n,0) Mf
         G_mat = -np.einsum("gkd,edij->gkeij", dirs_np[dirs_safe], ops.stiff) + np.einsum(
             "gkef,efij->gkeij", np.maximum(fdot, 0.0), ops.face_mass
         )
-        # Non-dimensionalization: the raw operator A = dt_inv*M + vg*G has
-        # dt_inv ~ 1e11 which is hostile to float32. Scaling the whole system
-        # by 1/dt_inv is exact (A~ = M + (vg/dt_inv) G, rhs~ = rhs/dt_inv) and
-        # keeps every coefficient O(1) — required for the f32 TPU fast path.
-        vg_s = vg / self.dt_inv
+        vg_s = vg / self.dt_inv  # non-dimensionalized group velocity
+        put = lambda a: jax.device_put(np.ascontiguousarray(a, dtype=np_dtype))
+        sput = (
+            (lambda a: jax.device_put(np.ascontiguousarray(a, dtype=np_dtype)))
+            if dir_sharding is None
+            else (lambda a: jax.device_put(
+                np.ascontiguousarray(a, dtype=np_dtype), self._slot_sharding(a)))
+        )
+        self._dir_sharding = dir_sharding
         if cache_policy == "full":
             A = (
                 ops.mass[None, None, None]
                 + vg_s[None, None, :, None, None, None] * G_mat[:, :, None]
             )  # (G, Km, BS, ne, D, D)
-            a_inv = np.linalg.inv(A).astype(np_dtype)
-            self._a_inv = jax.device_put(a_inv)
+            self._a_inv = sput(np.linalg.inv(A))
             self._g_mat = None
         else:
             self._a_inv = None
-            self._g_mat = jax.device_put(G_mat.astype(np_dtype))
+            self._g_mat = sput(G_mat)
 
         # ---- device constants ---------------------------------------------
-        put = lambda a: jax.device_put(np.ascontiguousarray(a, dtype=np_dtype))
         iput = lambda a: jax.device_put(np.ascontiguousarray(a, dtype=np.int32))
         self.mass_t = put(np.swapaxes(ops.mass, -1, -2))
         self.mass = put(ops.mass)
@@ -146,25 +164,50 @@ class SourceIterationSolver:
         self.coupling = put(ops.coupling)
         self.neighbor = iput(ops.neighbor)
         self.bc_T = put(bc_T)
-        self.vg = put(vg_s)  # scaled by 1/dt_inv (see above)
+        self.vg = put(vg_s)  # scaled by 1/dt_inv
         self.src_w = put(inv_kn * heat_cap / (self.omega * self.dt_inv))
         self.relax_w = put(1.0 - inv_kn / self.dt_inv)
         self.bc_w = put(heat_cap / self.omega)
-        self.macro_w = put(macroscopic.macro_weights(quad, tables))
-        self.flux_w = put(macroscopic.flux_weights(quad, tables, self.dim))
-        self._dirs_pad = iput(dirs_pad)  # -1 padded
         self._levels = iput(plan.levels)  # (G, L, W), -1 padded
-        self._fdot = put(fdot)
+        self._fdot = sput(fdot)
+
+        # slot-shaped macroscopic weights; padded slots weigh zero
+        mw = macroscopic.macro_weights(quad, tables)  # (K, BS)
+        mw_slots = np.where(dir_valid[..., None], mw[dirs_safe], 0.0)
+        self.macro_w = sput(mw_slots)  # (G, Km, BS)
+        fw = macroscopic.flux_weights(quad, tables, self.dim)  # (dim, K, BS)
+        fw_slots = np.where(
+            dir_valid[None, ..., None], fw[:, dirs_safe.reshape(-1)].reshape(
+                self.dim, G, Km, self.BS), 0.0
+        )
+        self.flux_w = sput(np.moveaxis(fw_slots, 0, -1))  # (G, Km, BS, dim)
 
         self._step = jax.jit(self._step_impl)
+
+    def _slot_sharding(self, a):
+        """NamedSharding for a slot-major array: shard axis 1 (Km)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = [None] * a.ndim
+        spec[1] = self._dir_sharding.spec[0] if hasattr(
+            self._dir_sharding, "spec") else "dir"
+        return NamedSharding(self._dir_sharding.mesh, P(*spec))
 
     # -- state -------------------------------------------------------------
 
     def initial_state(self):
         """Zero coefficients/Tc/Tv (ref: PBTESolver::CreateInitialCoefficients)."""
+        import jax
         import jax.numpy as jnp
 
-        u = jnp.zeros((self.K, self.BS, self.ne, self.D), dtype=self.dtype)
+        shape = (self.G, self.Km, self.BS, self.ne, self.D)
+        if self._dir_sharding is not None:
+            u = jax.device_put(
+                jnp.zeros(shape, dtype=self.dtype),
+                self._slot_sharding(np.empty(shape)),
+            )
+        else:
+            u = jnp.zeros(shape, dtype=self.dtype)
         Tc = jnp.zeros((self.ne, self.D), dtype=self.dtype)
         Tv = jnp.zeros((self.ne,), dtype=self.dtype)
         return u, Tc, Tv
@@ -172,9 +215,9 @@ class SourceIterationSolver:
     # -- one outer iteration ----------------------------------------------
 
     def _sweep_level(self, u_g, level, Tc, fdot, a_inv):
-        """One wavefront level for one padded group.
+        """One wavefront level for one group.
 
-        u_g (Km, BS, ne(+1 pad), D); level (W,); fdot (Km, ne, nf);
+        u_g (Km, BS, ne, D); level (W,); fdot (Km, ne, nf);
         a_inv (Km, BS, ne, D, D)."""
         import jax.numpy as jnp
 
@@ -211,7 +254,7 @@ class SourceIterationSolver:
         scatter_idx = jnp.where(valid, es, ne)  # pad -> out-of-bounds
         return u_g.at[:, :, scatter_idx].set(sol, mode="drop")
 
-    def _group_a_inv(self, g_fdot, g_mat):
+    def _group_a_inv(self, g_mat):
         """Per-iteration A^-1 for one group (memory-lean policy)."""
         import jax.numpy as jnp
 
@@ -222,32 +265,21 @@ class SourceIterationSolver:
         return jnp.linalg.inv(A)
 
     def _step_impl(self, u, Tc, Tv_prev):
-        import jax.numpy as jnp
+        import jax
         from jax import lax
 
-        K = self.K
-
-        def group_body(u, g):
-            dirs, levels, fdot = g[0], g[1], g[2]
-            dvalid = dirs >= 0
-            dsafe = jnp.where(dvalid, dirs, 0)
-            u_g = u[dsafe]  # (Km, BS, ne, D)
-            if self.cache_policy == "full":
-                a_inv = g[3]
-            else:
-                a_inv = self._group_a_inv(fdot, g[3])
+        def sweep_group(u_g, levels, fdot, mats):
+            a_inv = mats if self.cache_policy == "full" else self._group_a_inv(mats)
 
             def level_body(u_g, level):
                 return self._sweep_level(u_g, level, Tc, fdot, a_inv), None
 
             u_g, _ = lax.scan(level_body, u_g, levels)
-            scatter_dirs = jnp.where(dvalid, dsafe, K)
-            u = u.at[scatter_dirs].set(u_g, mode="drop")
-            return u, None
+            return u_g
 
         mats = self._a_inv if self.cache_policy == "full" else self._g_mat
-        u, _ = lax.scan(group_body, u, (self._dirs_pad, self._levels, self._fdot, mats))
-        Tc_new = macroscopic.compute_tc(u, self.macro_w)
+        u = jax.vmap(sweep_group)(u, self._levels, self._fdot, mats)
+        Tc_new = jax.numpy.einsum("gkb,gkbei->ei", self.macro_w, u)
         Tv_new = macroscopic.compute_tv(Tc_new, self.basis_int)
         res = macroscopic.residual(Tv_new, Tv_prev)
         return u, Tc_new, Tv_new, res
@@ -265,44 +297,65 @@ class SourceIterationSolver:
         state=None,
         verbose: bool = True,
         callback=None,
+        check_every: int = 1,
     ):
-        """Outer source iteration (ref: src/PBTESolver.cpp:208-332)."""
+        """Outer source iteration (ref: src/PBTESolver.cpp:208-332).
+
+        check_every > 1 amortizes host synchronization: the residual is still
+        computed on device every iteration, but only fetched (and tested
+        against tol) every `check_every` iterations."""
         u, Tc, Tv = state if state is not None else self.initial_state()
         prev_Tv = Tv
         res = float("inf")
         it = 0
         for it in range(1, max_iter + 1):
             u, Tc_new, Tv_new, res_dev = self._step(u, Tc, prev_Tv)
-            res = float(res_dev)
-            if verbose:
-                print(f"[pbte_tpu] iter {it}, residual = {res:.6e}")
-            if callback is not None:
-                callback(it, res)
-            if res < tol:
-                Tc, prev_Tv = Tc_new, Tv_new
-                break
+            if it % check_every == 0 or it == max_iter:
+                res = float(res_dev)
+                if verbose:
+                    print(f"[pbte_tpu] iter {it}, residual = {res:.6e}")
+                if callback is not None:
+                    callback(it, res)
+                if res < tol:
+                    Tc, prev_Tv = Tc_new, Tv_new
+                    break
             prev_Tv = Tv_new
             Tc = Tc_new
         return SolveResult(
             u=u, Tc=Tc, Tv=prev_Tv, residual=res, iterations=it, solver=self
         )
 
-    # -- diagnostics --------------------------------------------------------
+    # -- views / diagnostics ------------------------------------------------
+
+    def u_by_direction(self, u):
+        """Map slot-major u (G, Km, BS, ne, D) to direction-major
+        (K, BS, ne, D) for dumps and cross-implementation comparison."""
+        u = np.asarray(u)
+        out = np.zeros((self.K, self.BS, self.ne, self.D), dtype=u.dtype)
+        for g in range(self.G):
+            for k in range(self.Km):
+                d = self.dirs_pad[g, k]
+                if d >= 0:
+                    out[d] = u[g, k]
+        return out
 
     def heat_flux(self, u):
-        """Qc (dim, ne, D) and Qv (dim, ne) from coefficients."""
+        """Qc (dim, ne, D) and Qv (dim, ne) from slot-major coefficients."""
         import jax.numpy as jnp
 
-        Qc = jnp.einsum("dkb,kbei->dei", self.flux_w, u)
+        Qc = jnp.einsum("gkbd,gkbei->dei", self.flux_w, u)
         Qv = jnp.einsum("dei,ei->de", Qc, self.basis_int)
         return Qc, Qv
 
 
 @dataclasses.dataclass
 class SolveResult:
-    u: object  # (K, BS, ne, D)
+    u: object  # (G, Km, BS, ne, D) slot-major
     Tc: object  # (ne, D)
     Tv: object  # (ne,)
     residual: float
     iterations: int
     solver: SourceIterationSolver
+
+    def u_dirs(self):
+        return self.solver.u_by_direction(self.u)

@@ -43,7 +43,7 @@ def test_batched_solver_matches_oracle(reference_root):
         u, Tc_new, Tv_new, r = solver.step(u, Tc, prev)
         prev, Tc = Tv_new, Tc_new
 
-    np.testing.assert_allclose(np.asarray(u), uo, rtol=1e-10, atol=1e-22)
+    np.testing.assert_allclose(solver.u_by_direction(u), uo, rtol=1e-10, atol=1e-22)
     np.testing.assert_allclose(np.asarray(Tc), Tco, rtol=1e-10, atol=1e-14)
 
 
