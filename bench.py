@@ -68,10 +68,11 @@ def main() -> None:
     )
 
     u, Tc, Tv = solver.initial_state()
-    # warmup / compile
+    # warmup / compile. NOTE: jax.block_until_ready returns early on the axon
+    # platform; fetching a scalar value is the only reliable device sync.
     t0 = time.time()
     u, Tc, Tv2, r = solver.step(u, Tc, Tv)
-    jax.block_until_ready(r)
+    _ = float(r)
     print(f"[bench] compile+first step: {time.time()-t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
@@ -79,7 +80,7 @@ def main() -> None:
     for _ in range(steps):
         u, Tc, Tv2, r = solver.step(u, Tc, prev)
         prev = Tv2
-    jax.block_until_ready(r)
+    _ = float(r)  # value fetch = real sync
     dt = time.time() - t0
     dofs = steps * K * BS * ne * D / dt
     print(

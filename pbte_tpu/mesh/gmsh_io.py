@@ -1,0 +1,118 @@
+"""gmsh 2.2 ASCII mesh parser.
+
+Equivalent of the legacy Reference Project's gmsh loader
+(ref: Reference Project/include/SpatialMesh/SpatialMesh.hpp:79-271):
+$MeshFormat 2.2 check, $PhysicalNames -> boundary name map, $Nodes,
+$Elements (boundary entities become boundary faces with their physical tag,
+volume entities become elements), $Periodic node pairs.
+
+gmsh element type codes: 1=line, 2=triangle, 3=quad, 4=tet, 5=hex, 15=point.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pbte_tpu.mesh import core
+
+_GMSH_GEOM = {2: core.GEOM_TRIANGLE, 3: core.GEOM_QUAD, 4: core.GEOM_TET, 5: core.GEOM_HEX}
+_GMSH_NV = {1: 2, 2: 3, 3: 4, 4: 4, 5: 8, 15: 1}
+_BDRY_TYPES = {2: (1,), 3: (1, 2, 3)}  # mesh dim -> boundary entity types
+
+
+def parse_gmsh_mesh(text: str, source: str = "") -> core.MeshData:
+    lines = iter(text.splitlines())
+    physical_names: dict[int, str] = {}
+    nodes: dict[int, np.ndarray] = {}
+    vol_elems: list[tuple[int, int, list[int]]] = []  # (geom_code, tag, verts)
+    bdry: list[tuple[int, list[int]]] = []  # (tag, verts)
+    periodic_node_pairs: dict[int, int] = {}
+    periodic_face_tags: list[tuple[int, int]] = []
+
+    for line in lines:
+        line = line.strip()
+        if line == "$MeshFormat":
+            parts = next(lines).split()
+            version, is_binary = float(parts[0]), int(parts[1])
+            if abs(version - 2.2) > 1e-9 or is_binary:
+                raise ValueError(
+                    f"unsupported gmsh format {version} (need ASCII 2.2)"
+                )
+        elif line == "$PhysicalNames":
+            n = int(next(lines))
+            for _ in range(n):
+                parts = next(lines).split(None, 2)
+                physical_names[int(parts[1])] = parts[2].strip().strip('"')
+        elif line == "$Nodes":
+            n = int(next(lines))
+            for _ in range(n):
+                parts = next(lines).split()
+                nodes[int(parts[0])] = np.array([float(x) for x in parts[1:4]])
+        elif line == "$Elements":
+            n = int(next(lines))
+            for _ in range(n):
+                parts = [int(x) for x in next(lines).split()]
+                etype = parts[1]
+                ntags = parts[2]
+                tag = parts[3] if ntags >= 1 else 0
+                verts = [v - 1 for v in parts[3 + ntags:]]
+                if etype in _GMSH_GEOM:
+                    vol_elems.append((etype, tag, verts))
+                elif etype in (1, 2, 3):
+                    bdry.append((tag, verts))
+        elif line == "$Periodic":
+            n_entities = int(next(lines).split()[0])
+            for _ in range(n_entities):
+                parts = next(lines).split()
+                _, slave, master = int(parts[0]), int(parts[1]), int(parts[2])
+                periodic_face_tags.append((slave, master))
+                peek = next(lines).strip()
+                if peek.startswith("Affine"):
+                    peek = next(lines).strip()
+                npairs = int(peek)
+                for _ in range(npairs):
+                    a, b = (int(x) for x in next(lines).split()[:2])
+                    periodic_node_pairs[a - 1] = b - 1
+                    periodic_node_pairs[b - 1] = a - 1
+
+    if not vol_elems:
+        raise ValueError("gmsh file contains no volume elements")
+    geom_codes = {e[0] for e in vol_elems}
+    if len(geom_codes) > 1:
+        raise ValueError("mixed-geometry gmsh meshes are not supported")
+    gcode = geom_codes.pop()
+    geom = _GMSH_GEOM[gcode]
+    dim = core.GEOM_DIM[geom]
+    face_nv = 2 if dim == 2 else (3 if geom == core.GEOM_TET else 4)
+
+    # boundary entities of codim 1 only
+    bdry = [(t, v) for (t, v) in bdry if len(v) == face_nv]
+
+    nv = max(nodes) if nodes else 0
+    vertices = np.zeros((nv, dim))
+    for nid, xyz in nodes.items():
+        vertices[nid - 1] = xyz[:dim]
+
+    mesh = core.MeshData(
+        dim=dim,
+        geom=geom,
+        vertices=vertices,
+        elem_verts=np.asarray([e[2] for e in vol_elems], dtype=np.int32),
+        elem_attr=np.asarray([e[1] for e in vol_elems], dtype=np.int32),
+        bdry_verts=np.asarray([v for _, v in bdry], dtype=np.int32).reshape(
+            len(bdry), face_nv
+        ),
+        bdry_attr=np.asarray([t for t, _ in bdry], dtype=np.int32),
+        source=source,
+    )
+    mesh = core.finalize(mesh)
+    # stash gmsh extras for consumers (periodic BCs, physical names)
+    mesh.physical_names = physical_names  # type: ignore[attr-defined]
+    mesh.periodic_node_pairs = periodic_node_pairs  # type: ignore[attr-defined]
+    mesh.periodic_face_tags = periodic_face_tags  # type: ignore[attr-defined]
+    return mesh
+
+
+def load_gmsh_mesh(path: str) -> core.MeshData:
+    with open(path) as f:
+        return parse_gmsh_mesh(f.read(), source=path)

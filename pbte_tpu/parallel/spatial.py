@@ -1,0 +1,432 @@
+"""Spatially-sharded solver: domain decomposition over a 2-D device mesh.
+
+TPU-native equivalent of the reference's flagship distributed component,
+DGSolver::PBTE_NonGraySMRT_MPI (ref: reference/DGSolver/
+PBTE_NonGraySMRT_MPI.cpp:10-531). The mapping:
+
+  METIS partitions + halo ranks      -> parallel.partition.PartitionPlan,
+                                        elements sharded over mesh axis "space"
+  MPI_Isend/Irecv/Waitsome exchange  -> ONE lax.psum of the interface-element
+    (once per outer iteration,          coefficient buffer over "space"
+     ref: :57-181)                      (same once-per-iteration cadence ->
+                                        identical block-Jacobi semantics:
+                                        cross-partition upwind data is one
+                                        iteration stale, exact sweep within)
+  OpenMP collapse over ordinates     -> direction slots sharded over axis "dir"
+  root-gather residual + MPI_Bcast   -> psum'd norms over both axes (this also
+    (ref: :268-315)                     fixes the MFEM port's rank-local
+                                        residual bug, SURVEY.md section 2.4)
+
+Each device owns a contiguous block of direction slots x a spatial partition.
+Within a partition the sweep uses LOCAL wavefront levels (levelization of the
+partition-local upwind subgraph — cross-partition dependencies are lagged, so
+they do not constrain the local order; this matches the legacy "per-partition
+computation order" semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from pbte_tpu.models import macroscopic
+from pbte_tpu.parallel import partition as part_mod
+from pbte_tpu.sweep import planner
+
+
+class SpatialShardedSolver:
+    """Domain-decomposed, ordinate-sharded solver over Mesh(("dir","space"))."""
+
+    def __init__(
+        self,
+        ops,
+        quad,
+        tables,
+        bc_temps: dict,
+        device_mesh,  # jax.sharding.Mesh with axes ("dir", "space")
+        dtype=None,
+        partition_method: str = "rcb",
+        topo=None,  # MeshTopology (for the partitioner); required
+        require_bcs: bool = True,
+    ):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if topo is None:
+            raise ValueError("SpatialShardedSolver requires the MeshTopology")
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.dtype = dtype
+        np_dtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
+        self.mesh = device_mesh
+        n_dir = device_mesh.shape["dir"]
+        n_space = device_mesh.shape["space"]
+
+        self.ne = ops.num_elements
+        self.D = D = ops.ndof
+        self.nf = nf = ops.faces_per_elem
+        self.dim = ops.dim
+        self.K = quad.num_directions
+        self.BS = BS = tables.num_branches * tables.num_spectral
+        self.omega = quad.total_weight
+
+        inv_kn = tables.flat("inv_kn").astype(np.float64)
+        vg = tables.flat("vg").astype(np.float64)
+        heat_cap = tables.flat("heat_cap").astype(np.float64)
+        self.dt_inv = float(inv_kn.max())
+        vg_s = vg / self.dt_inv
+
+        bdry_attrs = set(int(a) for a in np.unique(ops.face_attr[ops.neighbor < 0]))
+        missing = bdry_attrs - set(int(k) for k in bc_temps)
+        if missing and require_bcs:
+            raise ValueError(
+                f"boundary attributes without isothermal BC: {sorted(missing)}"
+            )
+        bc_T_glob = np.zeros((self.ne, nf))
+        for attr, T in bc_temps.items():
+            bc_T_glob[ops.face_attr == int(attr)] = float(T)
+
+        # ---- global direction grouping (slot layout shared by all devices) --
+        plan = planner.build_plan(ops.neighbor, ops.normals, quad.directions)
+        self.plan = plan
+        G = plan.num_groups
+        Km = max(len(d) for d in plan.dirs_of_group)
+        Km = -(-Km // n_dir) * n_dir  # pad to multiple of the dir axis
+        dirs_pad = np.full((G, Km), -1, dtype=np.int64)
+        for g, d in enumerate(plan.dirs_of_group):
+            dirs_pad[g, : len(d)] = d
+        self.dirs_pad = dirs_pad
+        self.G, self.Km = G, Km
+        dir_valid = dirs_pad >= 0
+        dirs_np = quad.directions[:, : self.dim]
+        dirs_safe = np.where(dir_valid, dirs_pad, 0)
+        rep_dirs = dirs_np[dirs_safe[:, 0]]  # one representative per group
+
+        # ---- spatial partition ---------------------------------------------
+        pplan = part_mod.build_plan(topo, n_space, method=partition_method)
+        self.pplan = pplan
+        Pn, ne_max = pplan.nparts, pplan.ne_max
+        ni = max(pplan.num_interface, 1)
+
+        le = pplan.local_elems  # (P, ne_max), -1 padded
+        le_safe = np.where(le >= 0, le, 0)
+        le_valid = le >= 0
+
+        # local upwind levelization per (partition, group)
+        loc_levels_all = []
+        L_max = W_max = 1
+        for p in range(Pn):
+            elems = le[p][le[p] >= 0]
+            nloc = len(elems)
+            loc_nbr = pplan.nbr_local[p, :nloc]  # (nloc, nf) local ids or -1
+            loc_norms = ops.normals[elems]  # (nloc, nf, dim)
+            levels = planner.compute_levels(loc_nbr, loc_norms, rep_dirs)  # (G, nloc)
+            loc_levels_all.append(levels)
+            L_max = max(L_max, int(levels.max()) + 1 if nloc else 1)
+            for g in range(G):
+                W_max = max(W_max, int(np.bincount(levels[g]).max()) if nloc else 1)
+        levels_tab = np.full((Pn, G, L_max, W_max), -1, dtype=np.int32)
+        for p in range(Pn):
+            lv = loc_levels_all[p]
+            for g in range(G):
+                for l in range(int(lv[g].max()) + 1 if lv[g].size else 0):
+                    el = np.flatnonzero(lv[g] == l)
+                    levels_tab[p, g, l, : len(el)] = el
+
+        # ---- per-partition element-last operator tensors -------------------
+        mass_loc = ops.mass[le_safe]  # (P, ne_max, D, D)
+        fdot_loc = np.einsum(
+            "pefd,gkd->pgkef", ops.normals[le_safe], dirs_np[dirs_safe]
+        )  # (P, G, Km, ne_max, nf)
+
+        # A^-1 per (partition, group, slot, band, element), element-last
+        a_inv = np.empty((Pn, G, Km, BS, D, D, ne_max), dtype=np_dtype)
+        stiff_loc = ops.stiff[le_safe]  # (P, ne_max, dim, D, D)
+        fmass_loc = ops.face_mass[le_safe]  # (P, ne_max, nf, D, D)
+        for p in range(Pn):
+            for g in range(G):
+                G_g = -np.einsum(
+                    "kd,edij->keij", dirs_np[dirs_safe[g]], stiff_loc[p]
+                ) + np.einsum(
+                    "kef,efij->keij",
+                    np.maximum(fdot_loc[p, g], 0.0),
+                    fmass_loc[p],
+                )
+                A_g = (
+                    mass_loc[p][None, None]
+                    + vg_s[None, :, None, None, None] * G_g[:, None]
+                )
+                a_inv[p, g] = np.linalg.inv(A_g).transpose(0, 1, 3, 4, 2)
+
+        # interface ownership: for each interface element, local index if owned
+        iface_src = np.full((Pn, ni), -1, dtype=np.int32)
+        for idx, e in enumerate(pplan.interface):
+            p = pplan.part[e]
+            iface_src[p, idx] = pplan.local_of_global[e]
+
+        # macroscopic weights on slots (padded slots zero)
+        mw = macroscopic.macro_weights(quad, tables)
+        mw_slots = np.where(dir_valid[..., None], mw[dirs_safe], 0.0)  # (G, Km, BS)
+
+        # ---- device placement ----------------------------------------------
+        def spec_for(axes):
+            return NamedSharding(self.mesh, P(*axes))
+
+        def puts(a, axes, dt=np_dtype):
+            return jax.device_put(
+                np.ascontiguousarray(a, dtype=dt), spec_for(axes)
+            )
+
+        S, DIR = "space", "dir"
+        self.consts = dict(
+            mass_t=puts(
+                np.moveaxis(np.swapaxes(ops.mass, -1, -2)[le_safe] *
+                            le_valid[..., None, None], 1, -1),
+                (S,),
+            ),  # (P, D, D, ne_max)
+            face_int=puts(
+                np.moveaxis(ops.face_int[le_safe] * le_valid[..., None, None], 1, -1),
+                (S,),
+            ),  # (P, nf, D, ne_max)
+            coupling=puts(
+                np.moveaxis(
+                    ops.coupling[le_safe] * le_valid[..., None, None, None], 1, -1
+                ),
+                (S,),
+            ),  # (P, nf, D, D, ne_max)
+            nbr_local=puts(np.swapaxes(pplan.nbr_local, 1, 2), (S,), np.int32),
+            nbr_iface=puts(np.swapaxes(pplan.nbr_iface, 1, 2), (S,), np.int32),
+            bc_T=puts(np.swapaxes(bc_T_glob[le_safe] * le_valid[..., None], 1, 2), (S,)),
+            basis_int=puts(ops.basis_int[le_safe] * le_valid[..., None], (S,)),
+            elem_valid=puts(le_valid, (S,), np.bool_),
+            vg=puts(np.broadcast_to(vg_s, (1, BS)).copy(), ()),
+            src_w=puts((inv_kn * heat_cap / (self.omega * self.dt_inv))[None], ()),
+            relax_w=puts((1.0 - inv_kn / self.dt_inv)[None], ()),
+            bc_w=puts((heat_cap / self.omega)[None], ()),
+            macro_w=puts(mw_slots[None], (None, None, DIR)),  # (1, G, Km, BS)
+            levels=puts(levels_tab, (S,), np.int32),  # (P, G, L, W)
+            fdot=puts(
+                np.moveaxis(fdot_loc, 3, -1), (S, None, DIR)
+            ),  # (P, G, Km, nf, ne_max)
+            a_inv=puts(a_inv, (S, None, DIR)),  # (P, G, Km, BS, D, D, ne_max)
+            iface_src=puts(iface_src, (S,), np.int32),  # (P, ni)
+        )
+        self.ne_max = ne_max
+        self.ni = ni
+        self._step = jax.jit(self._step_impl)
+
+    # ------------------------------------------------------------------
+
+    def initial_state(self):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        u = jax.device_put(
+            jnp.zeros(
+                (self.pplan.nparts, self.G, self.Km, self.BS, self.D, self.ne_max),
+                dtype=self.dtype,
+            ),
+            NamedSharding(self.mesh, P("space", None, "dir")),
+        )
+        Tc = jax.device_put(
+            jnp.zeros((self.pplan.nparts, self.ne_max, self.D), dtype=self.dtype),
+            NamedSharding(self.mesh, P("space")),
+        )
+        Tv = jax.device_put(
+            jnp.zeros((self.pplan.nparts, self.ne_max), dtype=self.dtype),
+            NamedSharding(self.mesh, P("space")),
+        )
+        return u, Tc, Tv
+
+    def _step_impl(self, c, u, Tc, Tv_prev):
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+        try:
+            from jax import shard_map
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        S, DIR = "space", "dir"
+        nf, ne_max, ni, D = self.nf, self.ne_max, self.ni, self.D
+
+        in_specs = (
+            dict(
+                mass_t=P(S), face_int=P(S), coupling=P(S),
+                nbr_local=P(S), nbr_iface=P(S), bc_T=P(S), basis_int=P(S),
+                elem_valid=P(S), vg=P(), src_w=P(), relax_w=P(), bc_w=P(),
+                macro_w=P(None, None, DIR), levels=P(S),
+                fdot=P(S, None, DIR), a_inv=P(S, None, DIR), iface_src=P(S),
+            ),
+            P(S, None, DIR),  # u
+            P(S),  # Tc
+            P(S),  # Tv_prev
+        )
+        out_specs = (P(S, None, DIR), P(S), P(S), P())
+
+        def device_step(cl, u_l, Tc_l, Tv_prev_l):
+            # all locals carry a leading (1,) partition axis from shard_map
+            u_l = u_l[0]  # (G, Kl, BS, D, ne_max)
+            Tc_l = Tc_l[0]
+            Tv_prev_l = Tv_prev_l[0]
+            mass_t = cl["mass_t"][0]
+            face_int = cl["face_int"][0]
+            coupling = cl["coupling"][0]
+            nbr_local = cl["nbr_local"][0]
+            nbr_iface = cl["nbr_iface"][0]
+            bc_T = cl["bc_T"][0]
+            basis_int = cl["basis_int"][0]
+            elem_valid = cl["elem_valid"][0]
+            macro_w = cl["macro_w"][0]
+            levels = cl["levels"][0]  # (G, L, W)
+            fdot = cl["fdot"][0]  # (G, Kl, nf, ne_max)
+            a_inv = cl["a_inv"][0]
+            iface_src = cl["iface_src"][0]  # (ni,)
+            vg = cl["vg"][0]
+            src_w = cl["src_w"][0]
+            relax_w = cl["relax_w"][0]
+            bc_w = cl["bc_w"][0]
+
+            # ---- halo exchange: lagged interface coefficients ----
+            owned = iface_src >= 0
+            src = jnp.where(owned, iface_src, 0)
+            contrib = jnp.where(
+                owned[None, None, None, None, :], u_l[..., src], 0.0
+            )  # (G, Kl, BS, D, ni)
+            halo = lax.psum(contrib, S)
+
+            TcT = Tc_l.T  # (D, ne_max)
+
+            def sweep_group(u_g, lv_g, fdot_g, ainv_g):
+                # u_g (Kl, BS, D, ne_max)
+                def level_body(u_g, level):
+                    valid = level >= 0
+                    es = jnp.where(valid, level, 0)
+                    Mt = mass_t[:, :, es]  # (D, D, W)
+                    t_tc = jnp.einsum("ijw,jw->iw", Mt, TcT[:, es])
+                    u_e = u_g[:, :, :, es]
+                    t_old = jnp.einsum("ijw,kbjw->kbiw", Mt, u_e)
+                    rhs = (
+                        src_w[None, :, None, None] * t_tc[None, None]
+                        + relax_w[None, :, None, None] * t_old
+                    )
+                    for f in range(nf):
+                        nl = nbr_local[f, es]
+                        nif = nbr_iface[f, es]
+                        is_b = (nl < 0) & (nif < 0)
+                        fd = fdot_g[:, f, es]
+                        cin = jnp.minimum(fd, 0.0)
+                        u_loc = u_g[:, :, :, jnp.where(nl >= 0, nl, 0)]
+                        u_rem = halo_g[:, :, :, jnp.where(nif >= 0, nif, 0)]
+                        u_nbr = jnp.where((nl >= 0)[None, None, None, :], u_loc, u_rem)
+                        cu = jnp.einsum(
+                            "ijw,kbjw->kbiw", coupling[f][:, :, es], u_nbr
+                        )
+                        bterm = (
+                            bc_w[None, :, None, None]
+                            * bc_T[f, es][None, None, None, :]
+                            * face_int[f][:, es][None, None, :, :]
+                        )
+                        term = jnp.where(is_b[None, None, None, :], bterm, cu)
+                        rhs = rhs - vg[None, :, None, None] * cin[:, None, None, :] * term
+                    sol = jnp.einsum("kbijw,kbjw->kbiw", ainv_g[:, :, :, :, es], rhs)
+                    idx = jnp.where(valid, es, ne_max)
+                    return u_g.at[:, :, :, idx].set(sol, mode="drop"), None
+
+                u_g, _ = lax.scan(level_body, u_g, lv_g)
+                return u_g
+
+            outs = []
+            for g in range(self.G):
+                halo_g = halo[g]
+                outs.append(sweep_group(u_l[g], levels[g], fdot[g], a_inv[g]))
+            u_l = jnp.stack(outs)
+
+            # ---- macroscopic closure + global residual ----
+            Tc_partial = jnp.einsum("gkb,gkbie->ei", macro_w, u_l)
+            Tc_new = lax.psum(Tc_partial, DIR)  # (ne_max, D)
+            Tv_new = jnp.einsum("ei,ei->e", Tc_new, basis_int)
+            Tv_new = jnp.where(elem_valid, Tv_new, 0.0)
+
+            scale_l = jnp.max(jnp.abs(Tv_new))
+            scale = jnp.maximum(
+                lax.pmax(lax.pmax(scale_l, S), DIR),
+                jnp.finfo(Tv_new.dtype).tiny,
+            )
+            a = Tv_new / scale
+            b = Tv_prev_l / scale
+            num = lax.psum(jnp.sum((a - b) ** 2), S)
+            den = lax.psum(jnp.sum(a**2), S)
+            res = jnp.sqrt(num) / jnp.sqrt(den)
+
+            return (
+                u_l[None],
+                Tc_new[None],
+                Tv_new[None],
+                res,
+            )
+
+        return shard_map(
+            device_step, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )(c, u, Tc, Tv_prev)
+
+    # ------------------------------------------------------------------
+
+    def step(self, u, Tc, Tv_prev):
+        return self._step(self.consts, u, Tc, Tv_prev)
+
+    def solve(self, tol=1e-7, max_iter=101, state=None, verbose=True,
+              check_every=1, sync_every=10):
+        """sync_every bounds the async dispatch depth: the XLA CPU backend's
+        in-process collectives deadlock (rendezvous timeout) when thousands of
+        collective executions are enqueued without a host sync."""
+        import jax
+
+        u, Tc, Tv = state if state is not None else self.initial_state()
+        prev_Tv = Tv
+        res = float("inf")
+        it = 0
+        for it in range(1, max_iter + 1):
+            u, Tc_new, Tv_new, res_dev = self.step(u, Tc, prev_Tv)
+            if sync_every and it % sync_every == 0:
+                jax.block_until_ready(res_dev)
+            if it % check_every == 0 or it == max_iter:
+                res = float(res_dev)
+                if verbose:
+                    print(f"[pbte_tpu:spatial] iter {it}, residual = {res:.6e}")
+                if res < tol:
+                    Tc, prev_Tv = Tc_new, Tv_new
+                    break
+            prev_Tv = Tv_new
+            Tc = Tc_new
+        return SpatialSolveResult(
+            u=u, Tc=Tc, Tv=prev_Tv, residual=res, iterations=it, solver=self
+        )
+
+    def gather_Tc(self, Tc) -> np.ndarray:
+        """(P, ne_max, D) device state -> (ne, D) global field."""
+        Tc = np.asarray(Tc)
+        out = np.zeros((self.ne, self.D), dtype=Tc.dtype)
+        for p in range(self.pplan.nparts):
+            elems = self.pplan.local_elems[p]
+            mask = elems >= 0
+            out[elems[mask]] = Tc[p, mask]
+        return out
+
+
+@dataclasses.dataclass
+class SpatialSolveResult:
+    u: object
+    Tc: object
+    Tv: object
+    residual: float
+    iterations: int
+    solver: SpatialShardedSolver
+
+    def Tc_global(self) -> np.ndarray:
+        return self.solver.gather_Tc(self.Tc)

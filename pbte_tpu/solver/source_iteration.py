@@ -14,30 +14,51 @@ solve — become:
             u_e   = A_inv[k, bs, e] @ rhs
           scatter into u
 
-Ordinate storage is SLOT-MAJOR: u has shape (G, Km, BS, ne, D) where slot
-(g, k) holds direction plan.dirs_of_group[g][k] (padded slots compute
-dummy values that carry zero weight in every reduction). This removes all
-direction gather/scatter from the hot loop and makes the Km axis the natural
-device-sharding axis ("ordinate data parallelism", SURVEY.md section 2.3):
-shard u/fdot/a_inv on Km, replicate element tensors, and the macroscopic
-einsum reduction becomes the single cross-device psum.
+TPU-specific design decisions (each backed by on-chip measurements):
 
-Per-ordinate transport operator (ref: src/PBTESolver.cpp:146-168), scaled by
-1/dt_inv (exact non-dimensionalization; keeps coefficients O(1) so the f32
-TPU fast path is stable):
+1. SLOT-MAJOR ordinate storage: u is (G, Km, BS, D, ne_pad) where slot (g, k)
+   holds direction plan.dirs_of_group[g][k] (padded slots carry zero weight in
+   every reduction). No direction gather/scatter in the hot loop; the Km axis
+   is the device-sharding axis ("ordinate data parallelism", SURVEY section 2.3).
+
+2. LEVEL-CONTIGUOUS element ordering: within each group, elements are
+   permuted into concatenated wavefront-level order (level l occupies columns
+   [offset_l, offset_l + count_l), total exactly ne — no interspersed
+   padding). Per-level operator access is a lax.dynamic_slice of static width
+   W_max at the (clamped) level offset; slots outside the level compute
+   garbage that the masked write-back discards (slots before the offset are
+   already-final earlier-level values which the mask preserves; slots after
+   belong to later levels and are overwritten by their own step). Measured on
+   TPU v5e for the flagship shape: arbitrary-index gathers on the minor axis
+   of the 2.25 GB A^-1 ran at ~6 GB/s (761 ms/step); the sliced layout runs
+   at full-pass speed (~90 ms including the solve einsums). Only the
+   per-level neighbor read remains a (small) gather.
+
+3. ELEMENT-LAST device layout: operator tensors keep the element axis
+   minor-most — (D, D, ne), (G, Km, BS, D, D, ne) — so XLA's (8, 128) tiling
+   pads the large ne axis instead of the small D axis. The (..., D, D) layout
+   with D=27 padded 5.6x and OOMed a 16 GB chip at 39 GB during batched
+   inversion; element-last keeps padding ~1.2-1.4x.
+
+4. Operator tensors travel as jit ARGUMENTS (self.consts pytree), never as
+   captured closure constants (constants are baked into the lowered HLO —
+   GBs shipped through compilation for production shapes).
+
+5. A^-1 is precomputed on HOST in chunked batched float64 LAPACK (the
+   CachePolicy::FullLU analog) and shipped element-last in level order;
+   "per-iteration" recomputes it on device each sweep (the OnTheFly analog
+   for memory-constrained shapes).
+
+Operator (ref: src/PBTESolver.cpp:146-168), scaled by 1/dt_inv (exact
+non-dimensionalization; keeps coefficients O(1) so f32 is stable):
     A~ = M + (vg/dt_inv) * G[k,e],
     G  = -sum_d s_d S_d + sum_f max(s.n_f, 0) * Mf,
     dt_inv = max invKn over all bands (ref: src/PBTESolver.cpp:39-47).
-The band dependence is the single scalar vg, so G is precomputed per
-(direction, element) and A^-1 is a batched inverse (CachePolicy::FullLU
-analog; "per-iteration" recomputes it each sweep — the OnTheFly analog).
 
-Semantics preserved exactly (SURVEY.md section 2.4):
-- Gauss-Seidel in space within a sweep (upwind neighbors live in strictly
-  earlier levels, so they read updated values),
-- lagged Tc between outer iterations,
-- inflow factor 0.5*vg*(s.n - |s.n|) == vg*min(s.n, 0),
-- macroscopic residual on cell-average Tv.
+Semantics preserved exactly (SURVEY.md section 2.4): Gauss-Seidel in space
+within a sweep (upwind neighbors live in strictly earlier levels), lagged Tc
+between outer iterations, inflow factor 0.5*vg*(s.n-|s.n|) == vg*min(s.n,0),
+residual on cell-average Tv.
 
 Parity evidence: with face_mode="mfem-parity" assembly, the 2D demo
 (unit-square-iso, p=1, 24 dirs, 2x20 bands, 101 iterations) reproduces the
@@ -80,12 +101,12 @@ class SourceIterationSolver:
             raise ValueError(f"unknown cache_policy: {cache_policy}")
         self.cache_policy = cache_policy
 
-        self.ne = ops.num_elements
-        self.D = ops.ndof
-        self.nf = ops.faces_per_elem
+        self.ne = ne = ops.num_elements
+        self.D = D = ops.ndof
+        self.nf = nf = ops.faces_per_elem
         self.dim = ops.dim
         self.K = quad.num_directions
-        self.BS = tables.num_branches * tables.num_spectral
+        self.BS = BS = tables.num_branches * tables.num_spectral
         self.num_branches = tables.num_branches
         self.omega = quad.total_weight
         self.quad = quad
@@ -104,7 +125,7 @@ class SourceIterationSolver:
             raise ValueError(
                 f"boundary attributes without isothermal BC: {sorted(missing)}"
             )
-        bc_T = np.zeros((self.ne, self.nf))
+        bc_T = np.zeros((ne, nf))
         for attr, T in bc_temps.items():
             bc_T[ops.face_attr == int(attr)] = float(T)
 
@@ -114,74 +135,148 @@ class SourceIterationSolver:
         G = plan.num_groups
         Km = max(len(d) for d in plan.dirs_of_group)
         if dir_sharding is not None:
-            # pad Km so the slot axis divides evenly across devices
             ndev = int(np.prod([dir_sharding.mesh.shape[a]
                                 for a in dir_sharding.spec if a is not None])) or 1
             Km = -(-Km // ndev) * ndev
         dirs_pad = np.full((G, Km), -1, dtype=np.int64)
         for g, d in enumerate(plan.dirs_of_group):
             dirs_pad[g, : len(d)] = d
-        self.dirs_pad = dirs_pad  # host copy; slot (g,k) -> global dir or -1
+        self.dirs_pad = dirs_pad  # slot (g,k) -> global dir or -1
         self.G, self.Km = G, Km
         dir_valid = dirs_pad >= 0
         dirs_np = quad.directions[:, : self.dim]
         dirs_safe = np.where(dir_valid, dirs_pad, 0)
 
+        # ---- compact level-concatenated element ordering per group ----------
+        # perm[g] = concatenation of level member lists (length exactly ne);
+        # level l occupies positions [offsets[g,l], offsets[g,l]+counts[g,l])
+        self.L = L = plan.max_levels
+        self.W = W = min(plan.max_width, ne)
+        self.ne_pad = ne_pad = ne  # compact: no interspersed padding
+        perm = np.empty((G, ne), dtype=np.int64)
+        counts = np.zeros((G, L), dtype=np.int32)
+        offsets = np.zeros((G, L), dtype=np.int32)
+        for g in range(G):
+            pos = 0
+            for l in range(L):
+                row = plan.levels[g, l]
+                elems = row[row >= 0]
+                counts[g, l] = len(elems)
+                offsets[g, l] = pos
+                perm[g, pos : pos + len(elems)] = elems
+                pos += len(elems)
+            assert pos == ne
+        perm_safe = perm
+        # inverse: position of global element e in group-g order
+        pos_of_elem = np.zeros((G, ne), dtype=np.int32)
+        for g in range(G):
+            pos_of_elem[g, perm[g]] = np.arange(ne)
+        self._perm = perm
+        self._offsets = offsets
+        self._counts = counts
+
+        # neighbor positions per group: (G, nf, ne), -1 for boundary
+        nbr = ops.neighbor  # (ne, nf)
+        nbr_g = nbr[perm]  # (G, ne, nf)
+        nbr_pos = np.where(
+            nbr_g >= 0,
+            np.take_along_axis(
+                pos_of_elem, np.clip(nbr_g, 0, None).reshape(G, -1), axis=1
+            ).reshape(G, ne, nf),
+            -1,
+        )
+        nbr_pos = np.swapaxes(nbr_pos, 1, 2)  # (G, nf, ne)
+
+        def gperm(a, extra_axes=None):
+            """a (ne, ...) -> (G, ..., ne) in group order."""
+            return np.moveaxis(a[perm], 1, -1)
+
+        mass_t_g = gperm(np.swapaxes(ops.mass, -1, -2), None)  # (G, D, D, ne_pad)
+        face_int_g = gperm(ops.face_int, None)  # (G, nf, D, ne_pad)
+        coupling_g = gperm(ops.coupling, None)  # (G, nf, D, D, ne_pad)
+        bc_T_g = gperm(bc_T, None)  # (G, nf, ne_pad)
+        basis_int_g = gperm(ops.basis_int, None)  # (G, D, ne_pad)
+
         fdot = np.einsum(
-            "efd,gkd->gkef", ops.normals, dirs_np[dirs_safe]
-        )  # (G, Km, ne, nf)
+            "gefd,gkd->gkfe", ops.normals[perm_safe], dirs_np[dirs_safe]
+        )  # (G, Km, nf, ne_pad)
 
-        # ---- transport operator inverses (host, float64, batched) ----------
-        G_mat = -np.einsum("gkd,edij->gkeij", dirs_np[dirs_safe], ops.stiff) + np.einsum(
-            "gkef,efij->gkeij", np.maximum(fdot, 0.0), ops.face_mass
-        )
-        vg_s = vg / self.dt_inv  # non-dimensionalized group velocity
-        put = lambda a: jax.device_put(np.ascontiguousarray(a, dtype=np_dtype))
-        sput = (
-            (lambda a: jax.device_put(np.ascontiguousarray(a, dtype=np_dtype)))
-            if dir_sharding is None
-            else (lambda a: jax.device_put(
-                np.ascontiguousarray(a, dtype=np_dtype), self._slot_sharding(a)))
-        )
         self._dir_sharding = dir_sharding
-        if cache_policy == "full":
-            A = (
-                ops.mass[None, None, None]
-                + vg_s[None, None, :, None, None, None] * G_mat[:, :, None]
-            )  # (G, Km, BS, ne, D, D)
-            self._a_inv = sput(np.linalg.inv(A))
-            self._g_mat = None
-        else:
-            self._a_inv = None
-            self._g_mat = sput(G_mat)
-
-        # ---- device constants ---------------------------------------------
+        pos_valid = np.ones((G, ne), dtype=bool)  # compact layout: all real
+        put = lambda a: jax.device_put(np.ascontiguousarray(a, dtype=np_dtype))
         iput = lambda a: jax.device_put(np.ascontiguousarray(a, dtype=np.int32))
-        self.mass_t = put(np.swapaxes(ops.mass, -1, -2))
-        self.mass = put(ops.mass)
-        self.basis_int = put(ops.basis_int)
-        self.face_int = put(ops.face_int)
-        self.coupling = put(ops.coupling)
-        self.neighbor = iput(ops.neighbor)
-        self.bc_T = put(bc_T)
-        self.vg = put(vg_s)  # scaled by 1/dt_inv
-        self.src_w = put(inv_kn * heat_cap / (self.omega * self.dt_inv))
-        self.relax_w = put(1.0 - inv_kn / self.dt_inv)
-        self.bc_w = put(heat_cap / self.omega)
-        self._levels = iput(plan.levels)  # (G, L, W), -1 padded
-        self._fdot = sput(fdot)
 
+        def sput(a, dt=np_dtype):
+            a = np.ascontiguousarray(a, dtype=dt)
+            if dir_sharding is None:
+                return jax.device_put(a)
+            return jax.device_put(a, self._slot_sharding(a))
+
+        # ---- transport operator (host, float64, chunked batched inverse) ---
+        vg_s = vg / self.dt_inv  # non-dimensionalized group velocity
+        stiff_g = ops.stiff[perm]  # (G, ne, dim, D, D)
+        fmass_g = ops.face_mass[perm]  # (G, ne, nf, D, D)
+        mass_g = ops.mass[perm]  # (G, ne, D, D)
+
+        if cache_policy == "full":
+            a_inv = np.empty((G, Km, BS, D, D, ne), dtype=np_dtype)
+            for g in range(G):
+                G_g = -np.einsum(
+                    "kd,edij->keij", dirs_np[dirs_safe[g]], stiff_g[g]
+                ) + np.einsum(
+                    "kfe,efij->keij", np.maximum(fdot[g], 0.0), fmass_g[g]
+                )
+                A_g = (
+                    mass_g[g][None, None]
+                    + vg_s[None, :, None, None, None] * G_g[:, None]
+                )  # (Km, BS, ne, D, D)
+                a_inv[g] = np.moveaxis(np.linalg.inv(A_g), 2, -1).astype(np_dtype)
+            mats = sput(a_inv)
+            del a_inv
+        else:
+            G_mat = np.empty((G, Km, D, D, ne))
+            for g in range(G):
+                G_g = -np.einsum(
+                    "kd,edij->keij", dirs_np[dirs_safe[g]], stiff_g[g]
+                ) + np.einsum(
+                    "kfe,efij->keij", np.maximum(fdot[g], 0.0), fmass_g[g]
+                )
+                G_mat[g] = G_g.transpose(0, 2, 3, 1)
+            mats = sput(G_mat)
+
+        # ---- device constants ------------------------------------------------
         # slot-shaped macroscopic weights; padded slots weigh zero
         mw = macroscopic.macro_weights(quad, tables)  # (K, BS)
         mw_slots = np.where(dir_valid[..., None], mw[dirs_safe], 0.0)
-        self.macro_w = sput(mw_slots)  # (G, Km, BS)
         fw = macroscopic.flux_weights(quad, tables, self.dim)  # (dim, K, BS)
         fw_slots = np.where(
-            dir_valid[None, ..., None], fw[:, dirs_safe.reshape(-1)].reshape(
-                self.dim, G, Km, self.BS), 0.0
+            dir_valid[None, ..., None],
+            fw[:, dirs_safe.reshape(-1)].reshape(self.dim, G, Km, BS),
+            0.0,
         )
-        self.flux_w = sput(np.moveaxis(fw_slots, 0, -1))  # (G, Km, BS, dim)
 
+        self.consts = dict(
+            mass_t=put(mass_t_g),  # (G, D, D, ne_pad): Mt[g,i,j,p]=mass[e_p,j,i]
+            mass=put(np.moveaxis(mass_g, 1, -1)),  # (G, D, D, ne_pad)
+            basis_int=put(basis_int_g),  # (G, D, ne_pad)
+            basis_int_glob=put(ops.basis_int),  # (ne, D) global layout
+            face_int=put(face_int_g),  # (G, nf, D, ne_pad)
+            coupling=put(coupling_g),  # (G, nf, D, D, ne_pad)
+            nbr_pos=iput(nbr_pos),  # (G, nf, ne_pad), -1 bdry/pad
+            bc_T=put(bc_T_g),  # (G, nf, ne_pad)
+            pos_of_elem=iput(pos_of_elem),  # (G, ne)
+            perm=iput(perm),  # (G, ne): global elem at position
+            offsets=iput(offsets),  # (G, L) level start positions
+            counts=iput(counts),  # (G, L) level widths
+            vg=put(vg_s),
+            src_w=put(inv_kn * heat_cap / (self.omega * self.dt_inv)),
+            relax_w=put(1.0 - inv_kn / self.dt_inv),
+            bc_w=put(heat_cap / self.omega),
+            macro_w=sput(mw_slots),  # (G, Km, BS)
+            flux_w=sput(np.moveaxis(fw_slots, 0, -1)),  # (G, Km, BS, dim)
+            fdot=sput(fdot),  # (G, Km, nf, ne_pad)
+            mats=mats,
+        )
         self._step = jax.jit(self._step_impl)
 
     def _slot_sharding(self, a):
@@ -200,7 +295,7 @@ class SourceIterationSolver:
         import jax
         import jax.numpy as jnp
 
-        shape = (self.G, self.Km, self.BS, self.ne, self.D)
+        shape = (self.G, self.Km, self.BS, self.D, self.ne_pad)
         if self._dir_sharding is not None:
             u = jax.device_put(
                 jnp.zeros(shape, dtype=self.dtype),
@@ -214,73 +309,96 @@ class SourceIterationSolver:
 
     # -- one outer iteration ----------------------------------------------
 
-    def _sweep_level(self, u_g, level, Tc, fdot, a_inv):
-        """One wavefront level for one group.
+    def _group_a_inv(self, g_mass, g_mat):
+        """Per-iteration A^-1 for one group (memory-lean policy).
 
-        u_g (Km, BS, ne, D); level (W,); fdot (Km, ne, nf);
-        a_inv (Km, BS, ne, D, D)."""
-        import jax.numpy as jnp
-
-        ne, nf = self.ne, self.nf
-        valid = level >= 0
-        es = jnp.where(valid, level, 0)
-
-        Mt = self.mass_t[es]  # (W, D, D)
-        t_tc = jnp.einsum("wij,wj->wi", Mt, Tc[es])  # (W, D)
-        u_e = u_g[:, :, es]  # (Km, BS, W, D)
-        t_old = jnp.einsum("wij,kbwj->kbwi", Mt, u_e)
-        rhs = (
-            self.src_w[None, :, None, None] * t_tc[None, None]
-            + self.relax_w[None, :, None, None] * t_old
-        )  # (Km, BS, W, D)
-
-        for f in range(nf):
-            nbr = self.neighbor[es, f]  # (W,)
-            is_b = nbr < 0
-            nbr_s = jnp.where(is_b, 0, nbr)
-            fd = fdot[:, es, f]  # (Km, W)
-            cin = jnp.minimum(fd, 0.0)  # inflow factor / vg
-            u_nbr = u_g[:, :, nbr_s]  # (Km, BS, W, D)
-            cu = jnp.einsum("wij,kbwj->kbwi", self.coupling[es, f], u_nbr)
-            bterm = (
-                self.bc_w[None, :, None, None]
-                * self.bc_T[es, f][None, None, :, None]
-                * self.face_int[es, f][None, None, :, :]
-            )
-            term = jnp.where(is_b[None, None, :, None], bterm, cu)
-            rhs = rhs - self.vg[None, :, None, None] * cin[:, None, :, None] * term
-
-        sol = jnp.einsum("kbwij,kbwj->kbwi", a_inv[:, :, es], rhs)
-        scatter_idx = jnp.where(valid, es, ne)  # pad -> out-of-bounds
-        return u_g.at[:, :, scatter_idx].set(sol, mode="drop")
-
-    def _group_a_inv(self, g_mat):
-        """Per-iteration A^-1 for one group (memory-lean policy)."""
+        g_mass (D, D, ne_pad), g_mat (Km, D, D, ne_pad) -> (Km, BS, D, D, ne_pad)."""
         import jax.numpy as jnp
 
         A = (
-            self.mass[None, None]
-            + self.vg[None, :, None, None, None] * g_mat[:, None]
-        )
-        return jnp.linalg.inv(A)
+            jnp.moveaxis(g_mass, -1, 0)[None, None]
+            + self.consts["vg"][None, :, None, None, None]
+            * jnp.moveaxis(g_mat, -1, 1)[:, None]
+        )  # (Km, BS, ne_pad, D, D)
+        return jnp.moveaxis(jnp.linalg.inv(A), 2, -1)
 
-    def _step_impl(self, u, Tc, Tv_prev):
+    def _step_impl(self, c, u, Tc, Tv_prev):
         import jax
+        import jax.numpy as jnp
         from jax import lax
 
-        def sweep_group(u_g, levels, fdot, mats):
-            a_inv = mats if self.cache_policy == "full" else self._group_a_inv(mats)
+        G, W, L, nf, D = self.G, self.W, self.L, self.nf, self.D
 
-            def level_body(u_g, level):
-                return self._sweep_level(u_g, level, Tc, fdot, a_inv), None
+        TcT = Tc.T  # (D, ne)
 
-            u_g, _ = lax.scan(level_body, u_g, levels)
+        ne = self.ne
+        w_iota = None
+
+        def sweep_group(u_g, TcT_g, mass_t, face_int, coupling, nbr_pos, bc_T,
+                        fdot, mats, g_mass, offsets_g, counts_g):
+            # u_g (Km, BS, D, ne); compact group-level-concatenated order
+            a_inv = mats if self.cache_policy == "full" else self._group_a_inv(
+                g_mass, mats
+            )
+            iota = jnp.arange(W)
+
+            def level_body(u_g, oc):
+                off, count = oc
+                # clamp so the static-width window stays in bounds; slots
+                # outside [off, off+count) compute garbage that the masked
+                # write-back discards (earlier-level slots keep their final
+                # values; later-level slots are rewritten by their own step)
+                offc = jnp.minimum(off, ne - W)
+                shift = off - offc  # first `shift` slots belong to levels < l
+                sl = lambda a: lax.dynamic_slice_in_dim(a, offc, W, axis=-1)
+                Mt = sl(mass_t)  # (D, D, W)
+                t_tc = jnp.einsum("ijw,jw->iw", Mt, sl(TcT_g))
+                u_e = sl(u_g)  # (Km, BS, D, W)
+                t_old = jnp.einsum("ijw,kbjw->kbiw", Mt, u_e)
+                rhs = (
+                    c["src_w"][None, :, None, None] * t_tc[None, None]
+                    + c["relax_w"][None, :, None, None] * t_old
+                )  # (Km, BS, D, W)
+                for f in range(nf):
+                    npos = sl(nbr_pos[f])  # (W,) neighbor position or -1
+                    is_b = npos < 0  # boundary
+                    u_nbr = u_g[:, :, :, jnp.where(is_b, 0, npos)]
+                    cu = jnp.einsum("ijw,kbjw->kbiw", sl(coupling[f]), u_nbr)
+                    bterm = (
+                        c["bc_w"][None, :, None, None]
+                        * sl(bc_T[f])[None, None, None, :]
+                        * sl(face_int[f])[None, None, :, :]
+                    )
+                    term = jnp.where(is_b[None, None, None, :], bterm, cu)
+                    cin = jnp.minimum(sl(fdot)[:, f], 0.0)  # (Km, W)
+                    rhs = rhs - c["vg"][None, :, None, None] * cin[:, None, None, :] * term
+                sol = jnp.einsum(
+                    "kbijw,kbjw->kbiw",
+                    lax.dynamic_slice_in_dim(a_inv, offc, W, axis=-1),
+                    rhs,
+                )
+                mine = (iota >= shift) & (iota < shift + count)
+                sol = jnp.where(mine[None, None, None, :], sol, u_e)
+                return lax.dynamic_update_slice_in_dim(u_g, sol, offc, axis=-1), None
+
+            u_g, _ = lax.scan(level_body, u_g, (offsets_g, counts_g))
             return u_g
 
-        mats = self._a_inv if self.cache_policy == "full" else self._g_mat
-        u = jax.vmap(sweep_group)(u, self._levels, self._fdot, mats)
-        Tc_new = jax.numpy.einsum("gkb,gkbei->ei", self.macro_w, u)
-        Tv_new = macroscopic.compute_tv(Tc_new, self.basis_int)
+        # per-group view of Tc in group-level order (padding reads element 0;
+        # any garbage it produces lands on padded slots, which nothing reads)
+        TcT_groups = jnp.moveaxis(TcT[:, c["perm"]], 1, 0)  # (G, D, ne)
+
+        u = jax.vmap(sweep_group)(
+            u, TcT_groups, c["mass_t"], c["face_int"], c["coupling"],
+            c["nbr_pos"], c["bc_T"], c["fdot"], c["mats"], c["mass"],
+            c["offsets"], c["counts"],
+        )
+
+        # macroscopic closure: per-group partials in group order -> global
+        partial = jnp.einsum("gkb,gkbip->gip", c["macro_w"], u)  # (G, D, ne_pad)
+        pos = c["pos_of_elem"]  # (G, ne)
+        Tc_new = jax.vmap(lambda pg, po: pg[:, po])(partial, pos).sum(0).T  # (ne, D)
+        Tv_new = macroscopic.compute_tv(Tc_new, c["basis_int_glob"])
         res = macroscopic.residual(Tv_new, Tv_prev)
         return u, Tc_new, Tv_new, res
 
@@ -288,7 +406,7 @@ class SourceIterationSolver:
 
     def step(self, u, Tc, Tv_prev):
         """One jitted outer iteration: returns (u, Tc, Tv, residual)."""
-        return self._step(u, Tc, Tv_prev)
+        return self._step(self.consts, u, Tc, Tv_prev)
 
     def solve(
         self,
@@ -309,7 +427,7 @@ class SourceIterationSolver:
         res = float("inf")
         it = 0
         for it in range(1, max_iter + 1):
-            u, Tc_new, Tv_new, res_dev = self._step(u, Tc, prev_Tv)
+            u, Tc_new, Tv_new, res_dev = self._step(self.consts, u, Tc, prev_Tv)
             if it % check_every == 0 or it == max_iter:
                 res = float(res_dev)
                 if verbose:
@@ -328,29 +446,35 @@ class SourceIterationSolver:
     # -- views / diagnostics ------------------------------------------------
 
     def u_by_direction(self, u):
-        """Map slot-major u (G, Km, BS, ne, D) to direction-major
-        (K, BS, ne, D) for dumps and cross-implementation comparison."""
+        """Map slot-major group-ordered u (G, Km, BS, D, ne) to
+        direction-major (K, BS, ne, D) for dumps/comparison."""
         u = np.asarray(u)
         out = np.zeros((self.K, self.BS, self.ne, self.D), dtype=u.dtype)
         for g in range(self.G):
+            elems = self._perm[g]
             for k in range(self.Km):
                 d = self.dirs_pad[g, k]
                 if d >= 0:
-                    out[d] = u[g, k]
+                    out[d, :, elems, :] = u[g, k].transpose(2, 0, 1)
         return out
 
     def heat_flux(self, u):
         """Qc (dim, ne, D) and Qv (dim, ne) from slot-major coefficients."""
         import jax.numpy as jnp
 
-        Qc = jnp.einsum("gkbd,gkbei->dei", self.flux_w, u)
-        Qv = jnp.einsum("dei,ei->de", Qc, self.basis_int)
+        import jax
+
+        partial = jnp.einsum("gkbd,gkbip->gdip", self.consts["flux_w"], u)
+        pos = self.consts["pos_of_elem"]  # (G, ne)
+        gathered = jax.vmap(lambda pg, po: pg[:, :, po])(partial, pos)  # (G,dim,D,ne)
+        Qc = jnp.moveaxis(gathered.sum(0), -1, 1)  # (dim, ne, D)
+        Qv = jnp.einsum("dei,ei->de", Qc, self.consts["basis_int_glob"])
         return Qc, Qv
 
 
 @dataclasses.dataclass
 class SolveResult:
-    u: object  # (G, Km, BS, ne, D) slot-major
+    u: object  # (G, Km, BS, D, ne_pad) slot-major, group-level order
     Tc: object  # (ne, D)
     Tv: object  # (ne,)
     residual: float

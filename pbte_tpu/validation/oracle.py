@@ -16,8 +16,14 @@ from pbte_tpu.models import macroscopic
 from pbte_tpu.sweep import planner
 
 
-def solve_oracle(ops, quad, tables, bc_temps, tol=1e-7, max_iter=101, record=None):
-    """Returns (u, Tc, Tv, residual, iters). u shape (K, BS, ne, D)."""
+def solve_oracle(ops, quad, tables, bc_temps, tol=1e-7, max_iter=101, record=None,
+                 part=None):
+    """Returns (u, Tc, Tv, residual, iters). u shape (K, BS, ne, D).
+
+    If `part` (ne,) is given, cross-partition neighbor reads use the PREVIOUS
+    iteration's coefficients (block-Jacobi lagged interfaces) while
+    within-partition reads stay Gauss-Seidel — the legacy MPI solver's
+    semantics (ref: reference/DGSolver/PBTE_NonGraySMRT_MPI.cpp:403-506)."""
     ne, D, nf = ops.num_elements, ops.ndof, ops.faces_per_elem
     dim = ops.dim
     K = quad.num_directions
@@ -53,6 +59,7 @@ def solve_oracle(ops, quad, tables, bc_temps, tol=1e-7, max_iter=101, record=Non
     res = np.inf
     for it in range(1, max_iter + 1):
         prev_Tc = Tc
+        u_lag = u.copy() if part is not None else None
         for k in range(K):
             for bs in range(BS):
                 for e in orders[k]:
@@ -72,7 +79,9 @@ def solve_oracle(ops, quad, tables, bc_temps, tol=1e-7, max_iter=101, record=Non
                                 * ops.face_int[e, f]
                             )
                         else:
-                            rhs += -coeff_in * (ops.coupling[e, f] @ u[k, bs, nbr])
+                            lagged = part is not None and part[nbr] != part[e]
+                            u_src = u_lag if lagged else u
+                            rhs += -coeff_in * (ops.coupling[e, f] @ u_src[k, bs, nbr])
                     u[k, bs, e] = A_inv[k, bs, e] @ rhs
         Tc = np.einsum("kb,kbei->ei", macro_w, u)
         Tv = np.einsum("ei,ei->e", Tc, ops.basis_int)

@@ -1,0 +1,123 @@
+"""Domain decomposition: partitioner invariants + sharded solver semantics.
+
+The sharded solver must reproduce the legacy MPI solver's block-Jacobi
+semantics: exact Gauss-Seidel sweep within a partition, one-iteration-stale
+coefficients across partition interfaces, halo exchange once per outer
+iteration. The lagged-mode sequential oracle provides iterate-exact ground
+truth (multi-device runs use the 8 virtual CPU devices from conftest).
+"""
+
+import numpy as np
+import pytest
+
+from pbte_tpu import mesh as pmesh
+from pbte_tpu.angular import quadrature as ang
+from pbte_tpu.fem import assembly
+from pbte_tpu.material import nongray_smrt as mat
+from pbte_tpu.parallel import partition as part_mod
+from pbte_tpu.validation.oracle import solve_oracle
+from pbte_tpu.validation.partition import validate
+
+BCS2D = {1: -0.5, 2: -0.5, 3: 0.5, 4: -0.5}
+
+
+@pytest.fixture(scope="module")
+def problem():
+    m = pmesh.make_cartesian_2d(4, 4, pmesh.GEOM_TRIANGLE).scaled(1e-6)
+    topo = pmesh.connect(m)
+    ops = assembly.assemble(topo, order=1)
+    quad = ang.build(ang.AngularOptions(dimension=2, azimuth_points=8))
+    tables = mat.build_tables(mat.SILICON, num_spectral=3)
+    return m, topo, ops, quad, tables
+
+
+@pytest.mark.parametrize("method", ["rcb", "greedy"])
+@pytest.mark.parametrize("nparts", [2, 3, 4])
+def test_partition_invariants(problem, method, nparts):
+    _, topo, *_ = problem
+    plan = part_mod.build_plan(topo, nparts, method=method)
+    result = validate(plan, topo)
+    assert result.ok, result.errors
+    assert plan.load_balance() < 1.5
+
+
+def test_rcb_balance_large():
+    m = pmesh.make_cartesian_2d(16, 16, pmesh.GEOM_QUAD)
+    topo = pmesh.connect(m)
+    plan = part_mod.build_plan(topo, 8)
+    assert plan.load_balance() == 1.0  # 256 elements split 8 ways evenly
+    assert validate(plan, topo).ok
+
+
+def _device_mesh(n_dir, n_space):
+    import jax
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[: n_dir * n_space]).reshape(n_dir, n_space)
+    return Mesh(devs, axis_names=("dir", "space"))
+
+
+def test_spatial_sharded_matches_lagged_oracle(problem):
+    from pbte_tpu.parallel.spatial import SpatialShardedSolver
+
+    m, topo, ops, quad, tables = problem
+    mesh = _device_mesh(2, 4)
+    solver = SpatialShardedSolver(
+        ops, quad, tables, BCS2D, device_mesh=mesh, topo=topo
+    )
+    # iterate-exact ground truth: sequential oracle with the same partition
+    uo, Tco, Tvo, _, _ = solve_oracle(
+        ops, quad, tables, BCS2D, tol=0, max_iter=4, part=solver.pplan.part
+    )
+
+    u, Tc, Tv = solver.initial_state()
+    prev = Tv
+    for _ in range(4):
+        u, Tc_new, Tv_new, r = solver.step(u, Tc, prev)
+        prev, Tc = Tv_new, Tc_new
+
+    Tc_glob = solver.gather_Tc(Tc)
+    np.testing.assert_allclose(Tc_glob, Tco, rtol=1e-10, atol=1e-14)
+
+
+def test_spatial_sharded_single_partition_equals_gauss_seidel(problem):
+    """With one spatial partition there is nothing to lag: must equal the
+    plain (full Gauss-Seidel) solver exactly."""
+    from pbte_tpu.parallel.spatial import SpatialShardedSolver
+
+    m, topo, ops, quad, tables = problem
+    mesh = _device_mesh(4, 1)
+    solver = SpatialShardedSolver(
+        ops, quad, tables, BCS2D, device_mesh=mesh, topo=topo
+    )
+    uo, Tco, _, _, _ = solve_oracle(ops, quad, tables, BCS2D, tol=0, max_iter=3)
+    u, Tc, Tv = solver.initial_state()
+    prev = Tv
+    for _ in range(3):
+        u, Tc_new, Tv_new, r = solver.step(u, Tc, prev)
+        prev, Tc = Tv_new, Tc_new
+    np.testing.assert_allclose(solver.gather_Tc(Tc), Tco, rtol=1e-10, atol=1e-14)
+
+
+def test_spatial_and_plain_share_fixed_point(problem):
+    """Block-Jacobi and Gauss-Seidel converge to the same fixed point.
+
+    Uses `consistent` face operators: the reference's rank-one (stale
+    IntegrationPoint) face operators are numerically UNSTABLE on refined
+    meshes — even pure Gauss-Seidel stalls at residual ~0.19 on this
+    32-element mesh (measured via the sequential oracle), so the parity mode
+    exists only to reproduce the committed 2-element goldens."""
+    from pbte_tpu.parallel.spatial import SpatialShardedSolver
+    from pbte_tpu.solver.source_iteration import SourceIterationSolver
+
+    m, topo, ops_parity, quad, tables = problem
+    ops = assembly.assemble(topo, order=1, face_mode="consistent")
+    mesh = _device_mesh(2, 4)
+    sp = SpatialShardedSolver(ops, quad, tables, BCS2D, device_mesh=mesh, topo=topo)
+    rp = sp.solve(tol=1e-9, max_iter=1200, verbose=False, check_every=50)
+    ss = SourceIterationSolver(ops, quad, tables, BCS2D)
+    rs = ss.solve(tol=1e-9, max_iter=1200, verbose=False, check_every=50)
+    assert rp.residual < 1e-6 and rs.residual < 1e-6
+    np.testing.assert_allclose(
+        sp.gather_Tc(rp.Tc), np.asarray(rs.Tc), rtol=1e-4, atol=1e-7
+    )
