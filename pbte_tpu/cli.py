@@ -50,7 +50,7 @@ def main(argv=None) -> int:
     ap.add_argument("--dtype", choices=["f32", "f64"], default="f64")
     ap.add_argument("--face-mode", choices=["mfem-parity", "consistent"],
                     default="mfem-parity")
-    ap.add_argument("--cache-policy", choices=["full", "per-iteration"],
+    ap.add_argument("--cache-policy", choices=["full", "on-the-fly", "per-iteration"],
                     default="full")
     ap.add_argument("--platform", choices=["default", "cpu"], default="default")
     ap.add_argument("--out", default="output")

@@ -1,0 +1,52 @@
+"""Checkpoint / resume for the outer source iteration.
+
+The reference has NO checkpointing (SURVEY.md section 5); its nearest artifact
+is the end-of-run coefficient dump, which contains exactly the state needed
+for a restart because the outer iteration is memoryless beyond (u, Tc, Tv).
+This module makes that a first-class capability: a single .npz per checkpoint
+with the solver state + shape/config fingerprint, verified on load.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _fingerprint(solver) -> dict:
+    return dict(
+        G=solver.G, Km=solver.Km, BS=solver.BS, D=solver.D, ne=solver.ne,
+        K=solver.K, dt_inv=solver.dt_inv,
+    )
+
+
+def save_checkpoint(path: str, solver, u, Tc, Tv, iteration: int, residual: float):
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(
+        path,
+        u=np.asarray(u),
+        Tc=np.asarray(Tc),
+        Tv=np.asarray(Tv),
+        iteration=iteration,
+        residual=residual,
+        **{f"fp_{k}": v for k, v in _fingerprint(solver).items()},
+    )
+
+
+def load_checkpoint(path: str, solver):
+    """Returns (state_tuple, iteration, residual); state feeds solver.solve."""
+    import jax.numpy as jnp
+
+    data = np.load(path)
+    fp = _fingerprint(solver)
+    for k, v in fp.items():
+        stored = data[f"fp_{k}"]
+        if not np.allclose(stored, v):
+            raise ValueError(
+                f"checkpoint mismatch: {k} was {stored}, solver has {v}"
+            )
+    u = jnp.asarray(data["u"], dtype=solver.dtype)
+    Tc = jnp.asarray(data["Tc"], dtype=solver.dtype)
+    Tv = jnp.asarray(data["Tv"], dtype=solver.dtype)
+    return (u, Tc, Tv), int(data["iteration"]), float(data["residual"])

@@ -16,8 +16,7 @@ import numpy as np
 from pbte_tpu.mesh import core
 
 _GMSH_GEOM = {2: core.GEOM_TRIANGLE, 3: core.GEOM_QUAD, 4: core.GEOM_TET, 5: core.GEOM_HEX}
-_GMSH_NV = {1: 2, 2: 3, 3: 4, 4: 4, 5: 8, 15: 1}
-_BDRY_TYPES = {2: (1,), 3: (1, 2, 3)}  # mesh dim -> boundary entity types
+_GMSH_DIM = {1: 1, 2: 2, 3: 2, 4: 3, 5: 3, 15: 0}  # entity dimension per type
 
 
 def parse_gmsh_mesh(text: str, source: str = "") -> core.MeshData:
@@ -50,15 +49,22 @@ def parse_gmsh_mesh(text: str, source: str = "") -> core.MeshData:
                 nodes[int(parts[0])] = np.array([float(x) for x in parts[1:4]])
         elif line == "$Elements":
             n = int(next(lines))
+            entities = []
             for _ in range(n):
                 parts = [int(x) for x in next(lines).split()]
                 etype = parts[1]
                 ntags = parts[2]
                 tag = parts[3] if ntags >= 1 else 0
                 verts = [v - 1 for v in parts[3 + ntags:]]
-                if etype in _GMSH_GEOM:
+                if etype in _GMSH_DIM:
+                    entities.append((etype, tag, verts))
+            # triangles/quads are volume elements in 2D but boundary in 3D:
+            # classify by the maximum entity dimension present
+            voldim = max(_GMSH_DIM[e[0]] for e in entities)
+            for etype, tag, verts in entities:
+                if _GMSH_DIM[etype] == voldim:
                     vol_elems.append((etype, tag, verts))
-                elif etype in (1, 2, 3):
+                elif _GMSH_DIM[etype] == voldim - 1:
                     bdry.append((tag, verts))
         elif line == "$Periodic":
             n_entities = int(next(lines).split()[0])

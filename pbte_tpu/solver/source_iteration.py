@@ -97,7 +97,9 @@ class SourceIterationSolver:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.dtype = dtype
         np_dtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
-        if cache_policy not in ("full", "per-iteration"):
+        if cache_policy == "per-iteration":
+            cache_policy = "on-the-fly"  # back-compat alias
+        if cache_policy not in ("full", "on-the-fly"):
             raise ValueError(f"unknown cache_policy: {cache_policy}")
         self.cache_policy = cache_policy
 
@@ -309,17 +311,20 @@ class SourceIterationSolver:
 
     # -- one outer iteration ----------------------------------------------
 
-    def _group_a_inv(self, g_mass, g_mat):
-        """Per-iteration A^-1 for one group (memory-lean policy).
+    def _level_a_inv(self, c, mass_l, g_mat_l):
+        """On-the-fly A^-1 for ONE level's elements (OnTheFly analog, done the
+        TPU way: invert only the (Km, BS, W) blocks inside the scan body, so
+        nothing is stored — ~40x less memory than the full cache at D^3/D^2
+        extra flops per step, which the MXU absorbs on bandwidth-bound shapes).
 
-        g_mass (D, D, ne_pad), g_mat (Km, D, D, ne_pad) -> (Km, BS, D, D, ne_pad)."""
+        mass_l (D, D, W), g_mat_l (Km, D, D, W) -> (Km, BS, D, D, W)."""
         import jax.numpy as jnp
 
         A = (
-            jnp.moveaxis(g_mass, -1, 0)[None, None]
-            + self.consts["vg"][None, :, None, None, None]
-            * jnp.moveaxis(g_mat, -1, 1)[:, None]
-        )  # (Km, BS, ne_pad, D, D)
+            jnp.moveaxis(mass_l, -1, 0)[None, None]
+            + c["vg"][None, :, None, None, None]
+            * jnp.moveaxis(g_mat_l, -1, 1)[:, None]
+        )  # (Km, BS, W, D, D)
         return jnp.moveaxis(jnp.linalg.inv(A), 2, -1)
 
     def _step_impl(self, c, u, Tc, Tv_prev):
@@ -337,9 +342,6 @@ class SourceIterationSolver:
         def sweep_group(u_g, TcT_g, mass_t, face_int, coupling, nbr_pos, bc_T,
                         fdot, mats, g_mass, offsets_g, counts_g):
             # u_g (Km, BS, D, ne); compact group-level-concatenated order
-            a_inv = mats if self.cache_policy == "full" else self._group_a_inv(
-                g_mass, mats
-            )
             iota = jnp.arange(W)
 
             def level_body(u_g, oc):
@@ -372,11 +374,15 @@ class SourceIterationSolver:
                     term = jnp.where(is_b[None, None, None, :], bterm, cu)
                     cin = jnp.minimum(sl(fdot)[:, f], 0.0)  # (Km, W)
                     rhs = rhs - c["vg"][None, :, None, None] * cin[:, None, None, :] * term
-                sol = jnp.einsum(
-                    "kbijw,kbjw->kbiw",
-                    lax.dynamic_slice_in_dim(a_inv, offc, W, axis=-1),
-                    rhs,
-                )
+                if self.cache_policy == "full":
+                    a_inv_l = lax.dynamic_slice_in_dim(mats, offc, W, axis=-1)
+                else:
+                    a_inv_l = self._level_a_inv(
+                        c,
+                        lax.dynamic_slice_in_dim(g_mass, offc, W, axis=-1),
+                        lax.dynamic_slice_in_dim(mats, offc, W, axis=-1),
+                    )
+                sol = jnp.einsum("kbijw,kbjw->kbiw", a_inv_l, rhs)
                 mine = (iota >= shift) & (iota < shift + count)
                 sol = jnp.where(mine[None, None, None, :], sol, u_e)
                 return lax.dynamic_update_slice_in_dim(u_g, sol, offc, axis=-1), None

@@ -1,0 +1,96 @@
+"""gmsh parser, legacy angular patterns, checkpoint/resume, VTU."""
+
+import numpy as np
+import pytest
+
+from pbte_tpu import mesh as pmesh
+from pbte_tpu.angular import legacy_patterns, quadrature as ang
+from pbte_tpu.fem import assembly
+from pbte_tpu.material import nongray_smrt as mat
+from pbte_tpu.solver.source_iteration import SourceIterationSolver
+
+GMSH_CUBOID = "Reference Project/config/mesh/cuboid_2x2x2.msh"
+
+
+def test_gmsh_parser(reference_root):
+    path = reference_root / GMSH_CUBOID
+    if not path.exists():
+        pytest.skip("gmsh asset missing")
+    m = pmesh.load_mesh(str(path))
+    assert m.geom == "tet" and m.dim == 3
+    # 2x2x2 cuboid with 6-tet split -> 48 tets
+    assert m.num_elements == 48
+    topo = pmesh.connect(m)
+    # watertight: every boundary face tagged
+    interior = topo.face_elems[:, 1] >= 0
+    assert np.all(topo.face_attr[~interior] > 0)
+    # physical names parsed
+    assert len(m.physical_names) >= 6
+    # total volume = 1 (unit cube scaled by nothing yet)
+    vol = 0.0
+    v = m.vertices[m.elem_verts]
+    vol = np.abs(np.einsum("ei,ei->e", np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]),
+                           v[:, 3] - v[:, 0]) / 6).sum()
+    np.testing.assert_allclose(vol, 1.0, rtol=1e-10)
+
+
+@pytest.mark.parametrize("dim,pattern,npole,nazim", [
+    (2, 1, 1, 8), (2, 2, 1, 8), (3, 1, 4, 8), (3, 2, 4, 8),
+])
+def test_legacy_patterns(dim, pattern, npole, nazim):
+    quad = legacy_patterns.build_legacy(dim, npole, nazim, pattern)
+    assert quad.num_directions == npole * nazim
+    # unit direction vectors
+    np.testing.assert_allclose(
+        np.linalg.norm(quad.directions[:, :dim], axis=1), 1.0, atol=1e-12
+    )
+    # totals close to the exact solid angle (legacy does not renormalize;
+    # pattern 2's 3D polar rule integrates sin(theta) with Gauss error)
+    expected = 2 * np.pi if dim == 2 else 4 * np.pi
+    rtol = 1e-3 if (dim, pattern) == (3, 2) else 1e-6
+    np.testing.assert_allclose(quad.total_weight, expected, rtol=rtol)
+    # first moment vanishes by symmetry
+    mom = np.einsum("k,kd->d", quad.weights, quad.directions)
+    np.testing.assert_allclose(mom, 0.0, atol=1e-9)
+
+
+def test_legacy_pattern_validation():
+    with pytest.raises(ValueError):
+        legacy_patterns.build_legacy(3, 3, 8, 1)  # npole odd
+    with pytest.raises(ValueError):
+        legacy_patterns.build_legacy(2, 1, 6, 1)  # nazim % 4 != 0
+    with pytest.raises(ValueError):
+        legacy_patterns.build_legacy(4, 2, 2, 1)  # bad dim
+
+
+def test_checkpoint_roundtrip(tmp_path, reference_root):
+    from pbte_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    m = pmesh.load_mfem_mesh(str(reference_root / "config/mesh/unit-square-iso.mesh"))
+    m = m.scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1)
+    quad = ang.build(ang.AngularOptions(dimension=2, azimuth_points=8))
+    tables = mat.build_tables(mat.SILICON, num_spectral=3)
+    solver = SourceIterationSolver(ops, quad, tables, {1: -0.5, 2: 0.5})
+
+    # run 6 iterations straight
+    r_full = solver.solve(tol=0, max_iter=6, verbose=False)
+
+    # run 3, checkpoint, reload, run 3 more
+    r_half = solver.solve(tol=0, max_iter=3, verbose=False)
+    ckpt = str(tmp_path / "state.npz")
+    save_checkpoint(ckpt, solver, r_half.u, r_half.Tc, r_half.Tv, 3, r_half.residual)
+    state, it, res = load_checkpoint(ckpt, solver)
+    assert it == 3
+    r_resumed = solver.solve(tol=0, max_iter=3, verbose=False, state=state)
+
+    np.testing.assert_allclose(
+        np.asarray(r_resumed.Tc), np.asarray(r_full.Tc), rtol=1e-12, atol=1e-15
+    )
+
+    # fingerprint mismatch raises
+    other = SourceIterationSolver(
+        ops, quad, mat.build_tables(mat.SILICON, num_spectral=4), {1: -0.5, 2: 0.5}
+    )
+    with pytest.raises(ValueError, match="checkpoint mismatch"):
+        load_checkpoint(ckpt, other)

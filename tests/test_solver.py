@@ -50,7 +50,7 @@ def test_batched_solver_matches_oracle(reference_root):
 def test_cache_policies_agree(reference_root):
     m, ops, quad, tables = _demo_problem(reference_root, nspec=3, ndir=8)
     s_full = SourceIterationSolver(ops, quad, tables, BCS, cache_policy="full")
-    s_lean = SourceIterationSolver(ops, quad, tables, BCS, cache_policy="per-iteration")
+    s_lean = SourceIterationSolver(ops, quad, tables, BCS, cache_policy="on-the-fly")
     rf = s_full.solve(tol=0, max_iter=3, verbose=False)
     rl = s_lean.solve(tol=0, max_iter=3, verbose=False)
     np.testing.assert_allclose(np.asarray(rf.Tc), np.asarray(rl.Tc), rtol=1e-12)
