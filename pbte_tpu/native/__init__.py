@@ -1,0 +1,125 @@
+"""Native (C++) host-side kernels, loaded via ctypes.
+
+The reference implements its schedulers/partitioners in C++; this package
+provides the framework's native equivalents for host-side setup hot paths
+(sweep levelization, greedy ordering, inflow signatures). The library is
+compiled on demand with g++ (no pybind11 in this environment) and cached
+next to the source; every entry point has a pure-numpy fallback in
+pbte_tpu.sweep.planner, selected automatically when compilation is
+unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "sweep_native.cpp")
+_LIB = os.path.join(_HERE, "_sweep_native.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        _SRC, "-o", _LIB + ".tmp",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(_LIB + ".tmp", _LIB)
+        return True
+    except (subprocess.SubprocessError, OSError):
+        return False
+
+
+def get_lib():
+    """Returns the loaded ctypes library or None (fallback to numpy)."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            return None
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i64 = ctypes.c_int64
+        lib.pbte_compute_levels.restype = ctypes.c_int32
+        lib.pbte_compute_levels.argtypes = [i64, i64, i64, i64, i32p, f64p, f64p, i32p]
+        lib.pbte_greedy_orders.restype = ctypes.c_int32
+        lib.pbte_greedy_orders.argtypes = [i64, i64, i64, i64, i32p, f64p, f64p, i32p]
+        lib.pbte_inflow_signature.restype = None
+        lib.pbte_inflow_signature.argtypes = [
+            i64, i64, i64, i64, i32p, f64p, f64p, u8p, i64,
+        ]
+        _lib = lib
+        return _lib
+
+
+def compute_levels(neighbor, normals, directions):
+    """Native Kahn levelization; returns (K, ne) int32 or None if unavailable.
+
+    Raises planner.SweepCycleError-compatible ValueError on cycles (caller
+    translates)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    neighbor = np.ascontiguousarray(neighbor, dtype=np.int32)
+    normals = np.ascontiguousarray(normals, dtype=np.float64)
+    ne, nf = neighbor.shape
+    dim = normals.shape[-1]
+    dirs = np.ascontiguousarray(directions[:, :dim], dtype=np.float64)
+    K = len(dirs)
+    levels = np.empty((K, ne), dtype=np.int32)
+    rc = lib.pbte_compute_levels(ne, nf, dim, K, neighbor, normals, dirs, levels)
+    if rc < 0:
+        raise ValueError("cycle")
+    return levels
+
+
+def greedy_orders(neighbor, normals, directions):
+    """Native greedy ordering; returns (K, ne) int32 or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    neighbor = np.ascontiguousarray(neighbor, dtype=np.int32)
+    normals = np.ascontiguousarray(normals, dtype=np.float64)
+    ne, nf = neighbor.shape
+    dim = normals.shape[-1]
+    dirs = np.ascontiguousarray(directions[:, :dim], dtype=np.float64)
+    K = len(dirs)
+    orders = np.empty((K, ne), dtype=np.int32)
+    rc = lib.pbte_greedy_orders(ne, nf, dim, K, neighbor, normals, dirs, orders)
+    if rc < 0:
+        raise ValueError("cycle")
+    return orders
+
+
+def inflow_signatures(neighbor, normals, directions):
+    """Native packed inflow-bit signatures (K, stride) uint8, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    neighbor = np.ascontiguousarray(neighbor, dtype=np.int32)
+    normals = np.ascontiguousarray(normals, dtype=np.float64)
+    ne, nf = neighbor.shape
+    dim = normals.shape[-1]
+    dirs = np.ascontiguousarray(directions[:, :dim], dtype=np.float64)
+    K = len(dirs)
+    stride = (ne * nf + 7) // 8
+    packed = np.empty((K, stride), dtype=np.uint8)
+    lib.pbte_inflow_signature(ne, nf, dim, K, neighbor, normals, dirs, packed, stride)
+    return packed

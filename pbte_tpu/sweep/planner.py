@@ -48,7 +48,20 @@ def compute_levels(
     """Wavefront level of each element per direction: (K, ne) int32.
 
     level[k, e] = 1 + max(level[k, upwind neighbors]) (0 when none).
-    Vectorized fixpoint iteration over all directions at once."""
+    Uses the native C++ Kahn kernel when available (pbte_tpu.native),
+    falling back to a vectorized numpy fixpoint iteration."""
+    try:
+        from pbte_tpu import native
+
+        levels = native.compute_levels(neighbor, normals, directions)
+        if levels is not None:
+            return levels
+    except ValueError:
+        raise SweepCycleError(
+            "upwind sweep levelization found a cycle (native kernel)"
+        )
+    except ImportError:
+        pass
     K = directions.shape[0]
     ne, nf = neighbor.shape
     inflow = upwind_inflow(neighbor, normals, directions)  # (K, ne, nf)
@@ -153,6 +166,16 @@ def greedy_orders(
     K = directions.shape[0]
     ne, nf = neighbor.shape
     dim = normals.shape[-1]
+    try:
+        from pbte_tpu import native
+
+        out = native.greedy_orders(neighbor, normals, directions)
+        if out is not None:
+            return [out[k] for k in range(K)]
+    except ValueError:
+        raise SweepCycleError("angular sweep ordering stalled (native kernel)")
+    except ImportError:
+        pass
     orders = []
     for k in range(K):
         dots = normals @ directions[k, :dim]  # (ne, nf)
