@@ -361,19 +361,24 @@ class SourceIterationSolver:
                     c["src_w"][None, :, None, None] * t_tc[None, None]
                     + c["relax_w"][None, :, None, None] * t_old
                 )  # (Km, BS, D, W)
-                for f in range(nf):
-                    npos = sl(nbr_pos[f])  # (W,) neighbor position or -1
-                    is_b = npos < 0  # boundary
-                    u_nbr = u_g[:, :, :, jnp.where(is_b, 0, npos)]
-                    cu = jnp.einsum("ijw,kbjw->kbiw", sl(coupling[f]), u_nbr)
-                    bterm = (
-                        c["bc_w"][None, :, None, None]
-                        * sl(bc_T[f])[None, None, None, :]
-                        * sl(face_int[f])[None, None, :, :]
-                    )
-                    term = jnp.where(is_b[None, None, None, :], bterm, cu)
-                    cin = jnp.minimum(sl(fdot)[:, f], 0.0)  # (Km, W)
-                    rhs = rhs - c["vg"][None, :, None, None] * cin[:, None, None, :] * term
+                # all faces fused: ONE neighbor gather + ONE coupling einsum
+                npos = sl(nbr_pos)  # (nf, W) neighbor position or -1
+                is_b = npos < 0  # boundary
+                u_nbr = u_g[:, :, :, jnp.where(is_b, 0, npos)]  # (Km, BS, D, nf, W)
+                cin = jnp.minimum(sl(fdot), 0.0)  # (Km, nf, W) inflow factor / vg
+                cin_int = jnp.where(is_b[None], 0.0, cin)
+                cin_bnd = jnp.where(is_b[None], cin, 0.0)
+                # interior inflow: sum_f cin_f * (C_f u_nbr_f)
+                interior = jnp.einsum(
+                    "fijw,kfw,kbjfw->kbiw", sl(coupling), cin_int, u_nbr
+                )  # (Km, BS, D, W)
+                # boundary inflow: sum_f cin_f * Tbc_f * If (band factor bc_w)
+                bsrc = jnp.einsum(
+                    "kfw,fw,fiw->kiw", cin_bnd, sl(bc_T), sl(face_int)
+                )  # (Km, D, W)
+                rhs = rhs - c["vg"][None, :, None, None] * (
+                    interior + c["bc_w"][None, :, None, None] * bsrc[:, None]
+                )
                 if self.cache_policy == "full":
                     a_inv_l = lax.dynamic_slice_in_dim(mats, offc, W, axis=-1)
                 else:
