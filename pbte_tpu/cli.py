@@ -58,6 +58,8 @@ def main(argv=None) -> int:
     ap.add_argument("--no-dumps", action="store_true",
                     help="skip golden-format log dumps")
     ap.add_argument("--check-every", type=int, default=1)
+    ap.add_argument("--profile", default="",
+                    help="write a jax profiler trace of the solve to this dir")
     args = ap.parse_args(argv)
 
     jax = _setup_jax(args.platform, x64=(args.dtype == "f64"))
@@ -141,8 +143,14 @@ def main(argv=None) -> int:
           f"padding={solver.plan.padding_ratio():.1%} ({time.time()-t0:.1f}s)")
 
     t1 = time.time()
-    res = solver.solve(tol=rc.tolerance, max_iter=rc.max_iter,
-                       check_every=args.check_every)
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            res = solver.solve(tol=rc.tolerance, max_iter=rc.max_iter,
+                               check_every=args.check_every)
+        print(f"[pbte_tpu] profiler trace written to {args.profile}")
+    else:
+        res = solver.solve(tol=rc.tolerance, max_iter=rc.max_iter,
+                           check_every=args.check_every)
     t_solve = time.time() - t1
     dof_swept = (res.iterations * solver.K * solver.BS
                  * m.num_elements * ops.ndof)

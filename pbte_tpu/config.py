@@ -40,8 +40,72 @@ class RunConfig:
     output_dir: str = "output"
 
 
+def load_legacy_control(control_path: str, material_path: str | None = None) -> RunConfig:
+    """Load a legacy Reference-Project Control.yaml + Si_PhononModel.yaml
+    (ref: Reference Project/include/GlobalConfig/GlobalConfig.hpp:10-132,
+    config/control/Control.yaml).
+
+    Boundary condition types: 1=thermalizing (isothermal), 2=diffuse,
+    3=specular, 4=periodic. Only thermalizing is implemented in the solver so
+    far (the reference's active MFEM tree implements only that too); other
+    types raise until supported."""
+    cfg = load_yaml_file(control_path) or {}
+    rc = RunConfig()
+    rc.order = int(cfg.get("POLYDEG", 1))
+    sdim = int(cfg.get("SPATIAL_DIM", 3))
+    pattern = int(cfg.get("SOLID_ANGLE_PATTERN", 1))
+    npole = int(cfg.get("NPOLE", 8))
+    if sdim == 2:
+        npole = 1  # GlobalConfig forces NPOLE=1 in 2D (GlobalConfig.hpp:78-80)
+    rc.angles = ang.AngularOptions(
+        dimension=sdim,
+        polar_points=npole,
+        azimuth_points=int(cfg.get("NAZIM", 16)),
+    )
+    rc.legacy_pattern = pattern  # type: ignore[attr-defined]
+    rc.n_spectral = int(cfg.get("NSPEC", 20))
+    rc.tolerance = float(cfg.get("TOL", 1e-7))
+    rc.max_iter = int(cfg.get("TMAX", 101))
+    mesh_path = str(cfg.get("MESH_PATH", "."))
+    mesh_tag = str(cfg.get("MESH_TAG", ""))
+    if mesh_tag:
+        rc.mesh_spec = os.path.join(mesh_path, mesh_tag + ".msh")
+    rc.output_dir = str(cfg.get("OUTPUT_PATH", "output"))
+
+    for attr, spec in (cfg.get("BOUNDARY_COND") or {}).items():
+        bc_type, value = int(spec[0]), float(spec[1])
+        if bc_type == 1:
+            rc.bc_temps[int(attr)] = value
+        else:
+            raise NotImplementedError(
+                f"legacy boundary type {bc_type} (diffuse/specular/periodic) "
+                "is not implemented yet; only type 1 (thermalizing)"
+            )
+
+    if material_path is None:
+        cand = os.path.join(os.path.dirname(control_path), "Si_PhononModel.yaml")
+        material_path = cand if os.path.exists(cand) else None
+    if material_path:
+        mcfg = load_yaml_file(material_path)
+        rc.material = nongray_smrt.PhononMaterial(
+            C_LA=tuple(float(x) for x in mcfg["C_LA"]),
+            C_TA=tuple(float(x) for x in mcfg["C_TA"]),
+            lattice_dist=float(mcfg["LATTICE_DIST"]),
+            Ai=float(mcfg["Ai"]),
+            BL=float(mcfg["BL"]),
+            BT=float(mcfg["BT"]),
+            BU=float(mcfg["BU"]),
+            num_spectral=rc.n_spectral,
+            ref_temp=float(cfg.get("T_REF", 300.0)),
+            ref_len=float(cfg.get("L_REF", 1.0e-6)),
+        )
+    return rc
+
+
 def load_run_config(config_path: str, material_path: str | None = None) -> RunConfig:
     cfg = load_yaml_file(config_path) or {}
+    if isinstance(cfg, dict) and ("BOUNDARY_COND" in cfg or "POLYDEG" in cfg):
+        return load_legacy_control(config_path, material_path)
     rc = RunConfig()
 
     mesh_cfg = cfg.get("mesh") or {}

@@ -94,3 +94,32 @@ def test_checkpoint_roundtrip(tmp_path, reference_root):
     )
     with pytest.raises(ValueError, match="checkpoint mismatch"):
         load_checkpoint(ckpt, other)
+
+
+def test_legacy_control_yaml(reference_root):
+    from pbte_tpu.config import load_run_config
+
+    rc = load_run_config(
+        str(reference_root / "Reference Project/config/control/Control.yaml")
+    )
+    assert rc.order == 3
+    assert rc.angles.dimension == 3
+    assert (rc.angles.polar_points, rc.angles.azimuth_points) == (16, 24)
+    assert rc.n_spectral == 20 and rc.tolerance == 1e-7
+    assert rc.bc_temps == {1: 0.5, 2: -0.5, 3: -0.5, 4: -0.5, 5: -0.5, 6: -0.5}
+    assert rc.mesh_spec.endswith("cuboid_5x5x5.msh")
+    assert rc.material.lattice_dist == 5.43e-10
+
+
+def test_repo_config_assets():
+    """The repo's own config/ mirrors the reference demo schema."""
+    import os
+
+    from pbte_tpu.config import load_run_config
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rc = load_run_config(os.path.join(root, "config/config.yaml"))
+    assert rc.bc_temps == {1: -0.5, 2: 0.5}
+    assert rc.angles.dimension == 2 and rc.angles.azimuth_points == 24
+    assert rc.tolerance == 1e-7 and rc.max_iter == 101
+    assert os.path.exists(os.path.join(root, rc.mesh_spec)) or os.path.exists(rc.mesh_spec)
