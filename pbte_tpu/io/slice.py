@@ -86,9 +86,12 @@ def write_2d_slice(mesh, order, Tc, path, nx=100, ny=100, clamp_tol=1e-12):
     return T.reshape(ny, nx)
 
 
-def sample_3d_plane(mesh, order, Tc, z, nx=100, ny=100, clamp_tol=1e-12):
+def sample_3d_plane(mesh, order, Tc, z, nx=100, ny=100, clamp_tol=1e-12,
+                    Qc=None):
     """3D analog: sample a z=const plane (legacy output_3D_2Dslice_T_Q,
-    ref: reference/PhononModel/NonGraySMRT.cpp:377-524)."""
+    ref: reference/PhononModel/NonGraySMRT.cpp:377-524).
+
+    Returns T (ny, nx); with Qc (dim, ne, D) also returns Q (dim, ny, nx)."""
     if mesh.dim != 3:
         raise ValueError("sample_3d_plane requires a 3D mesh")
     mn = mesh.vertices.min(axis=0)
@@ -97,4 +100,35 @@ def sample_3d_plane(mesh, order, Tc, z, nx=100, ny=100, clamp_tol=1e-12):
     ys = np.linspace(mn[1] + clamp_tol, mx[1] - clamp_tol, ny)
     X, Y = np.meshgrid(xs, ys, indexing="xy")
     pts = np.stack([X.reshape(-1), Y.reshape(-1), np.full(X.size, z)], axis=-1)
-    return sample_field(mesh, order, np.asarray(Tc), pts).reshape(ny, nx)
+    T = sample_field(mesh, order, np.asarray(Tc), pts).reshape(ny, nx)
+    if Qc is None:
+        return T
+    Qc = np.asarray(Qc)
+    Q = np.stack(
+        [sample_field(mesh, order, Qc[d], pts).reshape(ny, nx)
+         for d in range(Qc.shape[0])]
+    )
+    return T, Q
+
+
+def write_3d_slice(mesh, order, Tc, Qc, z, path, nx=100, ny=100):
+    """Golden-style text output of a z-plane: x y T Qx Qy Qz per row
+    (legacy NonGraySMRT::output_3D_2Dslice_T_Q format family)."""
+    import os
+
+    T, Q = sample_3d_plane(mesh, order, Tc, z, nx, ny, Qc=Qc)
+    mn = mesh.vertices.min(axis=0)
+    mx = mesh.vertices.max(axis=0)
+    xs = np.linspace(mn[0], mx[0], nx)
+    ys = np.linspace(mn[1], mx[1], ny)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write(f"# nx {nx} ny {ny} z {z:.16g}\n")
+        f.write("x y T Qx Qy Qz\n")
+        for j in range(ny):
+            for i in range(nx):
+                f.write(
+                    f"{xs[i]:.16f} {ys[j]:.16f} {T[j, i]:.16f} "
+                    f"{Q[0, j, i]:.8e} {Q[1, j, i]:.8e} {Q[2, j, i]:.8e}\n"
+                )
+    return T, Q

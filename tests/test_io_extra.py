@@ -123,3 +123,27 @@ def test_repo_config_assets():
     assert rc.angles.dimension == 2 and rc.angles.azimuth_points == 24
     assert rc.tolerance == 1e-7 and rc.max_iter == 101
     assert os.path.exists(os.path.join(root, rc.mesh_spec)) or os.path.exists(rc.mesh_spec)
+
+
+def test_3d_slice_with_flux(tmp_path):
+    """z-plane sampling of T and Q on a 3D solve (legacy output_3D_2Dslice_T_Q
+    analog): hot top/cold bottom -> Qz < 0 on the midplane, Qx/Qy ~ 0 net."""
+    from pbte_tpu.io.slice import write_3d_slice
+
+    m = pmesh.make_cartesian_3d(2, 2, 2, pmesh.GEOM_HEX).scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1, face_mode="consistent")
+    quad = ang.build(ang.AngularOptions(dimension=3, polar_points=4, azimuth_points=8))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    bcs = {a: (0.5 if a == 6 else -0.5) for a in range(1, 7)}
+    solver = SourceIterationSolver(ops, quad, tables, bcs)
+    res = solver.solve(tol=0, max_iter=30, verbose=False)
+    Qc, _ = solver.heat_flux(res.u)
+    T, Q = write_3d_slice(m, 1, res.Tc, Qc, z=0.5e-6,
+                          path=str(tmp_path / "slice3d.txt"), nx=12, ny=12)
+    assert not np.isnan(T).any() and not np.isnan(Q).any()
+    assert Q[2].mean() < 0  # heat flows downward from the hot top
+    # coarse angular sets leave some lateral flux noise; it must at least be
+    # subdominant
+    assert abs(Q[0].mean()) < abs(Q[2].mean())
+    header = (tmp_path / "slice3d.txt").read_text().splitlines()[0]
+    assert header.startswith("# nx 12 ny 12 z")
