@@ -89,6 +89,7 @@ class SourceIterationSolver:
         cache_policy: str = "full",  # "full" | "per-iteration"
         require_bcs: bool = True,
         dir_sharding=None,  # optional jax.sharding.NamedSharding for the Km axis
+        use_pallas: bool = False,  # Pallas kernel for the level solve
     ):
         import jax
         import jax.numpy as jnp
@@ -102,6 +103,7 @@ class SourceIterationSolver:
         if cache_policy not in ("full", "on-the-fly"):
             raise ValueError(f"unknown cache_policy: {cache_policy}")
         self.cache_policy = cache_policy
+        self.use_pallas = use_pallas
 
         self.ne = ne = ops.num_elements
         self.D = D = ops.ndof
@@ -387,7 +389,21 @@ class SourceIterationSolver:
                         lax.dynamic_slice_in_dim(g_mass, offc, W, axis=-1),
                         lax.dynamic_slice_in_dim(mats, offc, W, axis=-1),
                     )
-                sol = jnp.einsum("kbijw,kbjw->kbiw", a_inv_l, rhs)
+                if self.use_pallas:
+                    from pbte_tpu.ops.level_solve import level_solve
+
+                    Kmv, BSv = rhs.shape[0], rhs.shape[1]
+                    KB = Kmv * BSv
+                    blk = 8
+                    while KB % blk:
+                        blk //= 2
+                    sol = level_solve(
+                        a_inv_l.reshape(KB, D, D, W),
+                        rhs.reshape(KB, D, W),
+                        block=max(blk, 1),
+                    ).reshape(Kmv, BSv, D, W)
+                else:
+                    sol = jnp.einsum("kbijw,kbjw->kbiw", a_inv_l, rhs)
                 mine = (iota >= shift) & (iota < shift + count)
                 sol = jnp.where(mine[None, None, None, :], sol, u_e)
                 return lax.dynamic_update_slice_in_dim(u_g, sol, offc, axis=-1), None
