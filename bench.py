@@ -4,7 +4,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Metric: element-ordinate DOF/s swept (the BASELINE.md north-star) on a 3D
 unit-cube hex mesh, p=2 L2 elements, 8x8 product angular quadrature, full
-non-gray 2x20-band silicon spectrum, float32, mfem-parity faces.
+non-gray 2x20-band silicon spectrum, float32, consistent DG faces, and the
+eigendecomposition-compressed transport operators (cache_policy="eigen":
+band-independent complex factors, ~10x less HBM than direct inverses).
 
 vs_baseline: the reference publishes no benchmark numbers (BASELINE.md), so
 the baseline is constructed from the sequential oracle (an algorithmically
@@ -54,10 +56,11 @@ def main() -> None:
     azimuth = int(os.environ.get("PBTE_BENCH_AZIMUTH", 8))
     nspec = int(os.environ.get("PBTE_BENCH_NSPEC", 20))
     steps = int(os.environ.get("PBTE_BENCH_STEPS", 20))
+    policy = os.environ.get("PBTE_BENCH_POLICY", "eigen")
 
     solver = _build_problem(
         nx=nx, order=order, polar=polar, azimuth=azimuth, nspec=nspec,
-        dtype=jnp.float32, geom="hex", dim=3,
+        dtype=jnp.float32, geom="hex", dim=3, cache_policy=policy,
     )
     ne, D, K, BS = solver.ne, solver.D, solver.K, solver.BS
     print(

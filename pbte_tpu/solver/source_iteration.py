@@ -100,7 +100,7 @@ class SourceIterationSolver:
         np_dtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
         if cache_policy == "per-iteration":
             cache_policy = "on-the-fly"  # back-compat alias
-        if cache_policy not in ("full", "on-the-fly"):
+        if cache_policy not in ("full", "on-the-fly", "eigen"):
             raise ValueError(f"unknown cache_policy: {cache_policy}")
         self.cache_policy = cache_policy
         self.use_pallas = use_pallas
@@ -237,6 +237,40 @@ class SourceIterationSolver:
                 a_inv[g] = np.moveaxis(np.linalg.inv(A_g), 2, -1).astype(np_dtype)
             mats = sput(a_inv)
             del a_inv
+        elif cache_policy == "eigen":
+            # Eigendecomposition compression: A(vg) = M (I + vg C) with
+            # C = M^-1 G = V diag(lam) V^-1, so
+            #   A^-1(vg) = V diag(1/(1 + vg lam)) (V^-1 M^-1)
+            # The factors are BAND-INDEPENDENT: storage/transfer shrink ~10x
+            # (2 complex D x D per (dir, elem) instead of BS real ones) and
+            # the decomposition count shrinks BS-fold. Measured eigenvector
+            # conditioning is benign (cond(V) ~ 1e2) and f64 reconstruction
+            # error ~1e-14 on flagship operators; the complex pair structure
+            # costs 4x flops on the apply, amortized by the 10x less HBM.
+            # complex arithmetic is split into real/imaginary parts (this
+            # TPU backend lacks complex einsum)
+            P = np.empty((G, Km, 2, D, D, ne), dtype=np_dtype)
+            Qm = np.empty((G, Km, 2, D, D, ne), dtype=np_dtype)
+            lam = np.empty((G, Km, 2, D, ne), dtype=np_dtype)
+            for g in range(G):
+                Minv_g = np.linalg.inv(mass_g[g])  # (ne, D, D)
+                for k in range(Km):
+                    G_k = -np.einsum(
+                        "d,edij->eij", dirs_np[dirs_safe[g, k]], stiff_g[g]
+                    ) + np.einsum(
+                        "fe,efij->eij", np.maximum(fdot[g, k], 0.0), fmass_g[g]
+                    )
+                    C = Minv_g @ G_k  # (ne, D, D)
+                    w, V = np.linalg.eig(C)  # batched complex
+                    Vinv = np.linalg.inv(V)
+                    Q_c = Vinv @ Minv_g
+                    P[g, k, 0] = V.real.transpose(1, 2, 0)
+                    P[g, k, 1] = V.imag.transpose(1, 2, 0)
+                    Qm[g, k, 0] = Q_c.real.transpose(1, 2, 0)
+                    Qm[g, k, 1] = Q_c.imag.transpose(1, 2, 0)
+                    lam[g, k, 0] = w.real.T
+                    lam[g, k, 1] = w.imag.T
+            mats = (jax.device_put(P), jax.device_put(Qm), jax.device_put(lam))
         else:
             G_mat = np.empty((G, Km, D, D, ne))
             for g in range(G):
@@ -381,6 +415,28 @@ class SourceIterationSolver:
                 rhs = rhs - c["vg"][None, :, None, None] * (
                     interior + c["bc_w"][None, :, None, None] * bsrc[:, None]
                 )
+                if self.cache_policy == "eigen":
+                    # complex arithmetic via split real/imag parts
+                    P_l = lax.dynamic_slice_in_dim(mats[0], offc, W, axis=-1)
+                    Q_l = lax.dynamic_slice_in_dim(mats[1], offc, W, axis=-1)
+                    lam_l = lax.dynamic_slice_in_dim(mats[2], offc, W, axis=-1)
+                    t_re = jnp.einsum("kijw,kbjw->kbiw", Q_l[:, 0], rhs)
+                    t_im = jnp.einsum("kijw,kbjw->kbiw", Q_l[:, 1], rhs)
+                    vgb = c["vg"][None, :, None, None]
+                    d_re = 1.0 + vgb * lam_l[:, None, 0]
+                    d_im = vgb * lam_l[:, None, 1]
+                    inv_mag = 1.0 / (d_re * d_re + d_im * d_im)
+                    s_re = (t_re * d_re + t_im * d_im) * inv_mag
+                    s_im = (t_im * d_re - t_re * d_im) * inv_mag
+                    sol = (
+                        jnp.einsum("kijw,kbjw->kbiw", P_l[:, 0], s_re)
+                        - jnp.einsum("kijw,kbjw->kbiw", P_l[:, 1], s_im)
+                    )
+                    mine = (iota >= shift) & (iota < shift + count)
+                    sol = jnp.where(mine[None, None, None, :], sol, u_e)
+                    return lax.dynamic_update_slice_in_dim(
+                        u_g, sol, offc, axis=-1
+                    ), None
                 if self.cache_policy == "full":
                     a_inv_l = lax.dynamic_slice_in_dim(mats, offc, W, axis=-1)
                 else:

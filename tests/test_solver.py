@@ -113,3 +113,15 @@ def test_missing_bc_raises(reference_root):
     m, ops, quad, tables = _demo_problem(reference_root, nspec=2, ndir=8)
     with pytest.raises(ValueError, match="without isothermal BC"):
         SourceIterationSolver(ops, quad, tables, {1: -0.5})
+
+
+def test_eigen_policy_matches_full(reference_root):
+    """Eigendecomposition operator compression == direct inverses (f64)."""
+    m, ops, quad, tables = _demo_problem(reference_root, nspec=4, ndir=8)
+    s_full = SourceIterationSolver(ops, quad, tables, BCS, cache_policy="full")
+    s_eig = SourceIterationSolver(ops, quad, tables, BCS, cache_policy="eigen")
+    rf = s_full.solve(tol=0, max_iter=5, verbose=False)
+    re_ = s_eig.solve(tol=0, max_iter=5, verbose=False)
+    np.testing.assert_allclose(
+        np.asarray(re_.Tc), np.asarray(rf.Tc), rtol=1e-9, atol=1e-13
+    )
