@@ -60,6 +60,9 @@ def main(argv=None) -> int:
     ap.add_argument("--check-every", type=int, default=1)
     ap.add_argument("--profile", default="",
                     help="write a jax profiler trace of the solve to this dir")
+    ap.add_argument("-p", "--parallel", default="",
+                    help="run the domain-decomposed solver over a DIRxSPACE "
+                         "device mesh, e.g. '2x4' (needs dir*space devices)")
     args = ap.parse_args(argv)
 
     jax = _setup_jax(args.platform, x64=(args.dtype == "f64"))
@@ -135,12 +138,43 @@ def main(argv=None) -> int:
         nongray_smrt.write_tables(tables, os.path.join(log_dir, "phonon_properties.txt"))
 
     dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
-    solver = SourceIterationSolver(
-        ops, quad, tables, rc.bc_temps, dtype=dtype, cache_policy=args.cache_policy
-    )
-    print(f"[pbte_tpu] solver: groups={solver.plan.num_groups} "
-          f"levels<={solver.plan.max_levels} width<={solver.plan.max_width} "
-          f"padding={solver.plan.padding_ratio():.1%} ({time.time()-t0:.1f}s)")
+    if args.parallel:
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        from pbte_tpu.parallel.spatial import SpatialShardedSolver
+
+        try:
+            n_dir, n_space = (int(x) for x in args.parallel.lower().split("x"))
+        except ValueError:
+            raise SystemExit(
+                f"--parallel expects DIRxSPACE (e.g. 2x4), got {args.parallel!r}"
+            )
+        devs = jax.devices()
+        if len(devs) < n_dir * n_space:
+            raise SystemExit(
+                f"--parallel {args.parallel} needs {n_dir * n_space} devices, "
+                f"found {len(devs)}"
+            )
+        dmesh = Mesh(_np.array(devs[: n_dir * n_space]).reshape(n_dir, n_space),
+                     axis_names=("dir", "space"))
+        solver = SpatialShardedSolver(
+            ops, quad, tables, rc.bc_temps, device_mesh=dmesh, topo=topo,
+            dtype=dtype,
+        )
+        print(f"[pbte_tpu] parallel solver: mesh (dir={n_dir}, space={n_space}), "
+              f"partitions={solver.pplan.nparts} "
+              f"interface={solver.pplan.num_interface} "
+              f"load_balance={solver.pplan.load_balance():.2f} "
+              f"({time.time()-t0:.1f}s)")
+    else:
+        solver = SourceIterationSolver(
+            ops, quad, tables, rc.bc_temps, dtype=dtype,
+            cache_policy=args.cache_policy,
+        )
+        print(f"[pbte_tpu] solver: groups={solver.plan.num_groups} "
+              f"levels<={solver.plan.max_levels} width<={solver.plan.max_width} "
+              f"padding={solver.plan.padding_ratio():.1%} ({time.time()-t0:.1f}s)")
 
     t1 = time.time()
     if args.profile:
@@ -158,17 +192,19 @@ def main(argv=None) -> int:
           f"{t_solve:.2f}s, {dof_swept / max(t_solve, 1e-9):.3e} "
           f"element-ordinate DOF/s")
 
+    Tc_out = res.Tc_global() if args.parallel else res.Tc
     if not args.no_dumps:
-        writers.write_temperature(res.Tc, os.path.join(log_dir, "Tc_all.txt"))
-        writers.write_coefficients(res.u_dirs(), quad, tables.num_branches,
-                                   os.path.join(log_dir, "coeff_all.txt"))
+        writers.write_temperature(Tc_out, os.path.join(log_dir, "Tc_all.txt"))
+        if not args.parallel:
+            writers.write_coefficients(res.u_dirs(), quad, tables.num_branches,
+                                       os.path.join(log_dir, "coeff_all.txt"))
         writers.write_element_integrals(ops, os.path.join(log_dir, "integrals_all.txt"))
     if m.dim == 2:
-        write_2d_slice(m, rc.order, res.Tc,
+        write_2d_slice(m, rc.order, Tc_out,
                        os.path.join(rc.output_dir, "2D/results/T_slice.txt"), 100, 100)
         print(f"[pbte_tpu] 2D temperature slice written to "
               f"{rc.output_dir}/2D/results/T_slice.txt")
-    if args.vtu:
+    if args.vtu and not args.parallel:
         from pbte_tpu.io.vtu import write_vtu
 
         Qc, _ = solver.heat_flux(res.u)

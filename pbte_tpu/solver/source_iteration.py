@@ -373,7 +373,6 @@ class SourceIterationSolver:
         TcT = Tc.T  # (D, ne)
 
         ne = self.ne
-        w_iota = None
 
         def sweep_group(u_g, TcT_g, mass_t, face_int, coupling, nbr_pos, bc_T,
                         fdot, mats, g_mass, offsets_g, counts_g):

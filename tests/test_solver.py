@@ -125,3 +125,22 @@ def test_eigen_policy_matches_full(reference_root):
     np.testing.assert_allclose(
         np.asarray(re_.Tc), np.asarray(rf.Tc), rtol=1e-9, atol=1e-13
     )
+
+
+def test_3d_angles_on_2d_mesh(reference_root):
+    """The reference notes this mismatch case (2D mesh + 3D angles) as an open
+    issue but its sweep logs exercise it (sweep_dim3 golden = 576 dirs on the
+    8-element 2D mesh). Our solver handles it: only the in-plane direction
+    components couple to the 2D operators; out-of-plane weight still enters
+    the angular reduction."""
+    m, ops, quad2, tables = _demo_problem(reference_root, refine=1, nspec=2)
+    from pbte_tpu.angular import quadrature as ang
+
+    quad3 = ang.build(ang.AngularOptions(dimension=3, polar_points=4, azimuth_points=8))
+    solver = SourceIterationSolver(ops, quad3, tables, BCS)
+    res = solver.solve(tol=0, max_iter=10, verbose=False)
+    Tc = np.asarray(res.Tc)
+    assert np.isfinite(Tc).all()
+    # hot top boundary -> top-adjacent elements warmer on average
+    uo, Tco, *_ = solve_oracle(ops, quad3, tables, BCS, tol=0, max_iter=10)
+    np.testing.assert_allclose(Tc, Tco, rtol=1e-9, atol=1e-13)
