@@ -90,6 +90,7 @@ class SourceIterationSolver:
         require_bcs: bool = True,
         dir_sharding=None,  # optional jax.sharding.NamedSharding for the Km axis
         use_pallas: bool = False,  # Pallas kernel for the level solve
+        scan_unroll: int = 1,  # unroll factor for the level scan
     ):
         import jax
         import jax.numpy as jnp
@@ -104,6 +105,7 @@ class SourceIterationSolver:
             raise ValueError(f"unknown cache_policy: {cache_policy}")
         self.cache_policy = cache_policy
         self.use_pallas = use_pallas
+        self.scan_unroll = scan_unroll
 
         self.ne = ne = ops.num_elements
         self.D = D = ops.ndof
@@ -374,6 +376,9 @@ class SourceIterationSolver:
 
         ne = self.ne
 
+        def _write(u_g, sol, offc):
+            return lax.dynamic_update_slice_in_dim(u_g, sol, offc, axis=-1)
+
         def sweep_group(u_g, TcT_g, mass_t, face_int, coupling, nbr_pos, bc_T,
                         fdot, mats, g_mass, offsets_g, counts_g):
             # u_g (Km, BS, D, ne); compact group-level-concatenated order
@@ -433,9 +438,7 @@ class SourceIterationSolver:
                     )
                     mine = (iota >= shift) & (iota < shift + count)
                     sol = jnp.where(mine[None, None, None, :], sol, u_e)
-                    return lax.dynamic_update_slice_in_dim(
-                        u_g, sol, offc, axis=-1
-                    ), None
+                    return _write(u_g, sol, offc), None
                 if self.cache_policy == "full":
                     a_inv_l = lax.dynamic_slice_in_dim(mats, offc, W, axis=-1)
                 else:
@@ -461,9 +464,10 @@ class SourceIterationSolver:
                     sol = jnp.einsum("kbijw,kbjw->kbiw", a_inv_l, rhs)
                 mine = (iota >= shift) & (iota < shift + count)
                 sol = jnp.where(mine[None, None, None, :], sol, u_e)
-                return lax.dynamic_update_slice_in_dim(u_g, sol, offc, axis=-1), None
+                return _write(u_g, sol, offc), None
 
-            u_g, _ = lax.scan(level_body, u_g, (offsets_g, counts_g))
+            u_g, _ = lax.scan(level_body, u_g, (offsets_g, counts_g),
+                              unroll=self.scan_unroll)
             return u_g
 
         # per-group view of Tc in group-level order (padding reads element 0;
