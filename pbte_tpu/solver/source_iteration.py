@@ -153,49 +153,67 @@ class SourceIterationSolver:
         dirs_np = quad.directions[:, : self.dim]
         dirs_safe = np.where(dir_valid, dirs_pad, 0)
 
-        # ---- compact level-concatenated element ordering per group ----------
-        # perm[g] = concatenation of level member lists (length exactly ne);
-        # level l occupies positions [offsets[g,l], offsets[g,l]+counts[g,l])
+        # ---- level-ordered element layout per group --------------------------
+        # Compact mode (default): perm[g] concatenates level member lists
+        # (length exactly ne); level l occupies [offsets[g,l], +counts[g,l]).
+        # Padded mode (the fused Pallas sweep): level l occupies the fixed
+        # slab [l*W, (l+1)*W) with -1 padding — required so kernel blocks are
+        # aligned; padded slots carry zero weights everywhere.
         self.L = L = plan.max_levels
         self.W = W = min(plan.max_width, ne)
-        self.ne_pad = ne_pad = ne  # compact: no interspersed padding
-        perm = np.empty((G, ne), dtype=np.int64)
-        counts = np.zeros((G, L), dtype=np.int32)
-        offsets = np.zeros((G, L), dtype=np.int32)
-        for g in range(G):
-            pos = 0
-            for l in range(L):
-                row = plan.levels[g, l]
-                elems = row[row >= 0]
-                counts[g, l] = len(elems)
-                offsets[g, l] = pos
-                perm[g, pos : pos + len(elems)] = elems
-                pos += len(elems)
-            assert pos == ne
-        perm_safe = perm
+        self.padded = bool(use_pallas)
+        if self.padded:
+            self.ne_pad = ne_pad = L * W
+            perm = plan.levels.reshape(G, ne_pad).astype(np.int64)  # -1 padded
+            counts = np.zeros((G, L), dtype=np.int32)
+            offsets = np.tile(np.arange(L, dtype=np.int32) * W, (G, 1))
+            for g in range(G):
+                counts[g] = (plan.levels[g] >= 0).sum(axis=1)
+        else:
+            self.ne_pad = ne_pad = ne  # compact: no interspersed padding
+            perm = np.empty((G, ne), dtype=np.int64)
+            counts = np.zeros((G, L), dtype=np.int32)
+            offsets = np.zeros((G, L), dtype=np.int32)
+            for g in range(G):
+                pos = 0
+                for l in range(L):
+                    row = plan.levels[g, l]
+                    elems = row[row >= 0]
+                    counts[g, l] = len(elems)
+                    offsets[g, l] = pos
+                    perm[g, pos : pos + len(elems)] = elems
+                    pos += len(elems)
+                assert pos == ne
+        pos_valid = perm >= 0  # (G, ne_pad)
+        perm_safe = np.where(pos_valid, perm, 0)
         # inverse: position of global element e in group-g order
         pos_of_elem = np.zeros((G, ne), dtype=np.int32)
         for g in range(G):
-            pos_of_elem[g, perm[g]] = np.arange(ne)
+            pos_of_elem[g, perm_safe[g][pos_valid[g]]] = np.flatnonzero(pos_valid[g])
         self._perm = perm
         self._offsets = offsets
         self._counts = counts
+        self._pos_valid = pos_valid
 
-        # neighbor positions per group: (G, nf, ne), -1 for boundary
+        # neighbor positions per group: (G, nf, ne_pad), -1 boundary/padding
         nbr = ops.neighbor  # (ne, nf)
-        nbr_g = nbr[perm]  # (G, ne, nf)
+        nbr_g = nbr[perm_safe]  # (G, ne_pad, nf)
         nbr_pos = np.where(
-            nbr_g >= 0,
+            (nbr_g >= 0) & pos_valid[..., None],
             np.take_along_axis(
                 pos_of_elem, np.clip(nbr_g, 0, None).reshape(G, -1), axis=1
-            ).reshape(G, ne, nf),
+            ).reshape(G, ne_pad, nf),
             -1,
         )
-        nbr_pos = np.swapaxes(nbr_pos, 1, 2)  # (G, nf, ne)
+        nbr_pos = np.swapaxes(nbr_pos, 1, 2)  # (G, nf, ne_pad)
 
         def gperm(a, extra_axes=None):
-            """a (ne, ...) -> (G, ..., ne) in group order."""
-            return np.moveaxis(a[perm], 1, -1)
+            """a (ne, ...) -> (G, ..., ne_pad) in group order, zero padded."""
+            g = a[perm_safe]
+            g = np.where(
+                pos_valid.reshape(G, ne_pad, *([1] * (g.ndim - 2))), g, 0
+            )
+            return np.moveaxis(g, 1, -1)
 
         mass_t_g = gperm(np.swapaxes(ops.mass, -1, -2), None)  # (G, D, D, ne_pad)
         face_int_g = gperm(ops.face_int, None)  # (G, nf, D, ne_pad)
@@ -208,7 +226,6 @@ class SourceIterationSolver:
         )  # (G, Km, nf, ne_pad)
 
         self._dir_sharding = dir_sharding
-        pos_valid = np.ones((G, ne), dtype=bool)  # compact layout: all real
         put = lambda a: jax.device_put(np.ascontiguousarray(a, dtype=np_dtype))
         iput = lambda a: jax.device_put(np.ascontiguousarray(a, dtype=np.int32))
 
@@ -220,12 +237,17 @@ class SourceIterationSolver:
 
         # ---- transport operator (host, float64, chunked batched inverse) ---
         vg_s = vg / self.dt_inv  # non-dimensionalized group velocity
-        stiff_g = ops.stiff[perm]  # (G, ne, dim, D, D)
-        fmass_g = ops.face_mass[perm]  # (G, ne, nf, D, D)
-        mass_g = ops.mass[perm]  # (G, ne, D, D)
+        stiff_g = ops.stiff[perm_safe]  # (G, ne_pad, dim, D, D)
+        fmass_g = ops.face_mass[perm_safe]  # (G, ne_pad, nf, D, D)
+        mass_g = ops.mass[perm_safe]  # (G, ne_pad, D, D)
+        if self.padded:
+            # inert padding: identity mass, zero transport (keeps eig/inv sane)
+            stiff_g = np.where(pos_valid[..., None, None, None], stiff_g, 0.0)
+            fmass_g = np.where(pos_valid[..., None, None, None], fmass_g, 0.0)
+            mass_g = np.where(pos_valid[..., None, None], mass_g, np.eye(D))
 
         if cache_policy == "full":
-            a_inv = np.empty((G, Km, BS, D, D, ne), dtype=np_dtype)
+            a_inv = np.empty((G, Km, BS, D, D, ne_pad), dtype=np_dtype)
             for g in range(G):
                 G_g = -np.einsum(
                     "kd,edij->keij", dirs_np[dirs_safe[g]], stiff_g[g]
@@ -251,9 +273,9 @@ class SourceIterationSolver:
             # costs 4x flops on the apply, amortized by the 10x less HBM.
             # complex arithmetic is split into real/imaginary parts (this
             # TPU backend lacks complex einsum)
-            P = np.empty((G, Km, 2, D, D, ne), dtype=np_dtype)
-            Qm = np.empty((G, Km, 2, D, D, ne), dtype=np_dtype)
-            lam = np.empty((G, Km, 2, D, ne), dtype=np_dtype)
+            P = np.empty((G, Km, 2, D, D, ne_pad), dtype=np_dtype)
+            Qm = np.empty((G, Km, 2, D, D, ne_pad), dtype=np_dtype)
+            lam = np.empty((G, Km, 2, D, ne_pad), dtype=np_dtype)
             for g in range(G):
                 Minv_g = np.linalg.inv(mass_g[g])  # (ne, D, D)
                 for k in range(Km):
@@ -274,7 +296,7 @@ class SourceIterationSolver:
                     lam[g, k, 1] = w.imag.T
             mats = (jax.device_put(P), jax.device_put(Qm), jax.device_put(lam))
         else:
-            G_mat = np.empty((G, Km, D, D, ne))
+            G_mat = np.empty((G, Km, D, D, ne_pad))
             for g in range(G):
                 G_g = -np.einsum(
                     "kd,edij->keij", dirs_np[dirs_safe[g]], stiff_g[g]
@@ -305,7 +327,7 @@ class SourceIterationSolver:
             nbr_pos=iput(nbr_pos),  # (G, nf, ne_pad), -1 bdry/pad
             bc_T=put(bc_T_g),  # (G, nf, ne_pad)
             pos_of_elem=iput(pos_of_elem),  # (G, ne)
-            perm=iput(perm),  # (G, ne): global elem at position
+            perm=iput(perm_safe),  # (G, ne_pad): global elem at position (safe)
             offsets=iput(offsets),  # (G, L) level start positions
             counts=iput(counts),  # (G, L) level widths
             vg=put(vg_s),
@@ -317,7 +339,90 @@ class SourceIterationSolver:
             fdot=sput(fdot),  # (G, Km, nf, ne_pad)
             mats=mats,
         )
+
+        # ---- fused Pallas sweep plan (padded mode) --------------------------
+        self._fused = None
+        if self.padded:
+            if cache_policy != "eigen":
+                raise ValueError("use_pallas requires cache_policy='eigen'")
+            from pbte_tpu.ops import fused_sweep as fs
+
+            H = max(fs.max_level_gap(nbr_pos[g], W) for g in range(G))
+            if H > 4:
+                import warnings
+
+                warnings.warn(
+                    f"fused Pallas sweep disabled: upwind level gap {H} "
+                    "exceeds the ring bound; using the XLA scan path"
+                )
+                self.use_pallas = False
+            else:
+                plans = [
+                    fs.build_group_plan(nbr_pos[g], pos_valid[g], L, W, H)
+                    for g in range(G)
+                ]
+                cin_all = np.minimum(fdot, 0.0)  # (G, Km, nf, ne_pad)
+                is_b_all = nbr_pos < 0  # (G, nf, ne_pad)
+                cin_int = np.where(is_b_all[:, None], 0.0, cin_all)
+                nf_ = self.nf
+                # leading-L layouts (Pallas blocks slice the level axis only)
+                oh_lw = np.stack([gp.onehot for gp in plans])  # (G,nf,HW,L,W)
+                self._fused = dict(
+                    H=H,
+                    onehot=jax.device_put(
+                        np.ascontiguousarray(
+                            oh_lw.transpose(0, 3, 1, 2, 4), dtype=np_dtype)
+                    ),  # (G, L, nf, HW, W)
+                    valid=jax.device_put(
+                        np.stack([gp.valid for gp in plans])[:, :, None]
+                        .astype(np_dtype)
+                    ),  # (G, L, 1, W)
+                    cin_int=jax.device_put(
+                        np.ascontiguousarray(
+                            cin_int.reshape(G, Km, nf_, L, W)
+                            .transpose(0, 3, 1, 2, 4), dtype=np_dtype)
+                    ),  # (G, L, Km, nf, W)
+                    cpl=jax.device_put(
+                        np.ascontiguousarray(
+                            coupling_g.reshape(G, nf_, D, D, L, W)
+                            .transpose(0, 4, 1, 2, 3, 5), dtype=np_dtype)
+                    ),  # (G, L, nf, D, D, W)
+                    pre=jax.device_put(np.ascontiguousarray(
+                        P[:, :, 0].reshape(G, Km, D, D, L, W)
+                        .transpose(0, 4, 1, 2, 3, 5), dtype=np_dtype)),
+                    pim=jax.device_put(np.ascontiguousarray(
+                        P[:, :, 1].reshape(G, Km, D, D, L, W)
+                        .transpose(0, 4, 1, 2, 3, 5), dtype=np_dtype)),
+                    qre=jax.device_put(np.ascontiguousarray(
+                        Qm[:, :, 0].reshape(G, Km, D, D, L, W)
+                        .transpose(0, 4, 1, 2, 3, 5), dtype=np_dtype)),
+                    qim=jax.device_put(np.ascontiguousarray(
+                        Qm[:, :, 1].reshape(G, Km, D, D, L, W)
+                        .transpose(0, 4, 1, 2, 3, 5), dtype=np_dtype)),
+                    lre=jax.device_put(np.ascontiguousarray(
+                        lam[:, :, 0].reshape(G, Km, D, L, W)
+                        .transpose(0, 3, 1, 2, 4), dtype=np_dtype)),
+                    lim=jax.device_put(np.ascontiguousarray(
+                        lam[:, :, 1].reshape(G, Km, D, L, W)
+                        .transpose(0, 3, 1, 2, 4), dtype=np_dtype)),
+                    vg2=jax.device_put(vg_s[:, None].astype(np_dtype)),  # (BS, 1)
+                )
         self._step = jax.jit(self._step_impl)
+        self._rhs_base = jax.jit(self._rhs_base_impl)
+        self._macro = jax.jit(self._macro_impl)
+        if self._fused is not None:
+            # build the jitted Pallas sweep ONCE with a stable identity:
+            # calling fused_sweep() directly per step re-lowers the (heavily
+            # unrolled) kernel on the host every call (~10 s/call measured)
+            import functools
+
+            from pbte_tpu.ops.fused_sweep import fused_sweep, pick_km_chunk
+
+            interp = jax.devices()[0].platform not in ("tpu", "axon")
+            self._fused["km_chunk"] = pick_km_chunk(
+                self.Km, self.D, self.BS, self.W, self.nf, self._fused["H"])
+            self._fused_call = jax.jit(functools.partial(
+                fused_sweep, H=self._fused["H"], interpret=interp))
 
     def _slot_sharding(self, a):
         """NamedSharding for a slot-major array: shard axis 1 (Km)."""
@@ -335,7 +440,10 @@ class SourceIterationSolver:
         import jax
         import jax.numpy as jnp
 
-        shape = (self.G, self.Km, self.BS, self.D, self.ne_pad)
+        if getattr(self, "_fused", None) is not None and self.use_pallas:
+            shape = (self.G, self.L, self.Km, self.D, self.BS, self.W)
+        else:
+            shape = (self.G, self.Km, self.BS, self.D, self.ne_pad)
         if self._dir_sharding is not None:
             u = jax.device_put(
                 jnp.zeros(shape, dtype=self.dtype),
@@ -370,6 +478,9 @@ class SourceIterationSolver:
         import jax.numpy as jnp
         from jax import lax
 
+        if self.use_pallas and self._fused is not None:
+            return self._step_pallas(c, u, Tc, Tv_prev)
+
         G, W, L, nf, D = self.G, self.W, self.L, self.nf, self.D
 
         TcT = Tc.T  # (D, ne)
@@ -384,6 +495,26 @@ class SourceIterationSolver:
             # u_g (Km, BS, D, ne); compact group-level-concatenated order
             iota = jnp.arange(W)
 
+            # ---- hoisted rhs base: everything that does not depend on the
+            # in-sweep neighbor values, computed for ALL elements in one
+            # batched pass (big MXU matmuls, no per-level overhead) ----
+            t_tc = jnp.einsum("ijE,jE->iE", mass_t, TcT_g)  # (D, ne)
+            t_old = jnp.einsum("ijE,kbjE->kbiE", mass_t, u_g)  # (Km, BS, D, ne)
+            cin_all = jnp.minimum(fdot, 0.0)  # (Km, nf, ne)
+            is_b_all = nbr_pos < 0  # (nf, ne)
+            cin_bnd_all = jnp.where(is_b_all[None], cin_all, 0.0)
+            bsrc = jnp.einsum(
+                "kfE,fE,fiE->kiE", cin_bnd_all, bc_T, face_int
+            )  # (Km, D, ne)
+            rhs_base = (
+                c["src_w"][None, :, None, None] * t_tc[None, None]
+                + c["relax_w"][None, :, None, None] * t_old
+                - c["vg"][None, :, None, None]
+                * c["bc_w"][None, :, None, None]
+                * bsrc[:, None]
+            )  # (Km, BS, D, ne)
+            cin_int_all = jnp.where(is_b_all[None], 0.0, cin_all)
+
             def level_body(u_g, oc):
                 off, count = oc
                 # clamp so the static-width window stays in bounds; slots
@@ -393,32 +524,17 @@ class SourceIterationSolver:
                 offc = jnp.minimum(off, ne - W)
                 shift = off - offc  # first `shift` slots belong to levels < l
                 sl = lambda a: lax.dynamic_slice_in_dim(a, offc, W, axis=-1)
-                Mt = sl(mass_t)  # (D, D, W)
-                t_tc = jnp.einsum("ijw,jw->iw", Mt, sl(TcT_g))
                 u_e = sl(u_g)  # (Km, BS, D, W)
-                t_old = jnp.einsum("ijw,kbjw->kbiw", Mt, u_e)
-                rhs = (
-                    c["src_w"][None, :, None, None] * t_tc[None, None]
-                    + c["relax_w"][None, :, None, None] * t_old
-                )  # (Km, BS, D, W)
+                rhs = sl(rhs_base)
                 # all faces fused: ONE neighbor gather + ONE coupling einsum
                 npos = sl(nbr_pos)  # (nf, W) neighbor position or -1
                 is_b = npos < 0  # boundary
                 u_nbr = u_g[:, :, :, jnp.where(is_b, 0, npos)]  # (Km, BS, D, nf, W)
-                cin = jnp.minimum(sl(fdot), 0.0)  # (Km, nf, W) inflow factor / vg
-                cin_int = jnp.where(is_b[None], 0.0, cin)
-                cin_bnd = jnp.where(is_b[None], cin, 0.0)
-                # interior inflow: sum_f cin_f * (C_f u_nbr_f)
                 interior = jnp.einsum(
-                    "fijw,kfw,kbjfw->kbiw", sl(coupling), cin_int, u_nbr
+                    "fijw,kfw,kbjfw->kbiw",
+                    sl(coupling), sl(cin_int_all), u_nbr,
                 )  # (Km, BS, D, W)
-                # boundary inflow: sum_f cin_f * Tbc_f * If (band factor bc_w)
-                bsrc = jnp.einsum(
-                    "kfw,fw,fiw->kiw", cin_bnd, sl(bc_T), sl(face_int)
-                )  # (Km, D, W)
-                rhs = rhs - c["vg"][None, :, None, None] * (
-                    interior + c["bc_w"][None, :, None, None] * bsrc[:, None]
-                )
+                rhs = rhs - c["vg"][None, :, None, None] * interior
                 if self.cache_policy == "eigen":
                     # complex arithmetic via split real/imag parts
                     P_l = lax.dynamic_slice_in_dim(mats[0], offc, W, axis=-1)
@@ -447,21 +563,7 @@ class SourceIterationSolver:
                         lax.dynamic_slice_in_dim(g_mass, offc, W, axis=-1),
                         lax.dynamic_slice_in_dim(mats, offc, W, axis=-1),
                     )
-                if self.use_pallas:
-                    from pbte_tpu.ops.level_solve import level_solve
-
-                    Kmv, BSv = rhs.shape[0], rhs.shape[1]
-                    KB = Kmv * BSv
-                    blk = 8
-                    while KB % blk:
-                        blk //= 2
-                    sol = level_solve(
-                        a_inv_l.reshape(KB, D, D, W),
-                        rhs.reshape(KB, D, W),
-                        block=max(blk, 1),
-                    ).reshape(Kmv, BSv, D, W)
-                else:
-                    sol = jnp.einsum("kbijw,kbjw->kbiw", a_inv_l, rhs)
+                sol = jnp.einsum("kbijw,kbjw->kbiw", a_inv_l, rhs)
                 mine = (iota >= shift) & (iota < shift + count)
                 sol = jnp.where(mine[None, None, None, :], sol, u_e)
                 return _write(u_g, sol, offc), None
@@ -488,10 +590,94 @@ class SourceIterationSolver:
         res = macroscopic.residual(Tv_new, Tv_prev)
         return u, Tc_new, Tv_new, res
 
+    def _rhs_base_impl(self, c, u, Tc):
+        """rhs base for all groups/elements (fused path), emitted directly in
+        the kernel's (G, L, Km, BS, D, W) layout by the einsums."""
+        import jax.numpy as jnp
+
+        G, Km, BS, D = self.G, self.Km, self.BS, self.D
+        L, W, nf = self.L, self.W, self.nf
+        TcT = Tc.T
+        TcT_groups = jnp.moveaxis(TcT[:, c["perm"]], 1, 0)  # (G, D, ne_pad)
+        tc_lw = TcT_groups.reshape(G, D, L, W)
+        mt_lw = c["mass_t"].reshape(G, D, D, L, W)
+        t_tc = jnp.einsum("gijlw,gjlw->gliw", mt_lw, tc_lw)
+        t_old = jnp.einsum("gijlw,glkjbw->glkibw", mt_lw, u)
+        cin_all = jnp.minimum(c["fdot"], 0.0)  # (G, Km, nf, ne_pad)
+        is_b = c["nbr_pos"] < 0
+        cin_bnd = jnp.where(is_b[:, None], cin_all, 0.0).reshape(
+            G, Km, nf, L, W
+        )
+        bsrc = jnp.einsum(
+            "gkflw,gflw,gfilw->glkiw",
+            cin_bnd,
+            c["bc_T"].reshape(G, nf, L, W),
+            c["face_int"].reshape(G, nf, D, L, W),
+        )  # (G, L, Km, D, W)
+        return (
+            c["src_w"][None, None, None, None, :, None]
+            * t_tc[:, :, None, :, None, :]
+            + c["relax_w"][None, None, None, None, :, None] * t_old
+            - c["vg"][None, None, None, None, :, None]
+            * c["bc_w"][None, None, None, None, :, None]
+            * bsrc[:, :, :, :, None, :]
+        )  # (G, L, Km, D, BS, W)
+
+    def _macro_impl(self, c, u_new, Tv_prev):
+        import jax
+        import jax.numpy as jnp
+
+        partial = jnp.einsum(
+            "gkb,glkibw->gilw", c["macro_w"], u_new
+        ).reshape(self.G, self.D, self.ne_pad)
+        pos = c["pos_of_elem"]
+        Tc_new = jax.vmap(lambda pg, po: pg[:, po])(partial, pos).sum(0).T
+        Tv_new = macroscopic.compute_tv(Tc_new, c["basis_int_glob"])
+        res = macroscopic.residual(Tv_new, Tv_prev)
+        return Tc_new, Tv_new, res
+
+    def _step_pallas(self, u, Tc, Tv_prev):
+        """Fused Pallas wavefront sweep (see pbte_tpu.ops.fused_sweep).
+
+        Dispatched as three executables — a jitted rhs-base pass, ONE compiled
+        Pallas sweep reused for every direction group, and a jitted macro
+        reduction — because embedding several kernel instantiations in a
+        single jit exceeds this environment's remote-compiler request limit."""
+        import jax.numpy as jnp
+
+        c = self.consts
+        f = self._fused
+        rhsb = self._rhs_base(c, u, Tc)
+        # chunk the (independent) direction-slot axis so each kernel call
+        # fits the 128 MB VMEM (see fused_sweep.pick_km_chunk)
+        Kc = f["km_chunk"]
+        sols = []
+        for g in range(self.G):
+            chunks = []
+            for k0 in range(0, self.Km, Kc):
+                sl = slice(k0, k0 + Kc)
+                chunks.append(
+                    self._fused_call(
+                        rhsb[g][:, sl], f["cpl"][g], f["cin_int"][g][:, sl],
+                        f["onehot"][g],
+                        f["pre"][g][:, sl], f["pim"][g][:, sl],
+                        f["qre"][g][:, sl], f["qim"][g][:, sl],
+                        f["lre"][g][:, sl], f["lim"][g][:, sl],
+                        f["valid"][g], f["vg2"],
+                    )
+                )
+            sols.append(chunks[0] if len(chunks) == 1
+                        else jnp.concatenate(chunks, axis=1))
+        u_new = jnp.stack(sols)  # (G, L, Km, D, BS, W)
+        Tc_new, Tv_new, res = self._macro(c, u_new, Tv_prev)
+        return u_new, Tc_new, Tv_new, res
+
     # -- outer loop ---------------------------------------------------------
 
     def step(self, u, Tc, Tv_prev):
-        """One jitted outer iteration: returns (u, Tc, Tv, residual)."""
+        """One outer iteration: returns (u, Tc, Tv, residual)."""
+        if self.use_pallas and self._fused is not None:
+            return self._step_pallas(u, Tc, Tv_prev)
         return self._step(self.consts, u, Tc, Tv_prev)
 
     def solve(
@@ -513,7 +699,7 @@ class SourceIterationSolver:
         res = float("inf")
         it = 0
         for it in range(1, max_iter + 1):
-            u, Tc_new, Tv_new, res_dev = self._step(self.consts, u, Tc, prev_Tv)
+            u, Tc_new, Tv_new, res_dev = self.step(u, Tc, prev_Tv)
             if it % check_every == 0 or it == max_iter:
                 res = float(res_dev)
                 if verbose:
@@ -532,24 +718,31 @@ class SourceIterationSolver:
     # -- views / diagnostics ------------------------------------------------
 
     def u_by_direction(self, u):
-        """Map slot-major group-ordered u (G, Km, BS, D, ne) to
-        direction-major (K, BS, ne, D) for dumps/comparison."""
+        """Map slot-major group-ordered u to direction-major (K, BS, ne, D)."""
         u = np.asarray(u)
+        if u.ndim == 6:  # fused layout (G, L, Km, D, BS, W)
+            u = u.transpose(0, 2, 4, 3, 1, 5).reshape(
+                self.G, self.Km, self.BS, self.D, self.ne_pad
+            )
         out = np.zeros((self.K, self.BS, self.ne, self.D), dtype=u.dtype)
         for g in range(self.G):
-            elems = self._perm[g]
+            valid = self._perm[g] >= 0
+            elems = self._perm[g][valid]
             for k in range(self.Km):
                 d = self.dirs_pad[g, k]
                 if d >= 0:
-                    out[d, :, elems, :] = u[g, k].transpose(2, 0, 1)
+                    out[d, :, elems, :] = u[g, k][:, :, valid].transpose(2, 0, 1)
         return out
 
     def heat_flux(self, u):
         """Qc (dim, ne, D) and Qv (dim, ne) from slot-major coefficients."""
+        import jax
         import jax.numpy as jnp
 
-        import jax
-
+        if u.ndim == 6:  # fused layout (G, L, Km, D, BS, W)
+            u = jnp.transpose(u, (0, 2, 4, 3, 1, 5)).reshape(
+                self.G, self.Km, self.BS, self.D, self.ne_pad
+            )
         partial = jnp.einsum("gkbd,gkbip->gdip", self.consts["flux_w"], u)
         pos = self.consts["pos_of_elem"]  # (G, ne)
         gathered = jax.vmap(lambda pg, po: pg[:, :, po])(partial, pos)  # (G,dim,D,ne)

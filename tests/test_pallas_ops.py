@@ -1,4 +1,4 @@
-"""Pallas level-solve kernel: numerical identity with the einsum path."""
+"""Pallas kernels: level-solve identity + the fused wavefront sweep."""
 
 import numpy as np
 import pytest
@@ -40,8 +40,10 @@ def test_solver_with_pallas_matches_default(reference_root):
     quad = ang.build(ang.AngularOptions(dimension=2, azimuth_points=8))
     tables = mat.build_tables(mat.SILICON, num_spectral=4)
     bcs = {1: -0.5, 2: 0.5}
-    s0 = SourceIterationSolver(ops, quad, tables, bcs)
-    s1 = SourceIterationSolver(ops, quad, tables, bcs, use_pallas=True)
+    s0 = SourceIterationSolver(ops, quad, tables, bcs, cache_policy="eigen")
+    s1 = SourceIterationSolver(ops, quad, tables, bcs, cache_policy="eigen",
+                               use_pallas=True)
+    assert s1._fused is not None  # fused sweep active (interpret mode on CPU)
     r0 = s0.solve(tol=0, max_iter=4, verbose=False)
     r1 = s1.solve(tol=0, max_iter=4, verbose=False)
     np.testing.assert_allclose(np.asarray(r1.Tc), np.asarray(r0.Tc), rtol=1e-10)
