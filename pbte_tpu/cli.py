@@ -50,8 +50,20 @@ def main(argv=None) -> int:
     ap.add_argument("--dtype", choices=["f32", "f64"], default="f64")
     ap.add_argument("--face-mode", choices=["mfem-parity", "consistent"],
                     default="mfem-parity")
-    ap.add_argument("--cache-policy", choices=["full", "on-the-fly", "per-iteration"],
+    ap.add_argument("--cache-policy",
+                    choices=["full", "on-the-fly", "per-iteration", "eigen"],
                     default="full")
+    ap.add_argument("--matmul-precision", choices=["default", "highest"],
+                    default="default",
+                    help="'highest' removes the TPU MXU's bf16 truncation of "
+                         "f32 einsums (~2e-3 relative) at ~3-6x matmul cost")
+    ap.add_argument("--slice-z", type=float, default=None,
+                    help="3D only: sample a z=SLICE_Z plane of T and Q "
+                         "(legacy output_3D_2Dslice_T_Q)")
+    ap.add_argument("--line-slice", nargs=3, type=float, default=None,
+                    metavar=("AXIS", "C1", "C2"),
+                    help="3D only: sample T and Q along axis AXIS (0/1/2) at "
+                         "fixed other coords C1 C2 (legacy output_3D_1Dslice_T_Q)")
     ap.add_argument("--platform", choices=["default", "cpu"], default="default")
     ap.add_argument("--out", default="output")
     ap.add_argument("--vtu", action="store_true", help="write ParaView VTU output")
@@ -171,6 +183,8 @@ def main(argv=None) -> int:
         solver = SourceIterationSolver(
             ops, quad, tables, rc.bc_temps, dtype=dtype,
             cache_policy=args.cache_policy,
+            matmul_precision=(None if args.matmul_precision == "default"
+                              else args.matmul_precision),
         )
         print(f"[pbte_tpu] solver: groups={solver.plan.num_groups} "
               f"levels<={solver.plan.max_levels} width<={solver.plan.max_width} "
@@ -204,6 +218,25 @@ def main(argv=None) -> int:
                        os.path.join(rc.output_dir, "2D/results/T_slice.txt"), 100, 100)
         print(f"[pbte_tpu] 2D temperature slice written to "
               f"{rc.output_dir}/2D/results/T_slice.txt")
+    if m.dim != 3 and (args.slice_z is not None or args.line_slice is not None):
+        print("[pbte_tpu] WARNING: --slice-z/--line-slice are 3D-only; "
+              f"ignored for this {m.dim}D mesh")
+    if m.dim == 3 and not args.parallel and (
+            args.slice_z is not None or args.line_slice is not None):
+        from pbte_tpu.io.slice import write_3d_line_slice, write_3d_slice
+
+        Qc3, _ = solver.heat_flux(res.u)
+        res_dir = os.path.join(rc.output_dir, "3D/results")
+        if args.slice_z is not None:
+            path = os.path.join(res_dir, "T_slice_z.txt")
+            write_3d_slice(m, rc.order, Tc_out, Qc3, args.slice_z, path)
+            print(f"[pbte_tpu] 3D plane slice written to {path}")
+        if args.line_slice is not None:
+            axis, c1, c2 = args.line_slice
+            path = os.path.join(res_dir, "T_line.txt")
+            write_3d_line_slice(m, rc.order, Tc_out, Qc3, int(axis), c1, c2,
+                                path)
+            print(f"[pbte_tpu] 3D line slice written to {path}")
     if args.vtu and not args.parallel:
         from pbte_tpu.io.vtu import write_vtu
 

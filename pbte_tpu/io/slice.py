@@ -22,23 +22,47 @@ from pbte_tpu.mesh import core as mesh_core
 def locate_points(mesh: mesh_core.MeshData, pts: np.ndarray, tol: float = 1e-10):
     """Find containing element per point (first match in element order).
 
-    Returns (elem (n,), ref_coords (n, dim)); elem = -1 when not found."""
+    Returns (elem (n,), ref_coords (n, dim)); elem = -1 when not found.
+
+    The (iterative, for hexes/quads) inverse map only runs on bounding-box
+    candidates: the all-pairs version cost ne*npts Newton solves (100+ s for
+    a 100x100 plane on a 512-hex mesh); the prefilter leaves ~a few
+    candidates per point. Element order is still ascending, so the
+    first-match semantics (= the reference's loop order, which matters on
+    interior faces where the DG field is discontinuous) are preserved."""
     ne = mesh.num_elements
     n = len(pts)
+    dim = mesh.dim
     Xv = mesh.vertices[mesh.elem_verts]  # (ne, nv, dim)
-    # ref coords of every point in every element: (ne, n, dim)
-    r = fem_assembly.inverse_map(
-        mesh.geom, Xv, np.broadcast_to(pts, (ne,) + pts.shape)
-    )
-    if mesh.geom in (mesh_core.GEOM_TRIANGLE, mesh_core.GEOM_TET):
-        inside = np.all(r >= -tol, axis=-1) & (r.sum(-1) <= 1.0 + tol)
-    else:
-        inside = np.all((r >= -tol) & (r <= 1.0 + tol), axis=-1)
-    # first element that contains each point
-    any_in = inside.any(axis=0)
-    first = np.argmax(inside, axis=0)
-    elem = np.where(any_in, first, -1)
-    ref = r[first, np.arange(n)]
+    lo = Xv.min(axis=1)  # (ne, dim)
+    hi = Xv.max(axis=1)
+    # slack generously covers the ref-coord tolerance mapped to physical space
+    slack = (hi - lo) * 1e-6 + tol * np.maximum((hi - lo).max(), 1.0)
+    simplex = mesh.geom in (mesh_core.GEOM_TRIANGLE, mesh_core.GEOM_TET)
+    elem = np.full(n, -1, dtype=np.int64)
+    ref = np.zeros((n, dim))
+    remaining = np.arange(n)
+    for e in range(ne):
+        if remaining.size == 0:
+            break
+        p = pts[remaining]
+        cand = np.all(
+            (p >= lo[e] - slack[e]) & (p <= hi[e] + slack[e]), axis=1
+        )
+        if not cand.any():
+            continue
+        idx = remaining[cand]
+        r = fem_assembly.inverse_map(mesh.geom, Xv[e][None], pts[idx][None])[0]
+        if simplex:
+            inside = np.all(r >= -tol, axis=-1) & (r.sum(-1) <= 1.0 + tol)
+        else:
+            inside = np.all((r >= -tol) & (r <= 1.0 + tol), axis=-1)
+        hit = idx[inside]
+        elem[hit] = e
+        ref[hit] = r[inside]
+        keep = np.ones(n, dtype=bool)
+        keep[hit] = False
+        remaining = remaining[keep[remaining]]
     return elem, ref
 
 
@@ -109,6 +133,43 @@ def sample_3d_plane(mesh, order, Tc, z, nx=100, ny=100, clamp_tol=1e-12,
          for d in range(Qc.shape[0])]
     )
     return T, Q
+
+
+def write_3d_line_slice(mesh, order, Tc, Qc, axis, crd1, crd2, path, n=100,
+                        clamp_tol=1e-12):
+    """Sampled T and Q along an axis-aligned line through a 3D domain
+    (legacy NonGraySMRT::output_3D_1Dslice_T_Q,
+    ref: reference/PhononModel/NonGraySMRT.cpp:257-375): n points spread over
+    the domain extent of `axis` (0/1/2), the other two coordinates fixed at
+    (crd1, crd2) filling the remaining axes in index order; endpoints clamped
+    slightly inside the domain. Writes 'x y z T Qx Qy Qz' rows at fixed
+    16-digit precision and returns (pts (n,3), T (n,), Q (3,n))."""
+    import os
+
+    if mesh.dim != 3:
+        raise ValueError("write_3d_line_slice requires a 3D mesh")
+    if axis not in (0, 1, 2):
+        raise ValueError(f"invalid line axis {axis} (expected 0, 1 or 2)")
+    mn = mesh.vertices.min(axis=0)
+    mx = mesh.vertices.max(axis=0)
+    ts = np.linspace(mn[axis] + clamp_tol, mx[axis] - clamp_tol, n)
+    others = [d for d in range(3) if d != axis]
+    pts = np.empty((n, 3))
+    pts[:, axis] = ts
+    pts[:, others[0]] = crd1
+    pts[:, others[1]] = crd2
+    T = sample_field(mesh, order, np.asarray(Tc), pts)
+    Qc = np.asarray(Qc)
+    Q = np.stack([sample_field(mesh, order, Qc[d], pts) for d in range(3)])
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write("x y z T Qx Qy Qz\n")
+        for i in range(n):
+            f.write(
+                f"{pts[i, 0]:.16f} {pts[i, 1]:.16f} {pts[i, 2]:.16f} "
+                f"{T[i]:.16f} {Q[0, i]:.16f} {Q[1, i]:.16f} {Q[2, i]:.16f}\n"
+            )
+    return pts, T, Q
 
 
 def write_3d_slice(mesh, order, Tc, Qc, z, path, nx=100, ny=100):

@@ -76,6 +76,36 @@ from pbte_tpu.models import macroscopic
 from pbte_tpu.sweep import planner
 
 
+def _pick_level_segments(counts, max_segments=6):
+    """Partition the level axis into <= max_segments contiguous segments,
+    minimizing sum(len(seg) * max_width(seg)) — the columns actually touched
+    per sweep. Exact DP; L is at most a few hundred."""
+    L = counts.shape[1]
+    maxw = counts.max(axis=0).astype(np.int64)  # width needed at each level
+    INF = 1 << 60
+    best = np.full((max_segments + 1, L + 1), INF, dtype=np.int64)
+    cut = np.zeros((max_segments + 1, L + 1), dtype=np.int64)
+    best[0, 0] = 0
+    for m in range(1, max_segments + 1):
+        for j in range(1, L + 1):
+            mx = 0
+            for i in range(j - 1, -1, -1):
+                mx = max(mx, int(maxw[i]))
+                cand = best[m - 1, i] + (j - i) * mx
+                if cand < best[m, j]:
+                    best[m, j] = cand
+                    cut[m, j] = i
+    m = int(np.argmin(best[:, L]))
+    segs = []
+    j = L
+    for mm in range(m, 0, -1):
+        i = int(cut[mm, j])
+        segs.append((i, j, max(int(maxw[i:j].max()), 1)))
+        j = i
+    segs.reverse()
+    return segs
+
+
 class SourceIterationSolver:
     """Build once per (mesh, angles, material, bcs) problem; jitted step."""
 
@@ -91,6 +121,7 @@ class SourceIterationSolver:
         dir_sharding=None,  # optional jax.sharding.NamedSharding for the Km axis
         use_pallas: bool = False,  # Pallas kernel for the level solve
         scan_unroll: int = 1,  # unroll factor for the level scan
+        matmul_precision: str | None = None,  # e.g. "highest" (see below)
     ):
         import jax
         import jax.numpy as jnp
@@ -106,6 +137,11 @@ class SourceIterationSolver:
         self.cache_policy = cache_policy
         self.use_pallas = use_pallas
         self.scan_unroll = scan_unroll
+        # On TPU the MXU truncates f32 einsum operands to bf16 by default,
+        # which puts ~2e-3 relative noise on every contraction (measured on
+        # both solver paths vs CPU truth). "highest" switches every matmul
+        # in the step to the bf16x6 exact passes at ~3-6x matmul cost.
+        self.matmul_precision = matmul_precision
 
         self.ne = ne = ops.num_elements
         self.D = D = ops.ndof
@@ -194,6 +230,16 @@ class SourceIterationSolver:
         self._offsets = offsets
         self._counts = counts
         self._pos_valid = pos_valid
+        # Width segmentation of the level axis (compact mode): level widths
+        # are ~unimodal (BFS wavefronts), so a few contiguous segments with
+        # per-segment static slice widths cut the masked-window compute and
+        # operator-streaming waste of a single max-width window (flagship hex
+        # 6^3: total columns touched 432 -> 272; unstructured tets ~45%
+        # padding shrink similarly).
+        if self.padded:
+            self.segments = [(0, L, W)]
+        else:
+            self.segments = _pick_level_segments(counts)
 
         # neighbor positions per group: (G, nf, ne_pad), -1 boundary/padding
         nbr = ops.neighbor  # (ne, nf)
@@ -407,9 +453,20 @@ class SourceIterationSolver:
                         .transpose(0, 3, 1, 2, 4), dtype=np_dtype)),
                     vg2=jax.device_put(vg_s[:, None].astype(np_dtype)),  # (BS, 1)
                 )
-        self._step = jax.jit(self._step_impl)
-        self._rhs_base = jax.jit(self._rhs_base_impl)
-        self._macro = jax.jit(self._macro_impl)
+        def _jit(fn):
+            if self.matmul_precision is None:
+                return jax.jit(fn)
+            prec = self.matmul_precision
+
+            def wrapped(*args):
+                with jax.default_matmul_precision(prec):
+                    return fn(*args)
+
+            return jax.jit(wrapped)
+
+        self._step = _jit(self._step_impl)
+        self._rhs_base = _jit(self._rhs_base_impl)
+        self._macro = _jit(self._macro_impl)
         if self._fused is not None:
             # build the jitted Pallas sweep ONCE with a stable identity:
             # calling fused_sweep() directly per step re-lowers the (heavily
@@ -493,7 +550,6 @@ class SourceIterationSolver:
         def sweep_group(u_g, TcT_g, mass_t, face_int, coupling, nbr_pos, bc_T,
                         fdot, mats, g_mass, offsets_g, counts_g):
             # u_g (Km, BS, D, ne); compact group-level-concatenated order
-            iota = jnp.arange(W)
 
             # ---- hoisted rhs base: everything that does not depend on the
             # in-sweep neighbor values, computed for ALL elements in one
@@ -515,61 +571,70 @@ class SourceIterationSolver:
             )  # (Km, BS, D, ne)
             cin_int_all = jnp.where(is_b_all[None], 0.0, cin_all)
 
-            def level_body(u_g, oc):
-                off, count = oc
-                # clamp so the static-width window stays in bounds; slots
-                # outside [off, off+count) compute garbage that the masked
-                # write-back discards (earlier-level slots keep their final
-                # values; later-level slots are rewritten by their own step)
-                offc = jnp.minimum(off, ne - W)
-                shift = off - offc  # first `shift` slots belong to levels < l
-                sl = lambda a: lax.dynamic_slice_in_dim(a, offc, W, axis=-1)
-                u_e = sl(u_g)  # (Km, BS, D, W)
-                rhs = sl(rhs_base)
-                # all faces fused: ONE neighbor gather + ONE coupling einsum
-                npos = sl(nbr_pos)  # (nf, W) neighbor position or -1
-                is_b = npos < 0  # boundary
-                u_nbr = u_g[:, :, :, jnp.where(is_b, 0, npos)]  # (Km, BS, D, nf, W)
-                interior = jnp.einsum(
-                    "fijw,kfw,kbjfw->kbiw",
-                    sl(coupling), sl(cin_int_all), u_nbr,
-                )  # (Km, BS, D, W)
-                rhs = rhs - c["vg"][None, :, None, None] * interior
-                if self.cache_policy == "eigen":
-                    # complex arithmetic via split real/imag parts
-                    P_l = lax.dynamic_slice_in_dim(mats[0], offc, W, axis=-1)
-                    Q_l = lax.dynamic_slice_in_dim(mats[1], offc, W, axis=-1)
-                    lam_l = lax.dynamic_slice_in_dim(mats[2], offc, W, axis=-1)
-                    t_re = jnp.einsum("kijw,kbjw->kbiw", Q_l[:, 0], rhs)
-                    t_im = jnp.einsum("kijw,kbjw->kbiw", Q_l[:, 1], rhs)
-                    vgb = c["vg"][None, :, None, None]
-                    d_re = 1.0 + vgb * lam_l[:, None, 0]
-                    d_im = vgb * lam_l[:, None, 1]
-                    inv_mag = 1.0 / (d_re * d_re + d_im * d_im)
-                    s_re = (t_re * d_re + t_im * d_im) * inv_mag
-                    s_im = (t_im * d_re - t_re * d_im) * inv_mag
-                    sol = (
-                        jnp.einsum("kijw,kbjw->kbiw", P_l[:, 0], s_re)
-                        - jnp.einsum("kijw,kbjw->kbiw", P_l[:, 1], s_im)
-                    )
+            def make_level_body(Ws):
+                iota = jnp.arange(Ws)
+
+                def level_body(u_g, oc):
+                    off, count = oc
+                    # clamp so the static-width window stays in bounds; slots
+                    # outside [off, off+count) compute garbage that the masked
+                    # write-back discards (earlier-level slots keep their
+                    # final values; later-level slots are rewritten by their
+                    # own step)
+                    offc = jnp.minimum(off, ne - Ws)
+                    shift = off - offc  # slots before `shift`: levels < l
+                    sl = lambda a: lax.dynamic_slice_in_dim(a, offc, Ws, axis=-1)
+                    u_e = sl(u_g)  # (Km, BS, D, Ws)
+                    rhs = sl(rhs_base)
+                    # all faces fused: ONE neighbor gather + ONE coupling einsum
+                    npos = sl(nbr_pos)  # (nf, Ws) neighbor position or -1
+                    is_b = npos < 0  # boundary
+                    u_nbr = u_g[:, :, :, jnp.where(is_b, 0, npos)]  # (Km,BS,D,nf,Ws)
+                    interior = jnp.einsum(
+                        "fijw,kfw,kbjfw->kbiw",
+                        sl(coupling), sl(cin_int_all), u_nbr,
+                    )  # (Km, BS, D, Ws)
+                    rhs = rhs - c["vg"][None, :, None, None] * interior
+                    if self.cache_policy == "eigen":
+                        # complex arithmetic via split real/imag parts
+                        P_l = lax.dynamic_slice_in_dim(mats[0], offc, Ws, axis=-1)
+                        Q_l = lax.dynamic_slice_in_dim(mats[1], offc, Ws, axis=-1)
+                        lam_l = lax.dynamic_slice_in_dim(mats[2], offc, Ws, axis=-1)
+                        t_re = jnp.einsum("kijw,kbjw->kbiw", Q_l[:, 0], rhs)
+                        t_im = jnp.einsum("kijw,kbjw->kbiw", Q_l[:, 1], rhs)
+                        vgb = c["vg"][None, :, None, None]
+                        d_re = 1.0 + vgb * lam_l[:, None, 0]
+                        d_im = vgb * lam_l[:, None, 1]
+                        inv_mag = 1.0 / (d_re * d_re + d_im * d_im)
+                        s_re = (t_re * d_re + t_im * d_im) * inv_mag
+                        s_im = (t_im * d_re - t_re * d_im) * inv_mag
+                        sol = (
+                            jnp.einsum("kijw,kbjw->kbiw", P_l[:, 0], s_re)
+                            - jnp.einsum("kijw,kbjw->kbiw", P_l[:, 1], s_im)
+                        )
+                        mine = (iota >= shift) & (iota < shift + count)
+                        sol = jnp.where(mine[None, None, None, :], sol, u_e)
+                        return _write(u_g, sol, offc), None
+                    if self.cache_policy == "full":
+                        a_inv_l = lax.dynamic_slice_in_dim(mats, offc, Ws, axis=-1)
+                    else:
+                        a_inv_l = self._level_a_inv(
+                            c,
+                            lax.dynamic_slice_in_dim(g_mass, offc, Ws, axis=-1),
+                            lax.dynamic_slice_in_dim(mats, offc, Ws, axis=-1),
+                        )
+                    sol = jnp.einsum("kbijw,kbjw->kbiw", a_inv_l, rhs)
                     mine = (iota >= shift) & (iota < shift + count)
                     sol = jnp.where(mine[None, None, None, :], sol, u_e)
                     return _write(u_g, sol, offc), None
-                if self.cache_policy == "full":
-                    a_inv_l = lax.dynamic_slice_in_dim(mats, offc, W, axis=-1)
-                else:
-                    a_inv_l = self._level_a_inv(
-                        c,
-                        lax.dynamic_slice_in_dim(g_mass, offc, W, axis=-1),
-                        lax.dynamic_slice_in_dim(mats, offc, W, axis=-1),
-                    )
-                sol = jnp.einsum("kbijw,kbjw->kbiw", a_inv_l, rhs)
-                mine = (iota >= shift) & (iota < shift + count)
-                sol = jnp.where(mine[None, None, None, :], sol, u_e)
-                return _write(u_g, sol, offc), None
 
-            u_g, _ = lax.scan(level_body, u_g, (offsets_g, counts_g),
-                              unroll=self.scan_unroll)
+                return level_body
+
+            # one scan per width segment (levels stay in topological order)
+            for (l0, l1, Ws) in self.segments:
+                u_g, _ = lax.scan(make_level_body(Ws), u_g,
+                                  (offsets_g[l0:l1], counts_g[l0:l1]),
+                                  unroll=self.scan_unroll)
             return u_g
 
         # per-group view of Tc in group-level order (padding reads element 0;

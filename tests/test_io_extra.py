@@ -147,3 +147,36 @@ def test_3d_slice_with_flux(tmp_path):
     assert abs(Q[0].mean()) < abs(Q[2].mean())
     header = (tmp_path / "slice3d.txt").read_text().splitlines()[0]
     assert header.startswith("# nx 12 ny 12 z")
+
+
+def test_3d_line_slice(tmp_path):
+    """Axis line sampling (legacy output_3D_1Dslice_T_Q analog,
+    ref: reference/PhononModel/NonGraySMRT.cpp:257-375): T along z between a
+    cold bottom and hot top must be monotone-ish and bracketed; file format is
+    'x y z T Qx Qy Qz'."""
+    from pbte_tpu.io.slice import write_3d_line_slice
+
+    m = pmesh.make_cartesian_3d(2, 2, 2, pmesh.GEOM_HEX).scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1, face_mode="consistent")
+    quad = ang.build(ang.AngularOptions(dimension=3, polar_points=4, azimuth_points=8))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    bcs = {a: (0.5 if a == 6 else -0.5) for a in range(1, 7)}
+    solver = SourceIterationSolver(ops, quad, tables, bcs)
+    res = solver.solve(tol=0, max_iter=30, verbose=False)
+    Qc, _ = solver.heat_flux(res.u)
+    path = tmp_path / "line.txt"
+    pts, T, Q = write_3d_line_slice(m, 1, res.Tc, Qc, axis=2,
+                                    crd1=0.5e-6, crd2=0.5e-6,
+                                    path=str(path), n=21)
+    assert pts.shape == (21, 3) and not np.isnan(T).any()
+    assert np.allclose(pts[:, 0], 0.5e-6) and np.allclose(pts[:, 1], 0.5e-6)
+    assert T[0] < T[-1]  # cold bottom -> hot top
+    # DG point values can overshoot the +-0.5 wall deviations (p=1, partially
+    # converged) but must stay the same order of magnitude
+    assert -1.0 <= T.min() <= T.max() <= 1.0
+    lines = path.read_text().splitlines()
+    assert lines[0] == "x y z T Qx Qy Qz"
+    assert len(lines) == 22 and len(lines[1].split()) == 7
+    with pytest.raises(ValueError):
+        write_3d_line_slice(m, 1, res.Tc, Qc, axis=3, crd1=0, crd2=0,
+                            path=str(path))
