@@ -12,21 +12,28 @@ from pbte_tpu.material import nongray_smrt as mat
 from pbte_tpu.solver.source_iteration import SourceIterationSolver
 
 nx = int(os.environ.get("NX", 6))
-m = pmesh.make_cartesian_3d(nx, nx, nx, "hex").scaled(1e-6)
+m = pmesh.make_cartesian_3d(nx,nx,nx,"hex").scaled(1e-6)
 ops = assembly.assemble(pmesh.connect(m), order=2, face_mode="consistent")
 quad = ang.build(ang.AngularOptions(dimension=3, polar_points=8, azimuth_points=8))
 tables = mat.build_tables(mat.SILICON, 20)
-bcs = {a: (0.5 if a == 6 else -0.5) for a in range(1, 7)}
-for unroll in (1,):
+bcs = {a: (0.5 if a==6 else -0.5) for a in range(1,7)}
+res = {}
+for pal in (True, False):
+    t0=time.time()
     solver = SourceIterationSolver(ops, quad, tables, bcs, dtype=jnp.float32,
-                                   cache_policy="eigen", scan_unroll=unroll)
+                                   cache_policy="eigen", use_pallas=pal)
+    su = time.time()-t0
     u, Tc, Tv = solver.initial_state()
+    t0=time.time()
     u, Tc, Tv2, r = solver.step(u, Tc, Tv); _ = float(r)
-    prev = Tv2; t0 = time.time()
-    for _ in range(20):
+    comp = time.time()-t0
+    prev=Tv2; t0=time.time()
+    for _ in range(10):
         u, Tc, Tv2, r = solver.step(u, Tc, prev)
         prev = Tv2
-    rv = float(r); dt = time.time() - t0
-    dofs = 20 * solver.K * solver.BS * solver.ne * solver.D / dt
-    print("NX=%d unroll=%d: %.1f ms/step DOF/s=%.3e r=%.4f segs=%s"
-          % (nx, unroll, dt / 20 * 1000, dofs, rv, solver.segments), flush=True)
+    rv=float(r); dt=time.time()-t0
+    dofs = 10*solver.K*solver.BS*solver.ne*solver.D/dt
+    res[pal] = np.asarray(Tc)
+    print("use_pallas=%d: setup %.0fs compile %.1fs %.1f ms/step DOF/s=%.3e r=%.4f"
+          % (pal, su, comp, dt/10*1000, dofs, rv), flush=True)
+print("Tc agree:", np.abs(res[True]-res[False]).max())
