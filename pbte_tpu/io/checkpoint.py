@@ -13,10 +13,21 @@ import numpy as np
 
 
 def _fingerprint(solver) -> dict:
+    # cache_policy/use_pallas determine the state LAYOUT of u (scan layout
+    # (G, Km, BS, D, ne_pad) vs fused (G, L, Km, D, BS, W)); a layout-
+    # mismatched load must fail here, not as an opaque XLA shape error later
+    policy = {"full": 0, "on-the-fly": 1, "eigen": 2}[solver.cache_policy]
     return dict(
         G=solver.G, Km=solver.Km, BS=solver.BS, D=solver.D, ne=solver.ne,
-        K=solver.K, dt_inv=solver.dt_inv,
+        K=solver.K, dt_inv=solver.dt_inv, ne_pad=solver.ne_pad,
+        cache_policy=policy, use_pallas=int(bool(solver.use_pallas)),
     )
+
+
+def _expected_u_shape(solver) -> tuple:
+    if getattr(solver, "_fused", None) is not None and solver.use_pallas:
+        return (solver.G, solver.L, solver.Km, solver.D, solver.BS, solver.W)
+    return (solver.G, solver.Km, solver.BS, solver.D, solver.ne_pad)
 
 
 def save_checkpoint(path: str, solver, u, Tc, Tv, iteration: int, residual: float):
@@ -41,11 +52,18 @@ def load_checkpoint(path: str, solver):
     data = np.load(path)
     fp = _fingerprint(solver)
     for k, v in fp.items():
+        if f"fp_{k}" not in data:
+            raise ValueError(f"checkpoint missing fingerprint field {k!r}")
         stored = data[f"fp_{k}"]
         if not np.allclose(stored, v):
             raise ValueError(
                 f"checkpoint mismatch: {k} was {stored}, solver has {v}"
             )
+    want = _expected_u_shape(solver)
+    if tuple(data["u"].shape) != want:
+        raise ValueError(
+            f"checkpoint u has shape {data['u'].shape}, solver expects {want}"
+        )
     u = jnp.asarray(data["u"], dtype=solver.dtype)
     Tc = jnp.asarray(data["Tc"], dtype=solver.dtype)
     Tv = jnp.asarray(data["Tv"], dtype=solver.dtype)

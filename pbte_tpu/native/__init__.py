@@ -12,6 +12,7 @@ unavailable.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -21,21 +22,41 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "sweep_native.cpp")
 _LIB = os.path.join(_HERE, "_sweep_native.so")
+_STAMP = _LIB + ".sha256"  # content hash of the source the binary was built from
 _lock = threading.Lock()
 _lib = None
 _tried = False
 
 
-def _build() -> bool:
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _build(src_hash: str) -> bool:
+    # portable -O3 only: the binary is a build cache, but -march=native output
+    # can SIGILL if the cache directory moves between machines
     cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
         _SRC, "-o", _LIB + ".tmp",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(_LIB + ".tmp", _LIB)
+        with open(_STAMP, "w") as f:
+            f.write(src_hash)
         return True
     except (subprocess.SubprocessError, OSError):
+        return False
+
+
+def _is_fresh(src_hash: str) -> bool:
+    """The cached binary is valid only if its recorded source hash matches
+    (mtimes are unreliable: a fresh checkout stamps all files identically)."""
+    try:
+        with open(_STAMP) as f:
+            return f.read().strip() == src_hash and os.path.exists(_LIB)
+    except OSError:
         return False
 
 
@@ -46,8 +67,9 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-            if not _build():
+        src_hash = _src_hash()
+        if not _is_fresh(src_hash):
+            if not _build(src_hash):
                 return None
         try:
             lib = ctypes.CDLL(_LIB)

@@ -535,14 +535,15 @@ class SourceIterationSolver:
         import jax.numpy as jnp
         from jax import lax
 
-        if self.use_pallas and self._fused is not None:
-            return self._step_pallas(c, u, Tc, Tv_prev)
-
+        # NOTE: the Pallas path is dispatched by step() (it is three separate
+        # executables, not one jittable); _step_impl is always the scan path.
         G, W, L, nf, D = self.G, self.W, self.L, self.nf, self.D
 
         TcT = Tc.T  # (D, ne)
 
-        ne = self.ne
+        # length of the element axis of u/operators: ne in compact mode,
+        # L*W in padded mode (the H>4 Pallas fallback keeps padded layout)
+        ne = self.ne_pad
 
         def _write(u_g, sol, offc):
             return lax.dynamic_update_slice_in_dim(u_g, sol, offc, axis=-1)
