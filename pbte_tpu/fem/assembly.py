@@ -259,3 +259,76 @@ def assemble(
         neighbor=topo.elem_neighbor.copy(),
         face_attr=topo.elem_face_attr.copy(),
     )
+
+
+def element_classes(ops: ElementOps, grain: float = 1e-11) -> np.ndarray:
+    """Geometry-class index per element: elements whose volume/face operator
+    tensors and outward normals agree (to relative `grain`) share a class.
+
+    On translation-invariant meshes (Cartesian builtins, uniform refinements)
+    there are only a handful of classes — 1 for hex/quad, 2 for the tri split,
+    6 for the 6-tet split — which lets the solver store transport factors per
+    CLASS instead of per element: the A^-1 / eigendecomposition cache shrinks
+    by a factor of ne/ncls (e.g. 4096x for hex 16^3) and setup stops being
+    O(ne) dense factorizations. Boundary-face coupling zeroing is EXCLUDED
+    from the signature (the solver masks inflow with cin=0 on boundary faces,
+    so class coupling entries there are never read).
+
+    Returns class_of_elem (ne,) int64; classes are numbered by first
+    occurrence. Correctness does not depend on tight classing — an
+    over-split classing only costs performance, and callers fall back to
+    per-element operators when the count is large.
+    """
+    ne = ops.num_elements
+    parts = [
+        ops.mass.reshape(ne, -1),
+        ops.stiff.reshape(ne, -1),
+        ops.face_mass.reshape(ne, -1),
+        ops.face_int.reshape(ne, -1),
+        ops.basis_int.reshape(ne, -1),
+        ops.normals.reshape(ne, -1),
+    ]
+    F = np.concatenate(parts, axis=1)
+    scale = np.abs(F).max() or 1.0
+    q = np.round(F / (scale * grain)).astype(np.int64)
+    # exact row dedup via two independent wrap-around polynomial hashes
+    rng = np.random.default_rng(0x5EED)
+    r1 = rng.integers(1, 2**62, size=q.shape[1], dtype=np.int64) | 1
+    r2 = rng.integers(1, 2**62, size=q.shape[1], dtype=np.int64) | 1
+    with np.errstate(over="ignore"):
+        h1 = q @ r1
+        h2 = q @ r2
+    _, cls = np.unique(np.stack([h1, h2], axis=1), axis=0, return_inverse=True)
+    # renumber by first occurrence for determinism
+    first = {}
+    out = np.empty(ne, dtype=np.int64)
+    for e in range(ne):
+        c = cls[e]
+        if c not in first:
+            first[c] = len(first)
+        out[e] = first[c]
+    return out
+
+
+def class_coupling(ops: ElementOps, cls: np.ndarray) -> np.ndarray | None:
+    """Per-class neighbor coupling (ncls, nf, D, D), or None if elements of
+    one class disagree on any interior face (then coupling must stay
+    per-element). Boundary faces contribute nothing (solver masks them)."""
+    ncls = int(cls.max()) + 1
+    nf, D = ops.faces_per_elem, ops.ndof
+    out = np.zeros((ncls, nf, D, D))
+    have = np.zeros((ncls, nf), dtype=bool)
+    interior = ops.neighbor >= 0  # (ne, nf)
+    for c in range(ncls):
+        sel = cls == c
+        for f in range(nf):
+            rows = ops.coupling[sel & interior[:, f], f]  # (n_cf, D, D)
+            if len(rows) == 0:
+                continue
+            ref_row = rows[0]
+            scale = max(np.abs(ref_row).max(), 1e-300)
+            if np.abs(rows - ref_row).max() > 1e-10 * scale:
+                return None
+            out[c, f] = ref_row
+            have[c, f] = True
+    return out

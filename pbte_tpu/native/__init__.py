@@ -26,6 +26,8 @@ _STAMP = _LIB + ".sha256"  # content hash of the source the binary was built fro
 _lock = threading.Lock()
 _lib = None
 _tried = False
+_solver_lib = None
+_solver_tried = False
 
 
 def _src_hash() -> str:
@@ -145,3 +147,119 @@ def inflow_signatures(neighbor, normals, directions):
     packed = np.empty((K, stride), dtype=np.uint8)
     lib.pbte_inflow_signature(ne, nf, dim, K, neighbor, normals, dirs, packed, stride)
     return packed
+
+
+# ---------------------------------------------------------------------------
+# C++ reference-mirror solver (the measured bench baseline)
+# ---------------------------------------------------------------------------
+
+_SOLVER_SRC = os.path.join(_HERE, "solver_native.cpp")
+_SOLVER_LIB = os.path.join(_HERE, "_solver_native.so")
+_SOLVER_STAMP = _SOLVER_LIB + ".sha256"
+
+
+def get_solver_lib():
+    """ctypes handle to the C++ source-iteration solver, or None."""
+    global _solver_lib, _solver_tried
+    with _lock:
+        if _solver_lib is not None or _solver_tried:
+            return _solver_lib
+        _solver_tried = True
+        with open(_SOLVER_SRC, "rb") as f:
+            src_hash = hashlib.sha256(f.read()).hexdigest()
+        fresh = False
+        try:
+            with open(_SOLVER_STAMP) as f:
+                fresh = f.read().strip() == src_hash and os.path.exists(_SOLVER_LIB)
+        except OSError:
+            pass
+        if not fresh:
+            cmd = [
+                "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-fopenmp",
+                _SOLVER_SRC, "-o", _SOLVER_LIB + ".tmp",
+            ]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+                os.replace(_SOLVER_LIB + ".tmp", _SOLVER_LIB)
+                with open(_SOLVER_STAMP, "w") as f:
+                    f.write(src_hash)
+            except (subprocess.SubprocessError, OSError):
+                return None
+        try:
+            lib = ctypes.CDLL(_SOLVER_LIB)
+        except OSError:
+            return None
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        i64 = ctypes.c_int64
+        lib.pbte_cpp_source_iteration.restype = ctypes.c_int32
+        lib.pbte_cpp_source_iteration.argtypes = (
+            [i64] * 7 + [ctypes.c_int32]
+            + [i32p, i32p]
+            + [f64p] * 13
+            + [ctypes.c_double, ctypes.c_double]
+            + [f64p] * 5
+        )
+        _solver_lib = lib
+        return _solver_lib
+
+
+def cpp_source_iteration(ops, quad, tables, bc_temps, n_iter,
+                         use_full_lu=True, state=None):
+    """Run the C++ reference-mirror solver; returns (u, Tc, Tv, residuals,
+    iter_seconds) or None when the native lib is unavailable.
+
+    Mirrors the reference algorithm exactly (same operators, same lagged-Tc
+    source iteration; ref: src/PBTESolver.cpp:208-332) — the measured
+    baseline bench.py compares the TPU solver against."""
+    lib = get_solver_lib()
+    if lib is None:
+        return None
+    from pbte_tpu.models import macroscopic
+    from pbte_tpu.sweep import planner
+
+    ne, D, nf, dim = ops.num_elements, ops.ndof, ops.faces_per_elem, ops.dim
+    K = quad.num_directions
+    inv_kn = np.ascontiguousarray(tables.flat("inv_kn"), dtype=np.float64)
+    vg = np.ascontiguousarray(tables.flat("vg"), dtype=np.float64)
+    heat_cap = np.ascontiguousarray(tables.flat("heat_cap"), dtype=np.float64)
+    BS = len(inv_kn)
+    dt_inv = float(inv_kn.max())
+    dirs = np.ascontiguousarray(quad.directions[:, :dim], dtype=np.float64)
+    orders = planner.greedy_orders(ops.neighbor, ops.normals, quad.directions)
+    orders = np.ascontiguousarray(orders, dtype=np.int32)
+    fdot = np.ascontiguousarray(
+        np.einsum("efd,kd->kef", ops.normals, dirs), dtype=np.float64
+    )
+    mw = np.ascontiguousarray(
+        macroscopic.macro_weights(quad, tables), dtype=np.float64
+    )
+    bc_T = np.zeros((ne, nf))
+    for attr, T in bc_temps.items():
+        bc_T[ops.face_attr == int(attr)] = float(T)
+
+    if state is None:
+        u = np.zeros((K, BS, ne, D))
+        Tc = np.zeros((ne, D))
+        Tv = np.zeros(ne)
+    else:
+        u, Tc, Tv = (np.ascontiguousarray(a, dtype=np.float64) for a in state)
+    resid = np.zeros(n_iter)
+    secs = np.zeros(n_iter)
+    rc = lib.pbte_cpp_source_iteration(
+        ne, nf, D, dim, K, BS, n_iter, 1 if use_full_lu else 0,
+        np.ascontiguousarray(ops.neighbor, dtype=np.int32), orders,
+        dirs, fdot,
+        np.ascontiguousarray(ops.mass, dtype=np.float64),
+        np.ascontiguousarray(ops.stiff, dtype=np.float64),
+        np.ascontiguousarray(ops.face_mass, dtype=np.float64),
+        np.ascontiguousarray(ops.face_int, dtype=np.float64),
+        np.ascontiguousarray(ops.coupling, dtype=np.float64),
+        np.ascontiguousarray(bc_T, dtype=np.float64),
+        np.ascontiguousarray(ops.basis_int, dtype=np.float64),
+        inv_kn, vg, heat_cap, mw, dt_inv, float(quad.total_weight),
+        u, Tc, Tv, resid, secs,
+    )
+    if rc != 0:
+        raise RuntimeError(f"pbte_cpp_source_iteration failed rc={rc}")
+    return u, Tc, Tv, resid, secs

@@ -241,6 +241,22 @@ class SourceIterationSolver:
         else:
             self.segments = _pick_level_segments(counts)
 
+        # ---- geometry classes (translation-invariant meshes) ----------------
+        # detected on the global element set; used by the eigen cache below
+        from pbte_tpu.fem import assembly as _assembly
+
+        self._cls = None
+        self.ncls = 0
+        if cache_policy == "eigen" and not self.padded:
+            cls = _assembly.element_classes(ops)
+            ncls = int(cls.max()) + 1
+            if ncls <= 64 and ncls * 4 <= ne:
+                self._cls = cls
+                self.ncls = ncls
+                self._cls_reps = np.array(
+                    [int(np.flatnonzero(cls == c)[0]) for c in range(ncls)]
+                )
+
         # neighbor positions per group: (G, nf, ne_pad), -1 boundary/padding
         nbr = ops.neighbor  # (ne, nf)
         nbr_g = nbr[perm_safe]  # (G, ne_pad, nf)
@@ -319,28 +335,76 @@ class SourceIterationSolver:
             # costs 4x flops on the apply, amortized by the 10x less HBM.
             # complex arithmetic is split into real/imaginary parts (this
             # TPU backend lacks complex einsum)
-            P = np.empty((G, Km, 2, D, D, ne_pad), dtype=np_dtype)
-            Qm = np.empty((G, Km, 2, D, D, ne_pad), dtype=np_dtype)
-            lam = np.empty((G, Km, 2, D, ne_pad), dtype=np_dtype)
-            for g in range(G):
-                Minv_g = np.linalg.inv(mass_g[g])  # (ne, D, D)
-                for k in range(Km):
-                    G_k = -np.einsum(
-                        "d,edij->eij", dirs_np[dirs_safe[g, k]], stiff_g[g]
-                    ) + np.einsum(
-                        "fe,efij->eij", np.maximum(fdot[g, k], 0.0), fmass_g[g]
-                    )
-                    C = Minv_g @ G_k  # (ne, D, D)
-                    w, V = np.linalg.eig(C)  # batched complex
-                    Vinv = np.linalg.inv(V)
-                    Q_c = Vinv @ Minv_g
-                    P[g, k, 0] = V.real.transpose(1, 2, 0)
-                    P[g, k, 1] = V.imag.transpose(1, 2, 0)
-                    Qm[g, k, 0] = Q_c.real.transpose(1, 2, 0)
-                    Qm[g, k, 1] = Q_c.imag.transpose(1, 2, 0)
-                    lam[g, k, 0] = w.real.T
-                    lam[g, k, 1] = w.imag.T
-            mats = (jax.device_put(P), jax.device_put(Qm), jax.device_put(lam))
+            #
+            # CLASS MODE: on translation-invariant meshes elements fall into
+            # a handful of geometry classes (fem.assembly.element_classes);
+            # factors are then stored per CLASS — (G, Km, 2, D, D, ncls)
+            # instead of (..., ne) — and the level body rebuilds the window
+            # factors with a tiny one-hot matmul. This cuts the factor cache
+            # by ne/ncls (hex 16^3: ~680x), removes the per-level HBM factor
+            # stream, and collapses setup from O(ne) to O(ncls)
+            # eigendecompositions per direction.
+            if self._cls is not None and not self.padded:
+                ncls = self.ncls
+                reps = self._cls_reps  # (ncls,) representative elements
+                # class id at each group-ordered position (padding -> class 0,
+                # harmless: padded slots are never read)
+                cls_pos = np.where(pos_valid, self._cls[perm_safe], 0)
+                onehot = np.zeros((G, ncls, ne_pad), dtype=np_dtype)
+                for g in range(G):
+                    onehot[g, cls_pos[g], np.arange(ne_pad)] = 1.0
+                P = np.empty((G, Km, 2, D, D, ncls), dtype=np_dtype)
+                Qm = np.empty((G, Km, 2, D, D, ncls), dtype=np_dtype)
+                lam = np.empty((G, Km, 2, D, ncls), dtype=np_dtype)
+                stiff_r = ops.stiff[reps]  # (ncls, dim, D, D)
+                fmass_r = ops.face_mass[reps]
+                Minv_r = np.linalg.inv(ops.mass[reps])
+                norm_r = ops.normals[reps]  # (ncls, nf, dim)
+                for g in range(G):
+                    for k in range(Km):
+                        dk = dirs_np[dirs_safe[g, k]]
+                        fd = np.einsum("cfd,d->cf", norm_r, dk)
+                        G_k = -np.einsum("d,cdij->cij", dk, stiff_r) + np.einsum(
+                            "cf,cfij->cij", np.maximum(fd, 0.0), fmass_r
+                        )
+                        C = Minv_r @ G_k  # (ncls, D, D)
+                        w, V = np.linalg.eig(C)
+                        Q_c = np.linalg.inv(V) @ Minv_r
+                        P[g, k, 0] = V.real.transpose(1, 2, 0)
+                        P[g, k, 1] = V.imag.transpose(1, 2, 0)
+                        Qm[g, k, 0] = Q_c.real.transpose(1, 2, 0)
+                        Qm[g, k, 1] = Q_c.imag.transpose(1, 2, 0)
+                        lam[g, k, 0] = w.real.T
+                        lam[g, k, 1] = w.imag.T
+                mats = (
+                    jax.device_put(P),
+                    jax.device_put(Qm),
+                    jax.device_put(lam),
+                    jax.device_put(onehot),
+                )
+            else:
+                P = np.empty((G, Km, 2, D, D, ne_pad), dtype=np_dtype)
+                Qm = np.empty((G, Km, 2, D, D, ne_pad), dtype=np_dtype)
+                lam = np.empty((G, Km, 2, D, ne_pad), dtype=np_dtype)
+                for g in range(G):
+                    Minv_g = np.linalg.inv(mass_g[g])  # (ne, D, D)
+                    for k in range(Km):
+                        G_k = -np.einsum(
+                            "d,edij->eij", dirs_np[dirs_safe[g, k]], stiff_g[g]
+                        ) + np.einsum(
+                            "fe,efij->eij", np.maximum(fdot[g, k], 0.0), fmass_g[g]
+                        )
+                        C = Minv_g @ G_k  # (ne, D, D)
+                        w, V = np.linalg.eig(C)  # batched complex
+                        Vinv = np.linalg.inv(V)
+                        Q_c = Vinv @ Minv_g
+                        P[g, k, 0] = V.real.transpose(1, 2, 0)
+                        P[g, k, 1] = V.imag.transpose(1, 2, 0)
+                        Qm[g, k, 0] = Q_c.real.transpose(1, 2, 0)
+                        Qm[g, k, 1] = Q_c.imag.transpose(1, 2, 0)
+                        lam[g, k, 0] = w.real.T
+                        lam[g, k, 1] = w.imag.T
+                mats = (jax.device_put(P), jax.device_put(Qm), jax.device_put(lam))
         else:
             G_mat = np.empty((G, Km, D, D, ne_pad))
             for g in range(G):
@@ -598,11 +662,38 @@ class SourceIterationSolver:
                     rhs = rhs - c["vg"][None, :, None, None] * interior
                     if self.cache_policy == "eigen":
                         # complex arithmetic via split real/imag parts
-                        P_l = lax.dynamic_slice_in_dim(mats[0], offc, Ws, axis=-1)
-                        Q_l = lax.dynamic_slice_in_dim(mats[1], offc, Ws, axis=-1)
-                        lam_l = lax.dynamic_slice_in_dim(mats[2], offc, Ws, axis=-1)
-                        t_re = jnp.einsum("kijw,kbjw->kbiw", Q_l[:, 0], rhs)
-                        t_im = jnp.einsum("kijw,kbjw->kbiw", Q_l[:, 1], rhs)
+                        if len(mats) == 4:
+                            # class mode: rebuild window factors from the
+                            # per-class cache with a tiny one-hot matmul
+                            # (no per-level HBM factor stream)
+                            # HIGHEST precision: the default f32 einsum
+                            # truncates MXU operands to bf16, and eigen
+                            # factors (cond(V)~1e2) amplify that to O(1e-2)
+                            # field error; the matmul is tiny (ncls x Ws) so
+                            # the exact passes are free
+                            ohw = lax.dynamic_slice_in_dim(
+                                mats[3], offc, Ws, axis=-1)  # (ncls, Ws)
+                            hi = jax.lax.Precision.HIGHEST
+                            P_l = jnp.einsum(
+                                "kzijc,cw->kzijw", mats[0], ohw, precision=hi)
+                            Q_l = jnp.einsum(
+                                "kzijc,cw->kzijw", mats[1], ohw, precision=hi)
+                            lam_l = jnp.einsum(
+                                "kzic,cw->kziw", mats[2], ohw, precision=hi)
+                        else:
+                            P_l = lax.dynamic_slice_in_dim(mats[0], offc, Ws, axis=-1)
+                            Q_l = lax.dynamic_slice_in_dim(mats[1], offc, Ws, axis=-1)
+                            lam_l = lax.dynamic_slice_in_dim(mats[2], offc, Ws, axis=-1)
+                        # The eigen apply MUST NOT run at the MXU's default
+                        # bf16 truncation: the V / V^-1 factor pair amplifies
+                        # input rounding by cond(V) (~1.6e2 on flagship hex
+                        # p=2 operators), measured 7e-2 absolute field error
+                        # at default vs 1.8e-6 at HIGHEST on a 0.38-max field.
+                        hi = jax.lax.Precision.HIGHEST
+                        t_re = jnp.einsum(
+                            "kijw,kbjw->kbiw", Q_l[:, 0], rhs, precision=hi)
+                        t_im = jnp.einsum(
+                            "kijw,kbjw->kbiw", Q_l[:, 1], rhs, precision=hi)
                         vgb = c["vg"][None, :, None, None]
                         d_re = 1.0 + vgb * lam_l[:, None, 0]
                         d_im = vgb * lam_l[:, None, 1]
@@ -610,8 +701,12 @@ class SourceIterationSolver:
                         s_re = (t_re * d_re + t_im * d_im) * inv_mag
                         s_im = (t_im * d_re - t_re * d_im) * inv_mag
                         sol = (
-                            jnp.einsum("kijw,kbjw->kbiw", P_l[:, 0], s_re)
-                            - jnp.einsum("kijw,kbjw->kbiw", P_l[:, 1], s_im)
+                            jnp.einsum(
+                                "kijw,kbjw->kbiw", P_l[:, 0], s_re,
+                                precision=hi)
+                            - jnp.einsum(
+                                "kijw,kbjw->kbiw", P_l[:, 1], s_im,
+                                precision=hi)
                         )
                         mine = (iota >= shift) & (iota < shift + count)
                         sol = jnp.where(mine[None, None, None, :], sol, u_e)

@@ -144,3 +144,35 @@ def test_3d_angles_on_2d_mesh(reference_root):
     # hot top boundary -> top-adjacent elements warmer on average
     uo, Tco, *_ = solve_oracle(ops, quad3, tables, BCS, tol=0, max_iter=10)
     np.testing.assert_allclose(Tc, Tco, rtol=1e-9, atol=1e-13)
+
+
+def test_eigen_class_mode_hex_f32(reference_root):
+    """Geometry-class compressed eigen factors on a translation-invariant hex
+    mesh must match the full-inverse policy in f32. Guards two regressions:
+    (a) wrong class detection / one-hot rebuild, (b) the MXU bf16 truncation
+    of the eigen apply, which amplifies by cond(V)~1e2 and once produced
+    7e-2 absolute field error (vs ~1e-5 when the apply runs at HIGHEST)."""
+    import jax.numpy as jnp
+
+    from pbte_tpu import mesh as pmesh3
+    from pbte_tpu.angular import quadrature as ang3
+
+    m = pmesh3.make_cartesian_3d(3, 3, 3, "hex").scaled(1e-6)
+    ops = assembly.assemble(pmesh3.connect(m), order=2, face_mode="consistent")
+    quad = ang3.build(
+        ang3.AngularOptions(dimension=3, polar_points=2, azimuth_points=4)
+    )
+    tables = mat.build_tables(mat.SILICON, num_spectral=3)
+    bcs = {1: -0.5, 2: -0.5, 3: -0.5, 4: -0.5, 5: -0.5, 6: 0.5}
+    s_eig = SourceIterationSolver(
+        ops, quad, tables, bcs, dtype=jnp.float32, cache_policy="eigen"
+    )
+    assert s_eig._cls is not None and s_eig.ncls <= 8, "class mode should engage"
+    s_full = SourceIterationSolver(
+        ops, quad, tables, bcs, dtype=jnp.float32, cache_policy="full"
+    )
+    re_ = s_eig.solve(tol=0, max_iter=5, verbose=False)
+    rf = s_full.solve(tol=0, max_iter=5, verbose=False)
+    np.testing.assert_allclose(
+        np.asarray(re_.Tc), np.asarray(rf.Tc), rtol=0, atol=5e-4
+    )
