@@ -178,3 +178,75 @@ def test_mfem_roundtrip(iso2d, tmp_path):
     np.testing.assert_array_equal(again.elem_verts, iso2d.elem_verts)
     np.testing.assert_allclose(again.vertices, iso2d.vertices)
     np.testing.assert_array_equal(again.bdry_attr, iso2d.bdry_attr)
+
+
+def _connect_dict_scan(mesh):
+    """The naive per-element dict scan connect() replaced (kept as the
+    semantics oracle: faces numbered first-seen, first-occurrence vertex
+    orientation, later boundary entries override)."""
+    from pbte_tpu.mesh.core import LOCAL_FACES
+
+    local_faces = LOCAL_FACES[mesh.geom]
+    nf = len(local_faces)
+    ne = mesh.num_elements
+    face_index = {}
+    face_verts_list, face_elems_list = [], []
+    elem_face = np.full((ne, nf), -1, dtype=np.int32)
+    ev = mesh.elem_verts
+    for e in range(ne):
+        for lf, loc in enumerate(local_faces):
+            fverts = tuple(int(ev[e, i]) for i in loc)
+            key = tuple(sorted(fverts))
+            fid = face_index.get(key)
+            if fid is None:
+                fid = len(face_verts_list)
+                face_index[key] = fid
+                face_verts_list.append(fverts)
+                face_elems_list.append([e, -1])
+            else:
+                face_elems_list[fid][1] = e
+            elem_face[e, lf] = fid
+    face_attr = np.zeros(len(face_verts_list), dtype=np.int32)
+    for bv, battr in zip(mesh.bdry_verts, mesh.bdry_attr):
+        fid = face_index.get(tuple(sorted(int(x) for x in bv)))
+        if fid is not None:
+            face_attr[fid] = battr
+    return (np.asarray(face_verts_list, dtype=np.int32),
+            np.asarray(face_elems_list, dtype=np.int32), face_attr, elem_face)
+
+
+@pytest.mark.parametrize(
+    "make",
+    [
+        lambda: pmesh.make_cartesian_2d(5, 4, pmesh.GEOM_TRIANGLE),
+        lambda: pmesh.make_cartesian_2d(4, 6, pmesh.GEOM_QUAD),
+        lambda: pmesh.make_cartesian_3d(3, 2, 4, pmesh.GEOM_TET),
+        lambda: pmesh.make_cartesian_3d(3, 3, 2, pmesh.GEOM_HEX),
+    ],
+)
+def test_connect_matches_dict_scan(make):
+    """Vectorized sort-based connect() must reproduce the sequential dict
+    scan exactly: same face numbering, orientation, pairing, attributes."""
+    m = make()
+    topo = pmesh.connect(m)
+    fv, fe, fa, ef = _connect_dict_scan(m)
+    np.testing.assert_array_equal(topo.face_verts, fv)
+    np.testing.assert_array_equal(topo.face_elems, fe)
+    np.testing.assert_array_equal(topo.face_attr, fa)
+    order = np.argsort(ef, axis=1)
+    np.testing.assert_array_equal(topo.elem_face, np.take_along_axis(ef, order, axis=1))
+
+
+def test_connect_scales():
+    """Setup budget: connect() on a ~1e5-element mesh in seconds, not minutes
+    (VERDICT round-1 weak #7)."""
+    import time
+
+    m = pmesh.make_cartesian_3d(26, 26, 26, pmesh.GEOM_TET)  # 105k tets
+    t0 = time.time()
+    topo = pmesh.connect(m)
+    dt = time.time() - t0
+    assert topo.mesh.num_elements == 26 * 26 * 26 * 6
+    interior = (topo.face_elems[:, 1] >= 0).sum()
+    assert interior > 0 and (topo.elem_neighbor >= 0).sum() == 2 * interior
+    assert dt < 30.0, f"connect took {dt:.1f}s at ne=105k"
