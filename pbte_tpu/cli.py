@@ -64,6 +64,11 @@ def main(argv=None) -> int:
                     metavar=("AXIS", "C1", "C2"),
                     help="3D only: sample T and Q along axis AXIS (0/1/2) at "
                          "fixed other coords C1 C2 (legacy output_3D_1Dslice_T_Q)")
+    ap.add_argument("--periodic", default="",
+                    help="comma-separated axes (e.g. '0' or '0,1') to make "
+                         "periodic by matching opposite boundary vertices; "
+                         "gmsh meshes with $Periodic records pair "
+                         "automatically")
     ap.add_argument("--platform", choices=["default", "cpu"], default="default")
     ap.add_argument("--out", default="output")
     ap.add_argument("--vtu", action="store_true", help="write ParaView VTU output")
@@ -123,9 +128,20 @@ def main(argv=None) -> int:
     m = pmesh.load_mesh(rc.mesh_spec)
     m = m.scaled(rc.material.ref_len)
     m = pmesh.uniform_refine(m, rc.refine)
+    if args.periodic:
+        axes = [int(x) for x in args.periodic.split(",")]
+        m = pmesh.make_periodic(m, axes)
     topo = pmesh.connect(m)
+    n_per = int(topo.elem_face_periodic.sum())
+    if (rc.periodic_attrs or args.periodic) and n_per == 0:
+        raise SystemExit(
+            "[pbte_tpu] periodic boundaries requested but no face pairs "
+            "matched (mesh lacks $Periodic records; try --periodic AXES)"
+        )
     print(f"[pbte_tpu] mesh: {m.geom} dim={m.dim} ne={m.num_elements} "
-          f"nv={m.num_vertices} ({time.time()-t0:.1f}s)")
+          f"nv={m.num_vertices}"
+          + (f" periodic_faces={n_per}" if n_per else "")
+          + f" ({time.time()-t0:.1f}s)")
 
     ops = assembly.assemble(topo, order=rc.order, face_mode=args.face_mode)
     print(f"[pbte_tpu] assembled p={rc.order} D={ops.ndof} "

@@ -38,6 +38,9 @@ class RunConfig:
     )
     face_mode: str = "mfem-parity"
     output_dir: str = "output"
+    # boundary attrs declared periodic (legacy BC type 4); the faces must be
+    # pairable — via gmsh $Periodic records or mesh.make_periodic()
+    periodic_attrs: list = dataclasses.field(default_factory=list)
 
 
 def load_legacy_control(control_path: str, material_path: str | None = None) -> RunConfig:
@@ -46,9 +49,12 @@ def load_legacy_control(control_path: str, material_path: str | None = None) -> 
     config/control/Control.yaml).
 
     Boundary condition types: 1=thermalizing (isothermal), 2=diffuse,
-    3=specular, 4=periodic. Only thermalizing is implemented in the solver so
-    far (the reference's active MFEM tree implements only that too); other
-    types raise until supported."""
+    3=specular, 4=periodic. Thermalizing and periodic are implemented
+    (periodic attrs land in rc.periodic_attrs; the mesh layer pairs the
+    faces — exceeding the reference, whose solvers reject type 4 at solve
+    time, ref: Reference Project/src/DGSolver/PBTE_NonGraySMRT.cpp:125-127).
+    Diffuse/specular raise, matching the reference (parsed but never
+    implemented there either)."""
     cfg = load_yaml_file(control_path) or {}
     rc = RunConfig()
     rc.order = int(cfg.get("POLYDEG", 1))
@@ -76,10 +82,13 @@ def load_legacy_control(control_path: str, material_path: str | None = None) -> 
         bc_type, value = int(spec[0]), float(spec[1])
         if bc_type == 1:
             rc.bc_temps[int(attr)] = value
+        elif bc_type == 4:
+            rc.periodic_attrs.append(int(attr))
         else:
             raise NotImplementedError(
-                f"legacy boundary type {bc_type} (diffuse/specular/periodic) "
-                "is not implemented yet; only type 1 (thermalizing)"
+                f"legacy boundary type {bc_type} (diffuse/specular) "
+                "is not implemented (nor in the reference); supported: "
+                "1 (thermalizing), 4 (periodic)"
             )
 
     if material_path is None:
@@ -120,7 +129,10 @@ def load_run_config(config_path: str, material_path: str | None = None) -> RunCo
         rc.mesh_spec = path
 
     for bc in cfg.get("boundary_conditions") or []:
-        rc.bc_temps[int(bc["attr"])] = float(bc["temperature"])
+        if str(bc.get("type", "")).lower() == "periodic":
+            rc.periodic_attrs.append(int(bc["attr"]))
+        else:
+            rc.bc_temps[int(bc["attr"])] = float(bc["temperature"])
 
     if cfg.get("angles"):
         rc.angles = ang.options_from_config(cfg)

@@ -71,6 +71,21 @@ class ElementOps:
     normals: np.ndarray  # (ne, nf, dim)
     neighbor: np.ndarray  # (ne, nf), -1 boundary
     face_attr: np.ndarray  # (ne, nf), 0 interior
+    # periodic faces: neighbor >= 0 there, but the coupling must be LAGGED
+    # (previous outer iterate) — periodic wrap would create upwind-DAG cycles
+    periodic: np.ndarray = None  # (ne, nf) bool
+
+    def __post_init__(self):
+        if self.periodic is None:
+            self.periodic = np.zeros(self.neighbor.shape, dtype=bool)
+
+    @property
+    def sweep_neighbor(self) -> np.ndarray:
+        """Neighbor table with periodic couplings masked out — the one the
+        sweep planner must use (periodic faces are lagged, not swept)."""
+        if not self.periodic.any():
+            return self.neighbor
+        return np.where(self.periodic, -1, self.neighbor)
 
     @property
     def num_elements(self) -> int:
@@ -237,10 +252,13 @@ def assemble(
             face_int[sl] = np.einsum("efq,efqi->efi", wf, S_self)
             face_mass[sl] = np.einsum("efq,efqi,efqj->efij", wf, S_self, S_self)
 
-            # neighbor-side shape values (interior faces only)
+            # neighbor-side shape values (interior faces only); periodic
+            # neighbors live across the domain — translate the face quad
+            # points by the periodic offset before inverse-mapping into them
             nbr_safe = np.where(has_nbr, nbr, 0)
             Xv_nbr = verts[ev[nbr_safe]]  # (E, nf, nv, dim)
-            r_nbr = inverse_map(geom, Xv_nbr, Xq)
+            Xq_nbr = Xq + topo.periodic_offset[sl][:, :, None, :]
+            r_nbr = inverse_map(geom, Xv_nbr, Xq_nbr)
             S_nbr = b.eval(r_nbr)  # (E, nf, Qf, D)
             cpl = np.einsum("efq,efqi,efqj->efij", wf, S_self, S_nbr)
             coupling[sl] = np.where(has_nbr[..., None, None], cpl, 0.0)
@@ -258,6 +276,7 @@ def assemble(
         normals=topo.normals.copy(),
         neighbor=topo.elem_neighbor.copy(),
         face_attr=topo.elem_face_attr.copy(),
+        periodic=topo.elem_face_periodic.copy(),
     )
 
 

@@ -13,6 +13,7 @@ from pbte_tpu.mesh.core import (  # noqa: F401
     MeshData,
     MeshTopology,
     connect,
+    make_periodic,
     finalize,
 )
 from pbte_tpu.mesh.builtins import load_builtin, make_cartesian_2d, make_cartesian_3d  # noqa: F401

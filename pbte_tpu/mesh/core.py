@@ -87,6 +87,11 @@ class MeshData:
     bdry_verts: np.ndarray  # (nb, nv_f) int32
     bdry_attr: np.ndarray  # (nb,) int32
     source: str = ""
+    # periodic vertex maps (one bidirectional dict per transform/axis), from
+    # gmsh $Periodic records or make_periodic(); consumed by connect().
+    # Survives scaled()/replace(); NOT preserved by uniform_refine (new
+    # midpoint vertices) — call make_periodic after refining instead.
+    periodic_node_maps: list = None
 
     @property
     def num_elements(self) -> int:
@@ -116,6 +121,24 @@ class MeshTopology:
     elem_face_attr: np.ndarray  # boundary attribute (0 interior)
     normals: np.ndarray  # (ne, nf, dim) outward unit normals
     centroids: np.ndarray  # (ne, dim) element vertex centroids
+    # periodic face pairing (zeros/False when the mesh has none):
+    # paired faces appear as interior neighbors in elem_neighbor with
+    # elem_face_periodic True; periodic_offset is the translation that maps
+    # points of this face onto the partner face (for neighbor-basis traces)
+    elem_face_periodic: np.ndarray = None  # (ne, nf) bool
+    periodic_offset: np.ndarray = None  # (ne, nf, dim) float64
+
+    def __post_init__(self):
+        if self.elem_face_periodic is None:
+            self.elem_face_periodic = np.zeros(self.elem_face.shape, dtype=bool)
+        if self.periodic_offset is None:
+            self.periodic_offset = np.zeros(
+                self.elem_face.shape + (self.mesh.dim,)
+            )
+
+    @property
+    def has_periodic(self) -> bool:
+        return bool(self.elem_face_periodic.any())
 
     @property
     def num_faces(self) -> int:
@@ -297,7 +320,7 @@ def connect(mesh: MeshData) -> MeshTopology:
     flip = np.sum(n * to_face, axis=-1) < 0.0
     normals = np.where(flip[..., None], -n, n)
 
-    return MeshTopology(
+    topo = MeshTopology(
         mesh=mesh,
         face_verts=face_verts,
         face_elems=face_elems,
@@ -308,3 +331,103 @@ def connect(mesh: MeshData) -> MeshTopology:
         normals=normals,
         centroids=centroids,
     )
+    node_maps = mesh.periodic_node_maps
+    if not node_maps:
+        merged = getattr(mesh, "periodic_node_pairs", None)
+        node_maps = [merged] if merged else None
+    if node_maps:
+        _wire_periodic(topo, node_maps)
+    return topo
+
+
+def _wire_periodic(topo: MeshTopology, node_maps) -> None:
+    """Pair periodic boundary faces through vertex maps and patch the
+    per-element tables so paired faces look like interior neighbors.
+
+    Semantics follow the legacy reference's matching (each boundary face's
+    vertex set is mapped through the node pairing and looked up among the
+    other boundary faces; ref: Reference Project/include/SpatialMesh/
+    SpatialMesh.hpp:276-332) — but unlike the reference, which only records
+    the pairing (its solvers reject BC type 4 at solve time,
+    ref: Reference Project/src/DGSolver/PBTE_NonGraySMRT.cpp:125-127), the
+    paired faces here feed an actual lagged periodic coupling in the solver.
+
+    Patches: elem_neighbor (partner element), elem_face_attr (-> 0, the face
+    is no longer an isothermal boundary), elem_face_periodic (True),
+    periodic_offset (partner-face centroid - own-face centroid). face_attr /
+    face_elems global tables are left untouched for dump parity.
+    """
+    mesh = topo.mesh
+    nf = topo.faces_per_elem
+    vertices = mesh.vertices
+
+    # boundary faces: global id -> (element, local slot)
+    bdry = np.argwhere(topo.elem_neighbor < 0)
+    fid_of = {}
+    for e, lf in bdry:
+        fid_of[int(topo.elem_face[e, lf])] = (int(e), int(lf))
+
+    key_of = {}
+    for fid, (e, lf) in fid_of.items():
+        key_of[tuple(sorted(int(v) for v in topo.face_verts[fid]))] = fid
+
+    face_cent = vertices[topo.face_verts].mean(axis=1)  # (nfaces, dim)
+    for fid, (e, lf) in fid_of.items():
+        if topo.elem_face_periodic[e, lf]:
+            continue
+        verts = [int(v) for v in topo.face_verts[fid]]
+        for nm in node_maps:
+            try:
+                mapped = tuple(sorted(nm[v] for v in verts))
+            except KeyError:
+                continue
+            pid = key_of.get(mapped)
+            if pid is None or pid == fid:
+                continue
+            e2, lf2 = fid_of[pid]
+            topo.elem_neighbor[e, lf] = e2
+            topo.elem_neighbor[e2, lf2] = e
+            topo.elem_face_attr[e, lf] = 0
+            topo.elem_face_attr[e2, lf2] = 0
+            topo.elem_face_periodic[e, lf] = True
+            topo.elem_face_periodic[e2, lf2] = True
+            topo.periodic_offset[e, lf] = face_cent[pid] - face_cent[fid]
+            topo.periodic_offset[e2, lf2] = face_cent[fid] - face_cent[pid]
+            break
+
+
+def make_periodic(mesh: MeshData, axes) -> MeshData:
+    """Mark opposite boundaries of an axis-aligned box mesh periodic.
+
+    Builds one vertex map per axis in `axes` by matching boundary vertices at
+    coord==min with coord==max on the remaining coordinates (the structured
+    analog of gmsh's $Periodic records), and stores them on the mesh for
+    connect() to consume. Returns the same mesh object (maps attached)."""
+    v = mesh.vertices
+    maps = list(getattr(mesh, "periodic_node_maps", []) or [])
+    span = v.max(axis=0) - v.min(axis=0)
+    tol = 1e-9 * max(float(span.max()), 1.0)
+    for ax in np.atleast_1d(axes).astype(int):
+        lo_v = np.flatnonzero(np.abs(v[:, ax] - v[:, ax].min()) < tol)
+        hi_v = np.flatnonzero(np.abs(v[:, ax] - v[:, ax].max()) < tol)
+        if len(lo_v) != len(hi_v):
+            raise ValueError(
+                f"axis {ax}: {len(lo_v)} low-side vs {len(hi_v)} high-side "
+                "boundary vertices — mesh is not translation-periodic"
+            )
+        other = [d for d in range(mesh.dim) if d != ax]
+        lo_key = np.round(v[np.ix_(lo_v, other)] / tol).astype(np.int64)
+        hi_key = np.round(v[np.ix_(hi_v, other)] / tol).astype(np.int64)
+        lo_sorted = lo_v[np.lexsort(lo_key.T[::-1])]
+        hi_sorted = hi_v[np.lexsort(hi_key.T[::-1])]
+        if not np.array_equal(
+            np.sort(lo_key, axis=0), np.sort(hi_key, axis=0)
+        ):
+            raise ValueError(f"axis {ax}: boundary vertex patterns differ")
+        m = {}
+        for a, b in zip(lo_sorted, hi_sorted):
+            m[int(a)] = int(b)
+            m[int(b)] = int(a)
+        maps.append(m)
+    mesh.periodic_node_maps = maps  # type: ignore[attr-defined]
+    return mesh

@@ -26,6 +26,7 @@ def parse_gmsh_mesh(text: str, source: str = "") -> core.MeshData:
     vol_elems: list[tuple[int, int, list[int]]] = []  # (geom_code, tag, verts)
     bdry: list[tuple[int, list[int]]] = []  # (tag, verts)
     periodic_node_pairs: dict[int, int] = {}
+    periodic_node_maps: list[dict[int, int]] = []  # one per $Periodic entity
     periodic_face_tags: list[tuple[int, int]] = []
 
     for line in lines:
@@ -76,10 +77,15 @@ def parse_gmsh_mesh(text: str, source: str = "") -> core.MeshData:
                 if peek.startswith("Affine"):
                     peek = next(lines).strip()
                 npairs = int(peek)
+                entity_map = {}
                 for _ in range(npairs):
                     a, b = (int(x) for x in next(lines).split()[:2])
                     periodic_node_pairs[a - 1] = b - 1
                     periodic_node_pairs[b - 1] = a - 1
+                    entity_map[a - 1] = b - 1
+                    entity_map[b - 1] = a - 1
+                if entity_map:
+                    periodic_node_maps.append(entity_map)
 
     if not vol_elems:
         raise ValueError("gmsh file contains no volume elements")
@@ -110,6 +116,7 @@ def parse_gmsh_mesh(text: str, source: str = "") -> core.MeshData:
         ),
         bdry_attr=np.asarray([t for t, _ in bdry], dtype=np.int32),
         source=source,
+        periodic_node_maps=periodic_node_maps or None,
     )
     mesh = core.finalize(mesh)
     # stash gmsh extras for consumers (periodic BCs, physical names)

@@ -212,6 +212,10 @@ def cpp_source_iteration(ops, quad, tables, bc_temps, n_iter,
     Mirrors the reference algorithm exactly (same operators, same lagged-Tc
     source iteration; ref: src/PBTESolver.cpp:208-332) — the measured
     baseline bench.py compares the TPU solver against."""
+    if ops.periodic.any():
+        raise NotImplementedError(
+            "the C++ baseline solver does not support periodic meshes"
+        )
     lib = get_solver_lib()
     if lib is None:
         return None

@@ -78,6 +78,12 @@ class SpatialShardedSolver:
         self.dt_inv = float(inv_kn.max())
         vg_s = vg / self.dt_inv
 
+        if ops.periodic.any():
+            raise NotImplementedError(
+                "SpatialShardedSolver does not support periodic meshes yet; "
+                "use SourceIterationSolver (its lagged periodic coupling "
+                "composes with dir_sharding)"
+            )
         bdry_attrs = set(int(a) for a in np.unique(ops.face_attr[ops.neighbor < 0]))
         missing = bdry_attrs - set(int(k) for k in bc_temps)
         if missing and require_bcs:

@@ -172,7 +172,17 @@ class SourceIterationSolver:
             bc_T[ops.face_attr == int(attr)] = float(T)
 
         # ---- sweep plan, slot-major (G, Km) layout -------------------------
-        plan = planner.build_plan(ops.neighbor, ops.normals, quad.directions)
+        # periodic faces are EXCLUDED from the upwind DAG (they would close
+        # cycles); their coupling is applied lagged from the previous outer
+        # iterate below — mirroring how the reference orders before pairing
+        # (Reference Project/include/SpatialMesh/SpatialMesh.hpp:272-276)
+        self.has_periodic = bool(ops.periodic.any())
+        if self.has_periodic and use_pallas:
+            raise NotImplementedError(
+                "use_pallas does not support periodic meshes yet"
+            )
+        sweep_nbr = ops.sweep_neighbor
+        plan = planner.build_plan(sweep_nbr, ops.normals, quad.directions)
         self.plan = plan
         G = plan.num_groups
         Km = max(len(d) for d in plan.dirs_of_group)
@@ -258,7 +268,9 @@ class SourceIterationSolver:
                 )
 
         # neighbor positions per group: (G, nf, ne_pad), -1 boundary/padding
-        nbr = ops.neighbor  # (ne, nf)
+        # (from the periodic-masked table: in-sweep gathers must never read a
+        # periodic partner — those arrive lagged through the rhs base)
+        nbr = sweep_nbr  # (ne, nf)
         nbr_g = nbr[perm_safe]  # (G, ne_pad, nf)
         nbr_pos = np.where(
             (nbr_g >= 0) & pos_valid[..., None],
@@ -268,6 +280,48 @@ class SourceIterationSolver:
             -1,
         )
         nbr_pos = np.swapaxes(nbr_pos, 1, 2)  # (G, nf, ne_pad)
+
+        # ---- lagged periodic couplings: compact per-group slot lists -------
+        # (face f of the element at group position `pos` wraps to the element
+        # at group position `src`); applied once per outer step against the
+        # previous iterate, so size-P tables instead of (nf, ne) masks.
+        # P=1 zero-valid dummies keep a single traced code path.
+        n_per = 1
+        per_face = np.zeros((G, 1), dtype=np.int32)
+        per_pos = np.zeros((G, 1), dtype=np.int32)
+        per_src = np.zeros((G, 1), dtype=np.int32)
+        per_cpl = np.zeros((G, 1, D, D))
+        per_valid = np.zeros((G, 1))
+        if self.has_periodic:
+            rows = []
+            for g in range(G):
+                e_at = perm_safe[g]
+                pv = pos_valid[g]
+                ent = []
+                for p in range(ne_pad):
+                    if not pv[p]:
+                        continue
+                    e = e_at[p]
+                    for f in range(nf):
+                        if ops.periodic[e, f]:
+                            ent.append(
+                                (f, p, pos_of_elem[g, ops.neighbor[e, f]],
+                                 ops.coupling[e, f])
+                            )
+                rows.append(ent)
+            n_per = max(max(len(r) for r in rows), 1)
+            per_face = np.zeros((G, n_per), dtype=np.int32)
+            per_pos = np.zeros((G, n_per), dtype=np.int32)
+            per_src = np.zeros((G, n_per), dtype=np.int32)
+            per_cpl = np.zeros((G, n_per, D, D))
+            per_valid = np.zeros((G, n_per))
+            for g, ent in enumerate(rows):
+                for i, (f, p, s, cpl) in enumerate(ent):
+                    per_face[g, i] = f
+                    per_pos[g, i] = p
+                    per_src[g, i] = s
+                    per_cpl[g, i] = cpl
+                    per_valid[g, i] = 1.0
 
         def gperm(a, extra_axes=None):
             """a (ne, ...) -> (G, ..., ne_pad) in group order, zero padded."""
@@ -448,6 +502,11 @@ class SourceIterationSolver:
             flux_w=sput(np.moveaxis(fw_slots, 0, -1)),  # (G, Km, BS, dim)
             fdot=sput(fdot),  # (G, Km, nf, ne_pad)
             mats=mats,
+            per_face=iput(per_face),  # (G, P) periodic slot tables
+            per_pos=iput(per_pos),
+            per_src=iput(per_src),
+            per_cpl=put(per_cpl),  # (G, P, D, D)
+            per_valid=put(per_valid),  # (G, P) 1.0 real / 0.0 padding
         )
 
         # ---- fused Pallas sweep plan (padded mode) --------------------------
@@ -613,7 +672,8 @@ class SourceIterationSolver:
             return lax.dynamic_update_slice_in_dim(u_g, sol, offc, axis=-1)
 
         def sweep_group(u_g, TcT_g, mass_t, face_int, coupling, nbr_pos, bc_T,
-                        fdot, mats, g_mass, offsets_g, counts_g):
+                        fdot, mats, g_mass, offsets_g, counts_g,
+                        per_face, per_pos, per_src, per_cpl, per_valid):
             # u_g (Km, BS, D, ne); compact group-level-concatenated order
 
             # ---- hoisted rhs base: everything that does not depend on the
@@ -635,6 +695,23 @@ class SourceIterationSolver:
                 * bsrc[:, None]
             )  # (Km, BS, D, ne)
             cin_int_all = jnp.where(is_b_all[None], 0.0, cin_all)
+
+            if self.has_periodic:
+                # lagged periodic coupling: read the PREVIOUS iterate (u_g is
+                # still the carry's initial value here) at the wrap partners
+                # and fold into the rhs base — periodic faces are invisible
+                # to the level scan (masked from nbr_pos / cin_int_all)
+                u_src = u_g[:, :, :, per_src]  # (Km, BS, D, P)
+                cin_p = (
+                    jnp.minimum(fdot[:, per_face, per_pos], 0.0)
+                    * per_valid[None]
+                )  # (Km, P)
+                contrib = jnp.einsum(
+                    "pij,kp,kbjp->kbip", per_cpl, cin_p, u_src
+                )  # (Km, BS, D, P)
+                rhs_base = rhs_base.at[:, :, :, per_pos].add(
+                    -c["vg"][None, :, None, None] * contrib
+                )
 
             def make_level_body(Ws):
                 iota = jnp.arange(Ws)
@@ -741,6 +818,8 @@ class SourceIterationSolver:
             u, TcT_groups, c["mass_t"], c["face_int"], c["coupling"],
             c["nbr_pos"], c["bc_T"], c["fdot"], c["mats"], c["mass"],
             c["offsets"], c["counts"],
+            c["per_face"], c["per_pos"], c["per_src"], c["per_cpl"],
+            c["per_valid"],
         )
 
         # macroscopic closure: per-group partials in group order -> global

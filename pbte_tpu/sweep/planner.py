@@ -204,7 +204,10 @@ def write_sweep_orders(quad, topo, path: str) -> None:
     """Golden-format sweep order dump (ref: src/AngularSweepOrder.cpp:149-181)."""
     import os
 
-    orders = greedy_orders(topo.elem_neighbor, topo.normals, quad.directions)
+    # periodic pairs are lagged couplings, not sweep dependencies — mask them
+    # exactly as the solver does (ops.sweep_neighbor)
+    nbr = np.where(topo.elem_face_periodic, -1, topo.elem_neighbor)
+    orders = greedy_orders(nbr, topo.normals, quad.directions)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
         f.write("Sweep order per direction\n")

@@ -35,7 +35,10 @@ def solve_oracle(ops, quad, tables, bc_temps, tol=1e-7, max_iter=101, record=Non
     dt_inv = inv_kn.max()
     dirs = quad.directions[:, :dim]
 
-    orders = planner.greedy_orders(ops.neighbor, ops.normals, dirs)
+    # periodic faces are masked from the sweep order (they would close
+    # cycles) and read lagged below, like cross-partition interfaces
+    has_periodic = bool(ops.periodic.any())
+    orders = planner.greedy_orders(ops.sweep_neighbor, ops.normals, dirs)
     fdot = np.einsum("efd,kd->kef", ops.normals, dirs)  # (K, ne, nf)
 
     mass_t = np.swapaxes(ops.mass, -1, -2)
@@ -59,7 +62,7 @@ def solve_oracle(ops, quad, tables, bc_temps, tol=1e-7, max_iter=101, record=Non
     res = np.inf
     for it in range(1, max_iter + 1):
         prev_Tc = Tc
-        u_lag = u.copy() if part is not None else None
+        u_lag = u.copy() if (part is not None or has_periodic) else None
         for k in range(K):
             for bs in range(BS):
                 for e in orders[k]:
@@ -79,7 +82,9 @@ def solve_oracle(ops, quad, tables, bc_temps, tol=1e-7, max_iter=101, record=Non
                                 * ops.face_int[e, f]
                             )
                         else:
-                            lagged = part is not None and part[nbr] != part[e]
+                            lagged = (
+                                part is not None and part[nbr] != part[e]
+                            ) or ops.periodic[e, f]
                             u_src = u_lag if lagged else u
                             rhs += -coeff_in * (ops.coupling[e, f] @ u_src[k, bs, nbr])
                     u[k, bs, e] = A_inv[k, bs, e] @ rhs
