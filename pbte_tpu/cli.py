@@ -75,6 +75,12 @@ def main(argv=None) -> int:
     ap.add_argument("--no-dumps", action="store_true",
                     help="skip golden-format log dumps")
     ap.add_argument("--check-every", type=int, default=1)
+    ap.add_argument("--checkpoint", default="",
+                    help="checkpoint file path (npz); written every "
+                         "--checkpoint-every iterations during the solve")
+    ap.add_argument("--checkpoint-every", type=int, default=25)
+    ap.add_argument("--resume", action="store_true",
+                    help="resume the solve from --checkpoint if it exists")
     ap.add_argument("--profile", default="",
                     help="write a jax profiler trace of the solve to this dir")
     ap.add_argument("-p", "--parallel", default="",
@@ -84,6 +90,7 @@ def main(argv=None) -> int:
 
     jax = _setup_jax(args.platform, x64=(args.dtype == "f64"))
     import jax.numpy as jnp
+    import numpy as np
 
     from pbte_tpu import mesh as pmesh
     from pbte_tpu.angular import quadrature as ang
@@ -184,6 +191,10 @@ def main(argv=None) -> int:
                 f"--parallel {args.parallel} needs {n_dir * n_space} devices, "
                 f"found {len(devs)}"
             )
+        if args.cache_policy != "full" or args.matmul_precision != "default":
+            print("[pbte_tpu] WARNING: --cache-policy/--matmul-precision are "
+                  "not supported by the --parallel solver (it always builds "
+                  "the full A^-1 cache at default precision); ignoring")
         dmesh = Mesh(_np.array(devs[: n_dir * n_space]).reshape(n_dir, n_space),
                      axis_names=("dir", "space"))
         solver = SpatialShardedSolver(
@@ -206,15 +217,29 @@ def main(argv=None) -> int:
               f"levels<={solver.plan.max_levels} width<={solver.plan.max_width} "
               f"padding={solver.plan.padding_ratio():.1%} ({time.time()-t0:.1f}s)")
 
+    state = None
+    if args.resume and args.checkpoint and os.path.exists(args.checkpoint):
+        from pbte_tpu.io.checkpoint import load_checkpoint
+
+        state, ck_it, ck_res = load_checkpoint(args.checkpoint, solver)
+        print(f"[pbte_tpu] resumed from {args.checkpoint} "
+              f"(iteration {ck_it}, residual {ck_res:.3e})")
+
+    history = []
+    solve_kw = dict(
+        tol=rc.tolerance, max_iter=rc.max_iter, state=state,
+        check_every=args.check_every,
+        callback=lambda it, r: history.append((it, r)),
+        checkpoint_path=args.checkpoint or None,
+        checkpoint_every=args.checkpoint_every,
+    )
     t1 = time.time()
     if args.profile:
         with jax.profiler.trace(args.profile):
-            res = solver.solve(tol=rc.tolerance, max_iter=rc.max_iter,
-                               check_every=args.check_every)
+            res = solver.solve(**solve_kw)
         print(f"[pbte_tpu] profiler trace written to {args.profile}")
     else:
-        res = solver.solve(tol=rc.tolerance, max_iter=rc.max_iter,
-                           check_every=args.check_every)
+        res = solver.solve(**solve_kw)
     t_solve = time.time() - t1
     dof_swept = (res.iterations * solver.K * solver.BS
                  * m.num_elements * ops.ndof)
@@ -222,12 +247,23 @@ def main(argv=None) -> int:
           f"{t_solve:.2f}s, {dof_swept / max(t_solve, 1e-9):.3e} "
           f"element-ordinate DOF/s")
 
+    # step-residual history (analog of the legacy
+    # PBTE_NonGraySMRT_step_resisual.txt, typo preserved;
+    # ref: reference/DGSolver/PBTE_NonGraySMRT.cpp:72-76,143)
+    hist_dir = os.path.join(rc.output_dir, f"{m.dim}D/log")
+    os.makedirs(hist_dir, exist_ok=True)
+    with open(os.path.join(hist_dir,
+                           "PBTE_NonGraySMRT_step_resisual.txt"), "w") as f:
+        for it, r in history:
+            f.write(f"{it} {r}\n")
+
+    # outputs are identical regardless of --parallel (the reference gathers
+    # per-rank blocks for multi-rank-comparable dumps, src/Utils.cpp:100-148)
     Tc_out = res.Tc_global() if args.parallel else res.Tc
     if not args.no_dumps:
         writers.write_temperature(Tc_out, os.path.join(log_dir, "Tc_all.txt"))
-        if not args.parallel:
-            writers.write_coefficients(res.u_dirs(), quad, tables.num_branches,
-                                       os.path.join(log_dir, "coeff_all.txt"))
+        writers.write_coefficients(res.u_dirs(), quad, tables.num_branches,
+                                   os.path.join(log_dir, "coeff_all.txt"))
         writers.write_element_integrals(ops, os.path.join(log_dir, "integrals_all.txt"))
     if m.dim == 2:
         write_2d_slice(m, rc.order, Tc_out,
@@ -237,11 +273,10 @@ def main(argv=None) -> int:
     if m.dim != 3 and (args.slice_z is not None or args.line_slice is not None):
         print("[pbte_tpu] WARNING: --slice-z/--line-slice are 3D-only; "
               f"ignored for this {m.dim}D mesh")
-    if m.dim == 3 and not args.parallel and (
-            args.slice_z is not None or args.line_slice is not None):
+    if m.dim == 3 and (args.slice_z is not None or args.line_slice is not None):
         from pbte_tpu.io.slice import write_3d_line_slice, write_3d_slice
 
-        Qc3, _ = solver.heat_flux(res.u)
+        Qc3 = np.asarray(solver.heat_flux(res.u)[0])
         res_dir = os.path.join(rc.output_dir, "3D/results")
         if args.slice_z is not None:
             path = os.path.join(res_dir, "T_slice_z.txt")
@@ -253,11 +288,11 @@ def main(argv=None) -> int:
             write_3d_line_slice(m, rc.order, Tc_out, Qc3, int(axis), c1, c2,
                                 path)
             print(f"[pbte_tpu] 3D line slice written to {path}")
-    if args.vtu and not args.parallel:
+    if args.vtu:
         from pbte_tpu.io.vtu import write_vtu
 
-        Qc, _ = solver.heat_flux(res.u)
-        write_vtu(m, rc.order, {"T": res.Tc}, {"Q": Qc},
+        Qc = np.asarray(solver.heat_flux(res.u)[0])
+        write_vtu(m, rc.order, {"T": Tc_out}, {"Q": Qc},
                   os.path.join(rc.output_dir, "vis/pbte_fields"))
         print(f"[pbte_tpu] ParaView output written to {rc.output_dir}/vis/")
     return 0

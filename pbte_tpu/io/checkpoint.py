@@ -16,15 +16,26 @@ def _fingerprint(solver) -> dict:
     # cache_policy/use_pallas determine the state LAYOUT of u (scan layout
     # (G, Km, BS, D, ne_pad) vs fused (G, L, Km, D, BS, W)); a layout-
     # mismatched load must fail here, not as an opaque XLA shape error later
-    policy = {"full": 0, "on-the-fly": 1, "eigen": 2}[solver.cache_policy]
-    return dict(
+    policy = {"full": 0, "on-the-fly": 1, "eigen": 2}[
+        getattr(solver, "cache_policy", "full")
+    ]
+    fp = dict(
         G=solver.G, Km=solver.Km, BS=solver.BS, D=solver.D, ne=solver.ne,
-        K=solver.K, dt_inv=solver.dt_inv, ne_pad=solver.ne_pad,
-        cache_policy=policy, use_pallas=int(bool(solver.use_pallas)),
+        K=solver.K, dt_inv=solver.dt_inv,
+        ne_pad=getattr(solver, "ne_pad", solver.ne),
+        cache_policy=policy,
+        use_pallas=int(bool(getattr(solver, "use_pallas", False))),
     )
+    if hasattr(solver, "pplan"):  # SpatialShardedSolver
+        fp["nparts"] = solver.pplan.nparts
+        fp["ne_max"] = solver.ne_max
+    return fp
 
 
 def _expected_u_shape(solver) -> tuple:
+    if hasattr(solver, "pplan"):  # SpatialShardedSolver
+        return (solver.pplan.nparts, solver.G, solver.Km, solver.BS,
+                solver.D, solver.ne_max)
     if getattr(solver, "_fused", None) is not None and solver.use_pallas:
         return (solver.G, solver.L, solver.Km, solver.D, solver.BS, solver.W)
     return (solver.G, solver.Km, solver.BS, solver.D, solver.ne_pad)

@@ -2,9 +2,18 @@
 
 Replaces MacroscopicQuantities::WriteParaView (ref:
 src/MacroscopicQuantities.cpp:168-271). Each element is written as its own
-disconnected cell (vertex copies per element) so the discontinuous L2 field is
-rendered faithfully; point values are the DG field evaluated at the element's
-vertices.
+disconnected block of cells so the discontinuous L2 field is rendered
+faithfully.
+
+High-order fidelity: the reference writes an mfem::ParaViewDataCollection
+with SetHighOrderOutput(high_order) + SetLevelsOfDetail(1). Here the same
+role is played by `lod` subdivision levels: the REFERENCE element is
+red-refined `lod` times (reusing mesh.refine's MFEM-layout refinement), the
+DG basis is sampled at the refined lattice, and each element is emitted as
+4^lod/8^lod linear sub-cells — a p=2/p=3 field is no longer silently
+linearized (VTK Lagrange cells would be the other route; subdivision renders
+identically at sufficient lod and needs no per-geometry node-order tables).
+lod=0 reproduces the vertex-sampled output.
 """
 
 from __future__ import annotations
@@ -24,30 +33,70 @@ _VTK_CELL = {
 }
 
 
-def write_vtu(mesh, order, scalar_fields=None, vector_fields=None, prefix="fields"):
+def _ref_lattice(geom: str, lod: int):
+    """Reference-element sample points + sub-cell connectivity.
+
+    Returns (ref_pts (P, dim), sub_conn (C, nv_e)): the reference element
+    red-refined `lod` times via mesh.refine.uniform_refine (single-element
+    MeshData on the reference coordinates)."""
+    if lod <= 0:
+        rv = fref.REF_VERTS[geom]
+        return rv, np.arange(len(rv), dtype=np.int64)[None, :]
+    from pbte_tpu.mesh.refine import uniform_refine
+
+    rv = fref.REF_VERTS[geom]
+    nv_f = 2 if mesh_core.GEOM_DIM[geom] == 2 else (
+        3 if geom == mesh_core.GEOM_TET else 4
+    )
+    m = mesh_core.MeshData(
+        dim=mesh_core.GEOM_DIM[geom],
+        geom=geom,
+        vertices=rv.astype(float),
+        elem_verts=np.arange(len(rv), dtype=np.int32)[None, :],
+        elem_attr=np.ones(1, dtype=np.int32),
+        bdry_verts=np.zeros((0, nv_f), dtype=np.int32),
+        bdry_attr=np.zeros(0, dtype=np.int32),
+    )
+    m = uniform_refine(m, lod)
+    return m.vertices, m.elem_verts.astype(np.int64)
+
+
+def write_vtu(mesh, order, scalar_fields=None, vector_fields=None,
+              prefix="fields", lod: int | None = None):
     """scalar_fields: {name: (ne, D) coeffs}; vector_fields: {name: (dim, ne, D)}.
 
-    Writes `{prefix}.vtu` (XML, appended ascii) and returns its path."""
+    lod: subdivision levels per element (None -> enough for the basis order:
+    0 for p<=1, 1 for p<=3, 2 beyond). Writes `{prefix}.vtu` and returns its
+    path."""
     scalar_fields = scalar_fields or {}
     vector_fields = vector_fields or {}
+    if lod is None:
+        lod = 0 if order <= 1 else (1 if order <= 3 else 2)
     ne = mesh.num_elements
-    nv_e = mesh.elem_verts.shape[1]
     dim = mesh.dim
 
     b = fref.basis(mesh.geom, order)
-    # basis values at the reference-element vertices
-    vert_shape = b.eval(fref.REF_VERTS[mesh.geom])  # (nv_e, D)
+    ref_pts, sub_conn = _ref_lattice(mesh.geom, lod)
+    P = len(ref_pts)  # sample points per element
+    C = len(sub_conn)  # sub-cells per element
+    shape = b.eval(ref_pts)  # (P, D) DG basis at sample points
+    vshape = fref.vertex_shape(mesh.geom, ref_pts)  # (P, nv_e) geometry map
 
-    pts = mesh.vertices[mesh.elem_verts].reshape(ne * nv_e, dim)
+    # physical sample points per element: (ne, P, dim) -> flat
+    Xv = mesh.vertices[mesh.elem_verts]  # (ne, nv_e, dim)
+    pts = np.einsum("pv,evd->epd", vshape, Xv).reshape(ne * P, dim)
     if dim == 2:
         pts = np.hstack([pts, np.zeros((len(pts), 1))])
 
-    conn = np.arange(ne * nv_e)
-    offsets = (np.arange(ne) + 1) * nv_e
-    ctype = np.full(ne, _VTK_CELL[mesh.geom])
+    conn = (sub_conn[None, :, :] + P * np.arange(ne)[:, None, None]).reshape(
+        ne * C, -1
+    )
+    nv_cell = conn.shape[1]
+    offsets = (np.arange(ne * C) + 1) * nv_cell
+    ctype = np.full(ne * C, _VTK_CELL[mesh.geom])
 
-    def eval_at_verts(coeffs):
-        return np.einsum("ei,vi->ev", np.asarray(coeffs), vert_shape).reshape(-1)
+    def eval_at_pts(coeffs):
+        return np.einsum("ei,pi->ep", np.asarray(coeffs), shape).reshape(-1)
 
     path = prefix + ".vtu"
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -56,7 +105,7 @@ def write_vtu(mesh, order, scalar_fields=None, vector_fields=None, prefix="field
         f.write('<VTKFile type="UnstructuredGrid" version="0.1" '
                 'byte_order="LittleEndian">\n')
         f.write("  <UnstructuredGrid>\n")
-        f.write(f'    <Piece NumberOfPoints="{ne * nv_e}" NumberOfCells="{ne}">\n')
+        f.write(f'    <Piece NumberOfPoints="{ne * P}" NumberOfCells="{ne * C}">\n')
         f.write("      <Points>\n")
         f.write('        <DataArray type="Float64" NumberOfComponents="3" '
                 'format="ascii">\n')
@@ -65,7 +114,8 @@ def write_vtu(mesh, order, scalar_fields=None, vector_fields=None, prefix="field
         f.write("        </DataArray>\n      </Points>\n")
         f.write("      <Cells>\n")
         f.write('        <DataArray type="Int64" Name="connectivity" format="ascii">\n')
-        f.write("          " + " ".join(map(str, conn)) + "\n")
+        for row in conn:
+            f.write("          " + " ".join(map(str, row)) + "\n")
         f.write("        </DataArray>\n")
         f.write('        <DataArray type="Int64" Name="offsets" format="ascii">\n')
         f.write("          " + " ".join(map(str, offsets)) + "\n")
@@ -75,13 +125,13 @@ def write_vtu(mesh, order, scalar_fields=None, vector_fields=None, prefix="field
         f.write("        </DataArray>\n      </Cells>\n")
         f.write("      <PointData>\n")
         for name, coeffs in scalar_fields.items():
-            vals = eval_at_verts(coeffs)
+            vals = eval_at_pts(coeffs)
             f.write(f'        <DataArray type="Float64" Name="{name}" format="ascii">\n')
             f.write("          " + " ".join(f"{v:.16g}" for v in vals) + "\n")
             f.write("        </DataArray>\n")
         for name, comp in vector_fields.items():
             comp = np.asarray(comp)  # (dim, ne, D)
-            vecs = np.stack([eval_at_verts(comp[d]) for d in range(comp.shape[0])], -1)
+            vecs = np.stack([eval_at_pts(comp[d]) for d in range(comp.shape[0])], -1)
             if vecs.shape[-1] == 2:
                 vecs = np.hstack([vecs, np.zeros((len(vecs), 1))])
             f.write(f'        <DataArray type="Float64" Name="{name}" '

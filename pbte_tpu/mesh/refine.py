@@ -177,7 +177,11 @@ def _refine_once(mesh: core.MeshData) -> core.MeshData:
         vertices=np.vstack([verts, np.asarray(new_coords)]) if new_coords else verts.copy(),
         elem_verts=np.asarray(new_elems, dtype=np.int32),
         elem_attr=np.asarray(new_attrs, dtype=np.int32),
-        bdry_verts=np.asarray(new_bdry, dtype=np.int32).reshape(len(new_bdry), -1),
+        bdry_verts=(
+            np.asarray(new_bdry, dtype=np.int32).reshape(len(new_bdry), -1)
+            if new_bdry
+            else mesh.bdry_verts[:0].copy()
+        ),
         bdry_attr=np.asarray(new_battr, dtype=np.int32),
         source=mesh.source,
     )

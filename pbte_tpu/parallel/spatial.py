@@ -221,6 +221,11 @@ class SpatialShardedSolver:
         )
         self.ne_max = ne_max
         self.ni = ni
+        # host-side references for output-time reconstruction (u gather,
+        # heat flux); not used in the device step
+        self._quad = quad
+        self._tables = tables
+        self._basis_int_glob = ops.basis_int.copy()
         self._step = jax.jit(self._step_impl)
 
     # ------------------------------------------------------------------
@@ -387,7 +392,8 @@ class SpatialShardedSolver:
         return self._step(self.consts, u, Tc, Tv_prev)
 
     def solve(self, tol=1e-7, max_iter=101, state=None, verbose=True,
-              check_every=1, sync_every=10):
+              check_every=1, sync_every=10, callback=None,
+              checkpoint_path=None, checkpoint_every=25):
         """sync_every bounds the async dispatch depth: the XLA CPU backend's
         in-process collectives deadlock (rendezvous timeout) when thousands of
         collective executions are enqueued without a host sync."""
@@ -405,11 +411,18 @@ class SpatialShardedSolver:
                 res = float(res_dev)
                 if verbose:
                     print(f"[pbte_tpu:spatial] iter {it}, residual = {res:.6e}")
+                if callback is not None:
+                    callback(it, res)
                 if res < tol:
                     Tc, prev_Tv = Tc_new, Tv_new
                     break
             prev_Tv = Tv_new
             Tc = Tc_new
+            if checkpoint_path and it % checkpoint_every == 0:
+                from pbte_tpu.io.checkpoint import save_checkpoint
+
+                save_checkpoint(checkpoint_path, self, u, Tc, prev_Tv, it,
+                                float(res_dev))
         return SpatialSolveResult(
             u=u, Tc=Tc, Tv=prev_Tv, residual=res, iterations=it, solver=self
         )
@@ -424,6 +437,36 @@ class SpatialShardedSolver:
             out[elems[mask]] = Tc[p, mask]
         return out
 
+    def u_by_direction(self, u) -> np.ndarray:
+        """(P, G, Km, BS, D, ne_max) device state -> (K, BS, ne, D) global,
+        direction-major — the layout the multi-rank-comparable dumps use
+        (analog of the reference's rank-gathered coefficient blocks,
+        ref: src/Utils.cpp:100-148)."""
+        u = np.asarray(u)
+        out = np.zeros((self.K, self.BS, self.ne, self.D), dtype=u.dtype)
+        for p in range(self.pplan.nparts):
+            elems = self.pplan.local_elems[p]
+            mask = elems >= 0
+            ge = elems[mask]
+            for g in range(self.G):
+                for k in range(self.Km):
+                    d = self.dirs_pad[g, k]
+                    if d >= 0:
+                        out[d, :, ge, :] = u[p, g, k][:, :, mask].transpose(
+                            2, 0, 1
+                        )
+        return out
+
+    def heat_flux(self, u):
+        """Global Qc (dim, ne, D) and Qv (dim, ne) from sharded state."""
+        from pbte_tpu.models import macroscopic as macro
+
+        ud = self.u_by_direction(u)
+        fw = macro.flux_weights(self._quad, self._tables, self.dim)
+        Qc = np.einsum("dkb,kbei->dei", fw, ud)
+        Qv = np.einsum("dei,ei->de", Qc, self._basis_int_glob)
+        return Qc, Qv
+
 
 @dataclasses.dataclass
 class SpatialSolveResult:
@@ -436,3 +479,6 @@ class SpatialSolveResult:
 
     def Tc_global(self) -> np.ndarray:
         return self.solver.gather_Tc(self.Tc)
+
+    def u_dirs(self) -> np.ndarray:
+        return self.solver.u_by_direction(self.u)

@@ -928,12 +928,15 @@ class SourceIterationSolver:
         verbose: bool = True,
         callback=None,
         check_every: int = 1,
+        checkpoint_path: str | None = None,
+        checkpoint_every: int = 25,
     ):
         """Outer source iteration (ref: src/PBTESolver.cpp:208-332).
 
         check_every > 1 amortizes host synchronization: the residual is still
         computed on device every iteration, but only fetched (and tested
-        against tol) every `check_every` iterations."""
+        against tol) every `check_every` iterations. checkpoint_path writes a
+        resumable .npz every checkpoint_every iterations (io.checkpoint)."""
         u, Tc, Tv = state if state is not None else self.initial_state()
         prev_Tv = Tv
         res = float("inf")
@@ -951,6 +954,11 @@ class SourceIterationSolver:
                     break
             prev_Tv = Tv_new
             Tc = Tc_new
+            if checkpoint_path and it % checkpoint_every == 0:
+                from pbte_tpu.io.checkpoint import save_checkpoint
+
+                save_checkpoint(checkpoint_path, self, u, Tc, prev_Tv, it,
+                                res if np.isfinite(res) else float(res_dev))
         return SolveResult(
             u=u, Tc=Tc, Tv=prev_Tv, residual=res, iterations=it, solver=self
         )

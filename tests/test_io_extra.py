@@ -180,3 +180,51 @@ def test_3d_line_slice(tmp_path):
     with pytest.raises(ValueError):
         write_3d_line_slice(m, 1, res.Tc, Qc, axis=3, crd1=0, crd2=0,
                             path=str(path))
+
+
+def test_vtu_high_order_subdivision(tmp_path):
+    """lod-subdivided VTU must sample a p=2 DG field EXACTLY at the lattice
+    points (the p>=2 field is no longer linearized; analog of the reference's
+    SetHighOrderOutput, src/MacroscopicQuantities.cpp:168-271)."""
+    import re
+
+    from pbte_tpu.fem import reference as fref
+    from pbte_tpu.io.vtu import write_vtu
+
+    m = pmesh.make_cartesian_2d(2, 2, pmesh.GEOM_QUAD)
+    b = fref.basis(pmesh.GEOM_QUAD, 2)
+    # nodal coefficients of f(x, y) = x^2 + 3y on each element
+    nodes = b.nodes  # (D, 2) reference nodal points
+    Xv = m.vertices[m.elem_verts]  # (ne, 4, 2)
+    vshape = fref.vertex_shape(pmesh.GEOM_QUAD, nodes)  # (D, 4)
+    phys = np.einsum("dv,evx->edx", vshape, Xv)  # (ne, D, 2)
+    f = lambda p: p[..., 0] ** 2 + 3.0 * p[..., 1]
+    coeffs = f(phys)  # (ne, D)
+
+    path = write_vtu(m, 2, {"T": coeffs}, prefix=str(tmp_path / "ho"), lod=2)
+    text = open(path).read()
+    npts = int(re.search(r'NumberOfPoints="(\d+)"', text).group(1))
+    ncells = int(re.search(r'NumberOfCells="(\d+)"', text).group(1))
+    assert npts == 4 * 25 and ncells == 4 * 16  # 2 lods -> 25 pts/16 cells per elem
+
+    pts_txt = (
+        text.split("<Points>")[1]
+        .split('format="ascii">')[1]
+        .split("</DataArray>")[0]
+    )
+    pts = np.array(pts_txt.split(), dtype=float).reshape(-1, 3)
+    vals_txt = text.split('Name="T"')[1].split(">")[1].split("<")[0]
+    vals = np.array(vals_txt.split(), dtype=float)
+    np.testing.assert_allclose(vals, f(pts[:, :2]), rtol=1e-12, atol=1e-12)
+
+
+def test_vtu_lod0_backcompat(tmp_path):
+    from pbte_tpu.io.vtu import write_vtu
+
+    m = pmesh.make_cartesian_3d(2, 2, 2, pmesh.GEOM_TET)
+    topo = pmesh.connect(m)
+    ops = assembly.assemble(topo, order=1, face_mode="consistent")
+    coeffs = np.random.default_rng(0).normal(size=(m.num_elements, ops.ndof))
+    path = write_vtu(m, 1, {"T": coeffs}, prefix=str(tmp_path / "lin"), lod=0)
+    text = open(path).read()
+    assert f'NumberOfCells="{m.num_elements}"' in text
