@@ -329,6 +329,51 @@ def element_classes(ops: ElementOps, grain: float = 1e-11) -> np.ndarray:
     return out
 
 
+def canonical_face_perm(ops: ElementOps, grain: float = 1e-9) -> np.ndarray:
+    """Per-element local-face permutation sorting faces by quantized outward
+    normal (lexicographic), breaking ties by original slot.
+
+    On Cartesian meshes the only thing distinguishing translated elements is
+    the LOCAL FACE ORDER (faces are globally numbered first-seen, so an
+    element's face list order depends on its position). Re-ordering faces by
+    normal direction makes every translated copy bit-identical in all
+    per-face tensors, collapsing the geometry-class count (hex: 6 -> 1) —
+    which turns the sweep's per-element transport solve into ONE dense
+    batched matmul. The permutation is pure solver-internal bookkeeping: all
+    per-(element, face) arrays must be permuted consistently
+    (permute_faces); physics and dump layouts are untouched.
+    """
+    n = ops.normals  # (ne, nf, dim)
+    scale = max(float(np.abs(n).max()), 1.0)
+    q = np.round(n / (scale * grain)).astype(np.int64)  # (ne, nf, dim)
+    dim = q.shape[-1]
+    # primary key = component 0; np.lexsort's LAST key is primary; stable, so
+    # ties keep the original slot order
+    return np.lexsort(
+        tuple(q[:, :, d] for d in range(dim - 1, -1, -1)), axis=-1
+    )  # (ne, nf)
+
+
+def permute_faces(ops: ElementOps, perm: np.ndarray) -> ElementOps:
+    """Copy of ops with each element's local-face axis re-ordered by perm
+    (ne, nf). Volume tensors are untouched."""
+    idx = perm
+    return dataclasses.replace(
+        ops,
+        face_mass=np.take_along_axis(
+            ops.face_mass, idx[:, :, None, None], axis=1
+        ),
+        face_int=np.take_along_axis(ops.face_int, idx[:, :, None], axis=1),
+        coupling=np.take_along_axis(
+            ops.coupling, idx[:, :, None, None], axis=1
+        ),
+        normals=np.take_along_axis(ops.normals, idx[:, :, None], axis=1),
+        neighbor=np.take_along_axis(ops.neighbor, idx, axis=1),
+        face_attr=np.take_along_axis(ops.face_attr, idx, axis=1),
+        periodic=np.take_along_axis(ops.periodic, idx, axis=1),
+    )
+
+
 def class_coupling(ops: ElementOps, cls: np.ndarray) -> np.ndarray | None:
     """Per-class neighbor coupling (ncls, nf, D, D), or None if elements of
     one class disagree on any interior face (then coupling must stay

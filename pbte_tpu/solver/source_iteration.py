@@ -122,6 +122,7 @@ class SourceIterationSolver:
         use_pallas: bool = False,  # Pallas kernel for the level solve
         scan_unroll: int = 1,  # unroll factor for the level scan
         matmul_precision: str | None = None,  # e.g. "highest" (see below)
+        sweep_mode: str = "auto",  # "auto" | "scan" | "ring" (see below)
     ):
         import jax
         import jax.numpy as jnp
@@ -134,6 +135,8 @@ class SourceIterationSolver:
             cache_policy = "on-the-fly"  # back-compat alias
         if cache_policy not in ("full", "on-the-fly", "eigen"):
             raise ValueError(f"unknown cache_policy: {cache_policy}")
+        if sweep_mode not in ("auto", "scan", "ring"):
+            raise ValueError(f"unknown sweep_mode: {sweep_mode}")
         self.cache_policy = cache_policy
         self.use_pallas = use_pallas
         self.scan_unroll = scan_unroll
@@ -158,6 +161,28 @@ class SourceIterationSolver:
         vg = tables.flat("vg").astype(np.float64)
         heat_cap = tables.flat("heat_cap").astype(np.float64)
         self.dt_inv = float(inv_kn.max())
+
+        # ---- canonical face ordering (ring-mode enabler) -------------------
+        # Sorting each element's local faces by outward normal collapses the
+        # geometry-class count on translation-invariant meshes (hex 6 -> 1,
+        # quad 3 -> 1, 6-tet 12 -> 6): the per-element transport operator A
+        # then repeats across elements and the sweep's dense solves become a
+        # few class-batched matmuls (see sweep_mode="ring" below). The
+        # permutation is applied consistently to every per-face table, so
+        # physics is identical up to float summation order — gated to large
+        # problems so tiny golden-parity demos keep bitwise legacy behavior.
+        from pbte_tpu.fem import assembly as _assembly
+
+        self._canonical_faces = False
+        if sweep_mode in ("auto", "ring") and not use_pallas and ne >= 512:
+            cls0 = _assembly.element_classes(ops)
+            ops_c = _assembly.permute_faces(
+                ops, _assembly.canonical_face_perm(ops)
+            )
+            cls1 = _assembly.element_classes(ops_c)
+            if cls1.max() < cls0.max():
+                ops = ops_c
+                self._canonical_faces = True
 
         # Boundary sanity: the serial reference asserts every boundary face has
         # an isothermal entry (ref: src/PBTESolver.cpp:286).
@@ -207,7 +232,62 @@ class SourceIterationSolver:
         # aligned; padded slots carry zero weights everywhere.
         self.L = L = plan.max_levels
         self.W = W = min(plan.max_width, ne)
-        self.padded = bool(use_pallas)
+
+        # ---- sweep_mode="ring" decision ------------------------------------
+        # The ring sweep replaces the compact level-window scan with a padded
+        # (L, W) slab layout where each level emits its solution slab (scan
+        # ys) and upwind neighbor values come from a VMEM-resident ring of
+        # the previous H slabs via ONE-HOT MXU matmuls — eliminating the two
+        # measured per-level killers of the scan path on TPU: the O(carry)
+        # dynamic-update-slice copy (~0.2 ms) and the minor-axis neighbor
+        # gather (~1.4 ms). Requires small geometry-class counts (class-
+        # batched dense A^-1 apply) and a small upwind level gap H.
+        self.sweep_mode = "scan"
+        self.ncls_ring = 0
+        self._ring_ccpl = False
+        self._ring_ccpl_arr = None
+        ring_want = sweep_mode in ("auto", "ring") and not use_pallas
+        if ring_want:
+            cls_r = _assembly.element_classes(ops)
+            ncls_r = int(cls_r.max()) + 1
+            # level index of each element per group
+            lev_of = np.zeros((G, ne), dtype=np.int32)
+            for g in range(G):
+                for l in range(L):
+                    row = plan.levels[g, l]
+                    lev_of[g, row[row >= 0]] = l
+            nbr_s = np.where(sweep_nbr >= 0, sweep_nbr, 0)
+            gaps = lev_of[:, :, None] - lev_of[:, nbr_s]  # (G, ne, nf)
+            gaps = np.where(sweep_nbr[None] >= 0, gaps, 0)
+            H_r = max(1, int(gaps.max()))
+            oh_bytes = G * L * (H_r * W) * (nf * W) * 4
+            # auto: heuristics for when ring beats the compact scan (lanes
+            # reasonably full, small class count / ring depth, bounded
+            # one-hot memory). Explicit "ring" overrides the performance
+            # heuristics; only a truly unaffordable one-hot blocks it.
+            ok = (
+                ncls_r <= 8 and H_r <= 4 and W >= 64
+                and oh_bytes <= 700e6
+            )
+            if sweep_mode == "ring":
+                if oh_bytes > 2e9:
+                    raise ValueError(
+                        f"sweep_mode='ring' infeasible: one-hot tables need "
+                        f"{oh_bytes/1e9:.1f}GB (ncls={ncls_r}, H={H_r}, W={W})"
+                    )
+                ok = True
+            if ok:
+                self.sweep_mode = "ring"
+                self.ncls_ring = ncls_r
+                self._ring_cls = cls_r
+                self._ring_H = H_r
+                self._ring_ccpl_arr = (
+                    _assembly.class_coupling(ops, cls_r) if ncls_r == 1
+                    else None
+                )
+                self._ring_ccpl = self._ring_ccpl_arr is not None
+
+        self.padded = bool(use_pallas) or self.sweep_mode == "ring"
         if self.padded:
             self.ne_pad = ne_pad = L * W
             perm = plan.levels.reshape(G, ne_pad).astype(np.int64)  # -1 padded
@@ -323,6 +403,26 @@ class SourceIterationSolver:
                     per_cpl[g, i] = cpl
                     per_valid[g, i] = 1.0
 
+        # ---- ring-mode one-hot neighbor tables -----------------------------
+        # oh[g, l] maps the ring of the previous H solution slabs to each
+        # face's upwind-neighbor values: (H*W, nf*W) per level, consumed by
+        # one MXU matmul per level (ring[KmBSD, HW] @ oh[HW, nfW]) — the
+        # layout/semantics of ops.fused_sweep.build_group_plan reused intact.
+        ring_oh = None
+        if self.sweep_mode == "ring":
+            from pbte_tpu.ops import fused_sweep as fs
+
+            H_r = self._ring_H
+            # per-FACE (H*W, W) blocks: selections then run as nf clean
+            # (KmBSD, HW) @ (HW, W) matmuls. A single flat (HW, nf*W)
+            # one-hot forces a (nf, W) lane-split reshape downstream that
+            # XLA lowers at 10 TF instead of 150 (measured).
+            oh = np.empty((G, L, nf, H_r * W, W), dtype=np_dtype)
+            for g in range(G):
+                gp = fs.build_group_plan(nbr_pos[g], pos_valid[g], L, W, H_r)
+                oh[g] = gp.onehot.transpose(2, 0, 1, 3)  # (L, nf, HW, W)
+            ring_oh = oh
+
         def gperm(a, extra_axes=None):
             """a (ne, ...) -> (G, ..., ne_pad) in group order, zero padded."""
             g = a[perm_safe]
@@ -331,11 +431,22 @@ class SourceIterationSolver:
             )
             return np.moveaxis(g, 1, -1)
 
-        mass_t_g = gperm(np.swapaxes(ops.mass, -1, -2), None)  # (G, D, D, ne_pad)
         face_int_g = gperm(ops.face_int, None)  # (G, nf, D, ne_pad)
-        coupling_g = gperm(ops.coupling, None)  # (G, nf, D, D, ne_pad)
         bc_T_g = gperm(bc_T, None)  # (G, nf, ne_pad)
         basis_int_g = gperm(ops.basis_int, None)  # (G, D, ne_pad)
+        # ring mode replaces the per-element mass/coupling streams with
+        # class-compressed factors; ship 1-wide dummies to keep the consts
+        # pytree uniform without the HBM (1.2GB coupling at hex-16^3)
+        if self.sweep_mode == "ring":
+            mass_t_g = np.zeros((G, 1, 1, 1))
+            coupling_g = (
+                np.zeros((G, 1, 1, 1, 1))
+                if self._ring_ccpl
+                else gperm(ops.coupling, None)
+            )
+        else:
+            mass_t_g = gperm(np.swapaxes(ops.mass, -1, -2), None)  # (G,D,D,ne_pad)
+            coupling_g = gperm(ops.coupling, None)  # (G, nf, D, D, ne_pad)
 
         fdot = np.einsum(
             "gefd,gkd->gkfe", ops.normals[perm_safe], dirs_np[dirs_safe]
@@ -353,16 +464,93 @@ class SourceIterationSolver:
 
         # ---- transport operator (host, float64, chunked batched inverse) ---
         vg_s = vg / self.dt_inv  # non-dimensionalized group velocity
-        stiff_g = ops.stiff[perm_safe]  # (G, ne_pad, dim, D, D)
-        fmass_g = ops.face_mass[perm_safe]  # (G, ne_pad, nf, D, D)
-        mass_g = ops.mass[perm_safe]  # (G, ne_pad, D, D)
-        if self.padded:
-            # inert padding: identity mass, zero transport (keeps eig/inv sane)
-            stiff_g = np.where(pos_valid[..., None, None, None], stiff_g, 0.0)
-            fmass_g = np.where(pos_valid[..., None, None, None], fmass_g, 0.0)
-            mass_g = np.where(pos_valid[..., None, None], mass_g, np.eye(D))
+        if self.sweep_mode == "ring":
+            mass_g = np.zeros((G, 1, 1, 1))  # class factors replace these
+        else:
+            stiff_g = ops.stiff[perm_safe]  # (G, ne_pad, dim, D, D)
+            fmass_g = ops.face_mass[perm_safe]  # (G, ne_pad, nf, D, D)
+            mass_g = ops.mass[perm_safe]  # (G, ne_pad, D, D)
+            if self.padded:
+                # inert padding: identity mass, zero transport
+                stiff_g = np.where(
+                    pos_valid[..., None, None, None], stiff_g, 0.0
+                )
+                fmass_g = np.where(
+                    pos_valid[..., None, None, None], fmass_g, 0.0
+                )
+                mass_g = np.where(
+                    pos_valid[..., None, None], mass_g, np.eye(D)
+                )
 
-        if cache_policy == "full":
+        if self.sweep_mode == "ring":
+            # Class-batched FULL factors: A^-1 per (group, class, slot, band),
+            # (G, ncls, Km, BS, D, D) — a few dense 27x27 inverses instead of
+            # ne_pad of them. Default (bf16 MXU) apply precision is fine here:
+            # unlike the eigen factor pair, A^-1 applies carry no cond(V)
+            # amplification (measured 2.7e-4 field error vs 7e-2).
+            ncls = self.ncls_ring
+            reps = np.array(
+                [int(np.flatnonzero(self._ring_cls == c)[0])
+                 for c in range(ncls)]
+            )
+            stiff_r = ops.stiff[reps]  # (ncls, dim, D, D)
+            fmass_r = ops.face_mass[reps]
+            mass_r = ops.mass[reps]
+            norm_r = ops.normals[reps]  # (ncls, nf, dim)
+            a_cls = np.empty((G, ncls, Km, BS, D, D), dtype=np_dtype)
+            for g in range(G):
+                dk = dirs_np[dirs_safe[g]]  # (Km, dim)
+                fd = np.einsum("cfd,kd->ckf", norm_r, dk)
+                G_k = -np.einsum("kd,cdij->ckij", dk, stiff_r) + np.einsum(
+                    "ckf,cfij->ckij", np.maximum(fd, 0.0), fmass_r
+                )
+                A = (
+                    mass_r[:, None, None]
+                    + vg_s[None, None, :, None, None] * G_k[:, :, None]
+                )  # (ncls, Km, BS, D, D)
+                a_cls[g] = np.linalg.inv(A).astype(np_dtype)
+            # class id per padded slot -> one-hot slabs (G, L, ncls, W)
+            cls_pos = np.where(pos_valid, self._ring_cls[perm_safe], -1)
+            cls_oh = np.zeros((G, L, ncls, W), dtype=np_dtype)
+            gi, pi = np.nonzero(cls_pos >= 0)
+            cls_oh[gi, pi // W, cls_pos[gi, pi], pi % W] = 1.0
+            # class mass transposes for the rhs base: the per-element
+            # "ijE,kbjE->kbiE" batched dot gets a BS-in-lane layout from XLA
+            # (measured 3.8x padding blowup, 10.8GB temp at hex-16^3);
+            # class-dense (D,D)@(D, Km*BS*ne) matmuls avoid it AND run at
+            # proper MXU shapes
+            massT_cls = np.ascontiguousarray(
+                np.swapaxes(ops.mass[reps], -1, -2), dtype=np_dtype
+            )  # (ncls, D, D)
+            # class-compressed neighbor coupling (single-class meshes): the
+            # per-element coupling stream is 1.2GB at hex-16^3 and identical
+            # across elements after face canonicalization; boundary faces are
+            # masked by cin so their zeroed entries are never read
+            ccpl = self._ring_ccpl_arr
+            mats = (
+                jax.device_put(a_cls),
+                jax.device_put(cls_oh),
+                # broadcast to a group axis so the vmap maps uniformly
+                jax.device_put(
+                    np.broadcast_to(massT_cls, (G,) + massT_cls.shape).copy()
+                ),  # (G, ncls, D, D)
+                jax.device_put(
+                    np.ascontiguousarray(
+                        cls_oh.transpose(0, 2, 1, 3).reshape(G, ncls, ne_pad)
+                    )
+                ),  # cls_mask (G, ncls, ne_pad)
+            ) + (
+                (
+                    jax.device_put(
+                        np.broadcast_to(
+                            ccpl[0].astype(np_dtype), (G,) + ccpl[0].shape
+                        ).copy()
+                    ),  # (G, nf, D, D) single-class coupling
+                )
+                if self._ring_ccpl
+                else ()
+            )
+        elif cache_policy == "full":
             a_inv = np.empty((G, Km, BS, D, D, ne_pad), dtype=np_dtype)
             for g in range(G):
                 G_g = -np.einsum(
@@ -507,11 +695,12 @@ class SourceIterationSolver:
             per_src=iput(per_src),
             per_cpl=put(per_cpl),  # (G, P, D, D)
             per_valid=put(per_valid),  # (G, P) 1.0 real / 0.0 padding
+            **({"ring_oh": put(ring_oh)} if ring_oh is not None else {}),
         )
 
         # ---- fused Pallas sweep plan (padded mode) --------------------------
         self._fused = None
-        if self.padded:
+        if self.use_pallas:
             if cache_policy != "eigen":
                 raise ValueError("use_pallas requires cache_policy='eigen'")
             from pbte_tpu.ops import fused_sweep as fs
@@ -576,18 +765,24 @@ class SourceIterationSolver:
                         .transpose(0, 3, 1, 2, 4), dtype=np_dtype)),
                     vg2=jax.device_put(vg_s[:, None].astype(np_dtype)),  # (BS, 1)
                 )
-        def _jit(fn):
+        def _jit(fn, donate=()):
             if self.matmul_precision is None:
-                return jax.jit(fn)
+                return jax.jit(fn, donate_argnums=donate)
             prec = self.matmul_precision
 
             def wrapped(*args):
                 with jax.default_matmul_precision(prec):
                     return fn(*args)
 
-            return jax.jit(wrapped)
+            return jax.jit(wrapped, donate_argnums=donate)
 
-        self._step = _jit(self._step_impl)
+        # ring mode: donate the (large, padded) state u — the outer loop
+        # always discards the previous iterate, and without donation two
+        # 3GB u buffers coexist at hex-16^3 (OOM on a 16GB chip)
+        self._step = _jit(
+            self._step_impl,
+            donate=(1,) if self.sweep_mode == "ring" else (),
+        )
         self._rhs_base = _jit(self._rhs_base_impl)
         self._macro = _jit(self._macro_impl)
         if self._fused is not None:
@@ -673,14 +868,35 @@ class SourceIterationSolver:
 
         def sweep_group(u_g, TcT_g, mass_t, face_int, coupling, nbr_pos, bc_T,
                         fdot, mats, g_mass, offsets_g, counts_g,
-                        per_face, per_pos, per_src, per_cpl, per_valid):
+                        per_face, per_pos, per_src, per_cpl, per_valid,
+                        *ring_args):
             # u_g (Km, BS, D, ne); compact group-level-concatenated order
 
             # ---- hoisted rhs base: everything that does not depend on the
             # in-sweep neighbor values, computed for ALL elements in one
             # batched pass (big MXU matmuls, no per-level overhead) ----
-            t_tc = jnp.einsum("ijE,jE->iE", mass_t, TcT_g)  # (D, ne)
-            t_old = jnp.einsum("ijE,kbjE->kbiE", mass_t, u_g)  # (Km, BS, D, ne)
+            if self.sweep_mode == "ring":
+                # class-dense mass application: (D,D) @ (..., D, ne) proper
+                # matmuls mixed by the class mask — the per-element batched
+                # form below gets a BS-in-lane layout from XLA (3.8x padding
+                # blowup, 10.8GB temp at hex-16^3) and runs as ne tiny dots
+                massT_c, cls_mask = mats[2], mats[3]
+                t_tc = cls_mask[0][None] * jnp.einsum(
+                    "ij,jE->iE", massT_c[0], TcT_g
+                )
+                t_old = cls_mask[0][None, None, None] * jnp.einsum(
+                    "ij,kbjE->kbiE", massT_c[0], u_g
+                )
+                for ci in range(1, self.ncls_ring):
+                    t_tc = t_tc + cls_mask[ci][None] * jnp.einsum(
+                        "ij,jE->iE", massT_c[ci], TcT_g
+                    )
+                    t_old = t_old + cls_mask[ci][None, None, None] * jnp.einsum(
+                        "ij,kbjE->kbiE", massT_c[ci], u_g
+                    )
+            else:
+                t_tc = jnp.einsum("ijE,jE->iE", mass_t, TcT_g)  # (D, ne)
+                t_old = jnp.einsum("ijE,kbjE->kbiE", mass_t, u_g)  # (Km,BS,D,ne)
             cin_all = jnp.minimum(fdot, 0.0)  # (Km, nf, ne)
             is_b_all = nbr_pos < 0  # (nf, ne)
             cin_bnd_all = jnp.where(is_b_all[None], cin_all, 0.0)
@@ -712,6 +928,62 @@ class SourceIterationSolver:
                 rhs_base = rhs_base.at[:, :, :, per_pos].add(
                     -c["vg"][None, :, None, None] * contrib
                 )
+
+            if self.sweep_mode == "ring":
+                # ---- ring sweep: ys slab emission + one-hot neighbors ------
+                # Each level emits its (Km, BS, D, W) solution slab; upwind
+                # values come from the ring of the previous H slabs via ONE
+                # MXU matmul (ring[KmBSD, HW] @ oh[HW, nfW]) — no O(carry)
+                # DUS copy, no lane gather. Apply = class-batched dense A^-1
+                # (default precision; no eigenvector conditioning).
+                (ring_oh_g,) = ring_args  # (L, H*W, nf*W)
+                a_cls, cls_oh = mats[0], mats[1]  # (ncls,Km,BS,D,D), (L,ncls,W)
+                Hn = self._ring_H
+                Km_, BS_ = rhs_base.shape[0], rhs_base.shape[1]
+                offs = jnp.arange(L, dtype=jnp.int32) * W
+
+                def ring_body(ring, xs):
+                    off, oh_l, coh_l = xs
+                    rhs = lax.dynamic_slice_in_dim(rhs_base, off, W, axis=-1)
+                    cin_l = lax.dynamic_slice_in_dim(
+                        cin_int_all, off, W, axis=-1)  # (Km, nf, W)
+                    if not self._ring_ccpl:
+                        cpl_l = lax.dynamic_slice_in_dim(
+                            coupling, off, W, axis=-1)  # (nf, D, D, W)
+                    # per-face: one-hot select from the ring (clean
+                    # (KmBSD, HW) @ (HW, W) matmul), inflow-weight, couple
+                    for f in range(nf):
+                        un_f = jnp.einsum(
+                            "kbdv,vw->kbdw", ring, oh_l[f]
+                        )  # (Km, BS, D, W)
+                        un_f = un_f * cin_l[:, f][:, None, None, :]
+                        if self._ring_ccpl:
+                            # single-class coupling: one (D, D) @ (D, KmBSW)
+                            tf_ = jnp.einsum("ij,kbjw->kbiw", mats[4][f], un_f)
+                        else:
+                            tf_ = jnp.einsum(
+                                "ijw,kbjw->kbiw", cpl_l[f], un_f
+                            )
+                        term = tf_ if f == 0 else term + tf_
+                    rhs = rhs - c["vg"][None, :, None, None] * term
+                    if self.ncls_ring == 1:
+                        sol = jnp.einsum("kbij,kbjw->kbiw", a_cls[0], rhs)
+                    else:
+                        sol = jnp.einsum(
+                            "ckbij,kbjw,cw->kbiw", a_cls, rhs, coh_l
+                        )
+                    ring = lax.dynamic_update_slice_in_dim(
+                        ring, sol, (off % (Hn * W)), axis=-1
+                    )
+                    return ring, sol
+
+                ring0 = jnp.zeros((Km_, BS_, D, Hn * W), rhs_base.dtype)
+                _, ys = lax.scan(
+                    ring_body, ring0, (offs, ring_oh_g, cls_oh),
+                    unroll=self.scan_unroll,
+                )
+                # (L, Km, BS, D, W) -> (Km, BS, D, L*W)
+                return jnp.moveaxis(ys, 0, 3).reshape(Km_, BS_, D, L * W)
 
             def make_level_body(Ws):
                 iota = jnp.arange(Ws)
@@ -814,12 +1086,13 @@ class SourceIterationSolver:
         # any garbage it produces lands on padded slots, which nothing reads)
         TcT_groups = jnp.moveaxis(TcT[:, c["perm"]], 1, 0)  # (G, D, ne)
 
+        ring_extra = (c["ring_oh"],) if self.sweep_mode == "ring" else ()
         u = jax.vmap(sweep_group)(
             u, TcT_groups, c["mass_t"], c["face_int"], c["coupling"],
             c["nbr_pos"], c["bc_T"], c["fdot"], c["mats"], c["mass"],
             c["offsets"], c["counts"],
             c["per_face"], c["per_pos"], c["per_src"], c["per_cpl"],
-            c["per_valid"],
+            c["per_valid"], *ring_extra,
         )
 
         # macroscopic closure: per-group partials in group order -> global

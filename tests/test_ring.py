@@ -1,0 +1,95 @@
+"""Ring sweep mode: padded slab scan with one-hot neighbor matmuls and
+class-batched dense transport factors (the TPU fast path; see
+solver/source_iteration.py sweep_mode="ring")."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pbte_tpu import mesh as pmesh
+from pbte_tpu.angular import quadrature as ang
+from pbte_tpu.fem import assembly
+from pbte_tpu.material import nongray_smrt as mat
+from pbte_tpu.solver.source_iteration import SourceIterationSolver
+from pbte_tpu.validation.oracle import solve_oracle
+
+BCS3 = {1: -0.5, 2: -0.5, 3: -0.5, 4: -0.5, 5: -0.5, 6: 0.5}
+BCS2 = {1: -0.5, 2: -0.5, 3: 0.5, 4: -0.5}
+
+
+def _solve_both(m, dim, bcs, order, niter=4, nspec=2, **kw):
+    ops = assembly.assemble(pmesh.connect(m), order=order,
+                            face_mode="consistent")
+    opts = (ang.AngularOptions(dimension=3, polar_points=2, azimuth_points=4)
+            if dim == 3 else ang.AngularOptions(dimension=2, azimuth_points=8))
+    quad = ang.build(opts)
+    tables = mat.build_tables(mat.SILICON, num_spectral=nspec)
+    s = SourceIterationSolver(ops, quad, tables, bcs, dtype=jnp.float64,
+                              sweep_mode="ring", **kw)
+    assert s.sweep_mode == "ring"
+    res = s.solve(tol=0, max_iter=niter, verbose=False)
+    uo, Tco, *_ = solve_oracle(ops, quad, tables, bcs, tol=0, max_iter=niter)
+    return s, res, Tco
+
+
+def test_ring_hex_single_class():
+    """Canonical face ordering collapses hex to ONE class; ring sweep must
+    match the oracle to machine precision."""
+    m = pmesh.make_cartesian_3d(8, 8, 8, "hex").scaled(1e-6)
+    s, res, Tco = _solve_both(m, 3, BCS3, order=1)
+    assert s.ncls_ring == 1 and s._canonical_faces and s._ring_ccpl
+    np.testing.assert_allclose(np.asarray(res.Tc), Tco, rtol=1e-12, atol=1e-14)
+
+
+def test_ring_tet_multi_class():
+    """6-tet meshes keep several geometry classes (H=2 ring depth); the
+    class-mixed apply and per-element coupling stream must still be exact."""
+    m = pmesh.make_cartesian_3d(4, 4, 4, "tet").scaled(1e-6)
+    s, res, Tco = _solve_both(m, 3, BCS3, order=2)
+    assert s.ncls_ring > 1 and s._ring_H >= 2
+    np.testing.assert_allclose(np.asarray(res.Tc), Tco, rtol=1e-12, atol=1e-14)
+
+
+def test_ring_quad_2d():
+    m = pmesh.make_cartesian_2d(9, 8, "quad").scaled(1e-6)
+    s, res, Tco = _solve_both(m, 2, BCS2, order=2)
+    np.testing.assert_allclose(np.asarray(res.Tc), Tco, rtol=1e-12, atol=1e-14)
+
+
+def test_ring_periodic():
+    """Lagged periodic coupling folds into rhs_base before the ring scan."""
+    m = pmesh.make_cartesian_2d(4, 3, "quad").scaled(1e-6)
+    m = pmesh.make_periodic(m, [0])
+    ops = assembly.assemble(pmesh.connect(m), order=1, face_mode="consistent")
+    quad = ang.build(ang.AngularOptions(dimension=2, azimuth_points=8))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    bcs = {1: -0.5, 3: 0.5}
+    s = SourceIterationSolver(ops, quad, tables, bcs, dtype=jnp.float64,
+                              sweep_mode="ring")
+    assert s.sweep_mode == "ring" and s.has_periodic
+    res = s.solve(tol=0, max_iter=6, verbose=False)
+    uo, Tco, *_ = solve_oracle(ops, quad, tables, bcs, tol=0, max_iter=6)
+    np.testing.assert_allclose(np.asarray(res.Tc), Tco, rtol=1e-11, atol=1e-14)
+
+
+def test_ring_auto_picks_scan_for_tiny():
+    """auto mode keeps the compact scan on tiny meshes (golden byte parity)."""
+    m = pmesh.make_cartesian_2d(3, 3, "triangle").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1, face_mode="consistent")
+    quad = ang.build(ang.AngularOptions(dimension=2, azimuth_points=8))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    s = SourceIterationSolver(ops, quad, tables, BCS2)
+    assert s.sweep_mode == "scan" and not s._canonical_faces
+
+
+def test_ring_state_roundtrip_views():
+    """u_by_direction and heat_flux work on the padded ring state."""
+    m = pmesh.make_cartesian_3d(8, 8, 8, "hex").scaled(1e-6)
+    s, res, Tco = _solve_both(m, 3, BCS3, order=1)
+    ud = s.u_by_direction(res.u)
+    assert ud.shape == (s.K, s.BS, s.ne, s.D)
+    assert np.isfinite(ud).all()
+    Qc, Qv = s.heat_flux(res.u)
+    total = np.asarray(Qv).sum(axis=1)
+    assert total[2] < 0  # heat flows downward from the hot top z-face
