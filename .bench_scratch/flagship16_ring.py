@@ -10,14 +10,13 @@ print(f"setup: {time.time()-t0:.1f}s mode={solver.sweep_mode} "
       f"ncls={solver.ncls_ring} H={getattr(solver,'_ring_H',None)} "
       f"canon={solver._canonical_faces} L={solver.L} W={solver.W}", flush=True)
 u, Tc, Tv = solver.initial_state()
-step = jax.jit(solver._step_impl)
 t0 = time.time()
-u, Tc, Tv, r = step(solver.consts, u, Tc, Tv)
+u, Tc, Tv, r = solver.step(u, Tc, Tv)
 print(f"first: residual={float(r):.6f} (compile+run {time.time()-t0:.1f}s)", flush=True)
 t0 = time.perf_counter()
 N = 10
 for _ in range(N):
-    u, Tc, Tv, r = step(solver.consts, u, Tc, Tv)
+    u, Tc, Tv, r = solver.step(u, Tc, Tv)
 rv = float(r)
 dt = (time.perf_counter() - t0) / N
 dofs = solver.ne * solver.D * solver.K * solver.BS

@@ -197,6 +197,10 @@ def main(argv=None) -> int:
                   "the full A^-1 cache at default precision); ignoring")
         dmesh = Mesh(_np.array(devs[: n_dir * n_space]).reshape(n_dir, n_space),
                      axis_names=("dir", "space"))
+        if rc.dirichlet_bcs:
+            raise SystemExit(
+                "[pbte_tpu] Dirichlet BCs are not supported with --parallel"
+            )
         solver = SpatialShardedSolver(
             ops, quad, tables, rc.bc_temps, device_mesh=dmesh, topo=topo,
             dtype=dtype,
@@ -209,6 +213,7 @@ def main(argv=None) -> int:
     else:
         solver = SourceIterationSolver(
             ops, quad, tables, rc.bc_temps, dtype=dtype,
+            dirichlet_bcs=rc.dirichlet_bcs or None,
             cache_policy=args.cache_policy,
             matmul_precision=(None if args.matmul_precision == "default"
                               else args.matmul_precision),

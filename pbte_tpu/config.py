@@ -41,6 +41,8 @@ class RunConfig:
     # boundary attrs declared periodic (legacy BC type 4); the faces must be
     # pairable — via gmsh $Periodic records or mesh.make_periodic()
     periodic_attrs: list = dataclasses.field(default_factory=list)
+    # legacy BC type 7: attr -> prescribed incoming intensity (Dirichlet)
+    dirichlet_bcs: dict = dataclasses.field(default_factory=dict)
 
 
 def load_legacy_control(control_path: str, material_path: str | None = None) -> RunConfig:
@@ -84,11 +86,13 @@ def load_legacy_control(control_path: str, material_path: str | None = None) -> 
             rc.bc_temps[int(attr)] = value
         elif bc_type == 4:
             rc.periodic_attrs.append(int(attr))
+        elif bc_type == 7:
+            rc.dirichlet_bcs[int(attr)] = value
         else:
             raise NotImplementedError(
                 f"legacy boundary type {bc_type} (diffuse/specular) "
                 "is not implemented (nor in the reference); supported: "
-                "1 (thermalizing), 4 (periodic)"
+                "1 (thermalizing), 4 (periodic), 7 (Dirichlet)"
             )
 
     if material_path is None:
@@ -131,6 +135,8 @@ def load_run_config(config_path: str, material_path: str | None = None) -> RunCo
     for bc in cfg.get("boundary_conditions") or []:
         if str(bc.get("type", "")).lower() == "periodic":
             rc.periodic_attrs.append(int(bc["attr"]))
+        elif str(bc.get("type", "")).lower() == "dirichlet":
+            rc.dirichlet_bcs[int(bc["attr"])] = float(bc["value"])
         else:
             rc.bc_temps[int(bc["attr"])] = float(bc["temperature"])
 

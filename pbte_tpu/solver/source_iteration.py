@@ -115,6 +115,14 @@ class SourceIterationSolver:
         quad,  # angular.quadrature.AngularQuad
         tables,  # material.nongray_smrt.PhononTables
         bc_temps: dict,  # boundary attr -> temperature deviation
+        dirichlet_bcs: dict | None = None,  # attr -> prescribed incoming
+        # intensity (legacy BC type 7). The reference wires FluxMat for type
+        # 7 (Reference Project/include/PolyFem/PolyIntegral.hpp:299-321) but
+        # its solvers reject it at solve time and the analytic-profile
+        # quadrature is commented out; here the completed semantics: inflow
+        # through a marked face reads the prescribed value g (constant per
+        # attr) instead of the thermalized equilibrium, i.e.
+        # rhs += -vg*cin * g * int_F phi_i  (no heat_cap/omega factor).
         dtype=None,
         cache_policy: str = "full",  # "full" | "per-iteration"
         require_bcs: bool = True,
@@ -185,9 +193,20 @@ class SourceIterationSolver:
                 self._canonical_faces = True
 
         # Boundary sanity: the serial reference asserts every boundary face has
-        # an isothermal entry (ref: src/PBTESolver.cpp:286).
+        # an isothermal entry (ref: src/PBTESolver.cpp:286); Dirichlet
+        # (type 7) attrs satisfy the check too.
+        dirichlet_bcs = dirichlet_bcs or {}
+        self.has_dirichlet = bool(dirichlet_bcs)
+        if self.has_dirichlet and use_pallas:
+            raise NotImplementedError(
+                "use_pallas does not support Dirichlet BCs yet"
+            )
         bdry_attrs = set(int(a) for a in np.unique(ops.face_attr[ops.neighbor < 0]))
-        missing = bdry_attrs - set(int(k) for k in bc_temps)
+        missing = (
+            bdry_attrs
+            - set(int(k) for k in bc_temps)
+            - set(int(k) for k in dirichlet_bcs)
+        )
         if missing and require_bcs:
             raise ValueError(
                 f"boundary attributes without isothermal BC: {sorted(missing)}"
@@ -195,6 +214,11 @@ class SourceIterationSolver:
         bc_T = np.zeros((ne, nf))
         for attr, T in bc_temps.items():
             bc_T[ops.face_attr == int(attr)] = float(T)
+        # Dirichlet face integrals: g * int_F phi_i (constant g per attr)
+        dvec = np.zeros((ne, nf, D))
+        for attr, gval in dirichlet_bcs.items():
+            sel = ops.face_attr == int(attr)
+            dvec[sel] = float(gval) * ops.face_int[sel]
 
         # ---- sweep plan, slot-major (G, Km) layout -------------------------
         # periodic faces are EXCLUDED from the upwind DAG (they would close
@@ -433,6 +457,7 @@ class SourceIterationSolver:
 
         face_int_g = gperm(ops.face_int, None)  # (G, nf, D, ne_pad)
         bc_T_g = gperm(bc_T, None)  # (G, nf, ne_pad)
+        dvec_g = gperm(dvec, None) if self.has_dirichlet else None
         basis_int_g = gperm(ops.basis_int, None)  # (G, D, ne_pad)
         # ring mode replaces the per-element mass/coupling streams with
         # class-compressed factors; ship 1-wide dummies to keep the consts
@@ -451,6 +476,50 @@ class SourceIterationSolver:
         fdot = np.einsum(
             "gefd,gkd->gkfe", ops.normals[perm_safe], dirs_np[dirs_safe]
         )  # (G, Km, nf, ne_pad)
+
+        # ---- ring-mode slab constants --------------------------------------
+        # Everything the ring scan consumes is pre-laid-out L-LEADING so each
+        # scan step slices the xs arrays natively (no dynamic_slice, no
+        # transposes): inflow coefficients (G, L, nf, Km, W) and the
+        # u-independent boundary source (G, L, Km, D, W) — the latter is a
+        # CONSTANT of the problem, so the whole bc einsum leaves the step.
+        ring_cin = ring_bsrc0 = None
+        if self.sweep_mode == "ring":
+            cin_np = np.minimum(fdot, 0.0)  # (G, Km, nf, ne_pad)
+            isb_np = nbr_pos < 0  # (G, nf, ne_pad)
+            cin_bnd_np = np.where(isb_np[:, None], cin_np, 0.0)
+            cin_int_np = np.where(isb_np[:, None], 0.0, cin_np)
+            ring_cin = np.ascontiguousarray(
+                cin_int_np.reshape(G, Km, nf, L, W).transpose(0, 3, 2, 1, 4)
+            )  # (G, L, nf, Km, W)
+            bsrc0 = np.einsum(
+                "gkfE,gfE,gfiE->gkiE", cin_bnd_np, bc_T_g, face_int_g
+            )
+            ring_bsrc0 = np.ascontiguousarray(
+                bsrc0.reshape(G, Km, D, L, W).transpose(0, 3, 1, 2, 4)
+            )  # (G, L, Km, D, W)
+            ring_dsrc0 = None
+            if self.has_dirichlet:
+                dsrc0 = np.einsum("gkfE,gfiE->gkiE", cin_bnd_np, dvec_g)
+                ring_dsrc0 = np.ascontiguousarray(
+                    dsrc0.reshape(G, Km, D, L, W).transpose(0, 3, 1, 2, 4)
+                )
+            # per-element coupling slab (multi-class meshes only; single-class
+            # meshes use the (nf, D, D) class coupling in mats)
+            ring_cpl = None
+            if not self._ring_ccpl:
+                ring_cpl = np.ascontiguousarray(
+                    coupling_g.reshape(G, nf, D, D, L, W)
+                    .transpose(0, 4, 1, 2, 3, 5)
+                )  # (G, L, nf, D, D, W)
+            # periodic slot tables in slab coordinates + static inflow coeffs
+            gi2 = np.arange(G)[:, None]
+            per_cin = (
+                np.minimum(fdot[gi2, :, per_face, per_pos], 0.0)
+                * per_valid[:, :, None]
+            ).transpose(0, 2, 1)  # (G, Km, P)
+            per_pl, per_pw = per_pos // W, per_pos % W
+            per_sl, per_sw = per_src // W, per_src % W
 
         self._dir_sharding = dir_sharding
         put = lambda a: jax.device_put(np.ascontiguousarray(a, dtype=np_dtype))
@@ -534,11 +603,6 @@ class SourceIterationSolver:
                 jax.device_put(
                     np.broadcast_to(massT_cls, (G,) + massT_cls.shape).copy()
                 ),  # (G, ncls, D, D)
-                jax.device_put(
-                    np.ascontiguousarray(
-                        cls_oh.transpose(0, 2, 1, 3).reshape(G, ncls, ne_pad)
-                    )
-                ),  # cls_mask (G, ncls, ne_pad)
             ) + (
                 (
                     jax.device_put(
@@ -695,7 +759,35 @@ class SourceIterationSolver:
             per_src=iput(per_src),
             per_cpl=put(per_cpl),  # (G, P, D, D)
             per_valid=put(per_valid),  # (G, P) 1.0 real / 0.0 padding
-            **({"ring_oh": put(ring_oh)} if ring_oh is not None else {}),
+            **(
+                {
+                    "ring_oh": put(ring_oh),  # (G, L, nf, HW, W)
+                    "ring_cin": put(ring_cin),  # (G, L, nf, Km, W)
+                    "ring_bsrc0": put(ring_bsrc0),  # (G, L, Km, D, W)
+                    "per_cin": put(per_cin),  # (G, Km, P)
+                    "per_pl": iput(per_pl),
+                    "per_pw": iput(per_pw),
+                    "per_sl": iput(per_sl),
+                    "per_sw": iput(per_sw),
+                    **(
+                        {"ring_cpl": put(ring_cpl)}
+                        if ring_cpl is not None
+                        else {}
+                    ),
+                    **(
+                        {"ring_dsrc0": put(ring_dsrc0)}
+                        if ring_dsrc0 is not None
+                        else {}
+                    ),
+                }
+                if ring_oh is not None
+                else {}
+            ),
+            **(
+                {"dvec": put(dvec_g)}
+                if self.has_dirichlet and self.sweep_mode != "ring"
+                else {}
+            ),
         )
 
         # ---- fused Pallas sweep plan (padded mode) --------------------------
@@ -799,12 +891,12 @@ class SourceIterationSolver:
             self._fused_call = jax.jit(functools.partial(
                 fused_sweep, H=self._fused["H"], interpret=interp))
 
-    def _slot_sharding(self, a):
-        """NamedSharding for a slot-major array: shard axis 1 (Km)."""
+    def _slot_sharding(self, a, km_axis=1):
+        """NamedSharding for a slot-major array: shard the Km axis."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         spec = [None] * a.ndim
-        spec[1] = self._dir_sharding.spec[0] if hasattr(
+        spec[km_axis] = self._dir_sharding.spec[0] if hasattr(
             self._dir_sharding, "spec") else "dir"
         return NamedSharding(self._dir_sharding.mesh, P(*spec))
 
@@ -817,12 +909,15 @@ class SourceIterationSolver:
 
         if getattr(self, "_fused", None) is not None and self.use_pallas:
             shape = (self.G, self.L, self.Km, self.D, self.BS, self.W)
+        elif self.sweep_mode == "ring":
+            shape = (self.G, self.L, self.Km, self.BS, self.D, self.W)
         else:
             shape = (self.G, self.Km, self.BS, self.D, self.ne_pad)
         if self._dir_sharding is not None:
+            km_ax = 2 if self.sweep_mode == "ring" else 1
             u = jax.device_put(
                 jnp.zeros(shape, dtype=self.dtype),
-                self._slot_sharding(np.empty(shape)),
+                self._slot_sharding(np.empty(shape), km_axis=km_ax),
             )
         else:
             u = jnp.zeros(shape, dtype=self.dtype)
@@ -853,6 +948,9 @@ class SourceIterationSolver:
         import jax.numpy as jnp
         from jax import lax
 
+        if self.sweep_mode == "ring":
+            return self._step_ring(c, u, Tc, Tv_prev)
+
         # NOTE: the Pallas path is dispatched by step() (it is three separate
         # executables, not one jittable); _step_impl is always the scan path.
         G, W, L, nf, D = self.G, self.W, self.L, self.nf, self.D
@@ -869,34 +967,14 @@ class SourceIterationSolver:
         def sweep_group(u_g, TcT_g, mass_t, face_int, coupling, nbr_pos, bc_T,
                         fdot, mats, g_mass, offsets_g, counts_g,
                         per_face, per_pos, per_src, per_cpl, per_valid,
-                        *ring_args):
+                        *extra):
             # u_g (Km, BS, D, ne); compact group-level-concatenated order
 
             # ---- hoisted rhs base: everything that does not depend on the
             # in-sweep neighbor values, computed for ALL elements in one
             # batched pass (big MXU matmuls, no per-level overhead) ----
-            if self.sweep_mode == "ring":
-                # class-dense mass application: (D,D) @ (..., D, ne) proper
-                # matmuls mixed by the class mask — the per-element batched
-                # form below gets a BS-in-lane layout from XLA (3.8x padding
-                # blowup, 10.8GB temp at hex-16^3) and runs as ne tiny dots
-                massT_c, cls_mask = mats[2], mats[3]
-                t_tc = cls_mask[0][None] * jnp.einsum(
-                    "ij,jE->iE", massT_c[0], TcT_g
-                )
-                t_old = cls_mask[0][None, None, None] * jnp.einsum(
-                    "ij,kbjE->kbiE", massT_c[0], u_g
-                )
-                for ci in range(1, self.ncls_ring):
-                    t_tc = t_tc + cls_mask[ci][None] * jnp.einsum(
-                        "ij,jE->iE", massT_c[ci], TcT_g
-                    )
-                    t_old = t_old + cls_mask[ci][None, None, None] * jnp.einsum(
-                        "ij,kbjE->kbiE", massT_c[ci], u_g
-                    )
-            else:
-                t_tc = jnp.einsum("ijE,jE->iE", mass_t, TcT_g)  # (D, ne)
-                t_old = jnp.einsum("ijE,kbjE->kbiE", mass_t, u_g)  # (Km,BS,D,ne)
+            t_tc = jnp.einsum("ijE,jE->iE", mass_t, TcT_g)  # (D, ne)
+            t_old = jnp.einsum("ijE,kbjE->kbiE", mass_t, u_g)  # (Km,BS,D,ne)
             cin_all = jnp.minimum(fdot, 0.0)  # (Km, nf, ne)
             is_b_all = nbr_pos < 0  # (nf, ne)
             cin_bnd_all = jnp.where(is_b_all[None], cin_all, 0.0)
@@ -910,6 +988,10 @@ class SourceIterationSolver:
                 * c["bc_w"][None, :, None, None]
                 * bsrc[:, None]
             )  # (Km, BS, D, ne)
+            if self.has_dirichlet:
+                (dvec_gl,) = extra
+                dsrc = jnp.einsum("kfE,fiE->kiE", cin_bnd_all, dvec_gl)
+                rhs_base = rhs_base - c["vg"][None, :, None, None] * dsrc[:, None]
             cin_int_all = jnp.where(is_b_all[None], 0.0, cin_all)
 
             if self.has_periodic:
@@ -928,62 +1010,6 @@ class SourceIterationSolver:
                 rhs_base = rhs_base.at[:, :, :, per_pos].add(
                     -c["vg"][None, :, None, None] * contrib
                 )
-
-            if self.sweep_mode == "ring":
-                # ---- ring sweep: ys slab emission + one-hot neighbors ------
-                # Each level emits its (Km, BS, D, W) solution slab; upwind
-                # values come from the ring of the previous H slabs via ONE
-                # MXU matmul (ring[KmBSD, HW] @ oh[HW, nfW]) — no O(carry)
-                # DUS copy, no lane gather. Apply = class-batched dense A^-1
-                # (default precision; no eigenvector conditioning).
-                (ring_oh_g,) = ring_args  # (L, H*W, nf*W)
-                a_cls, cls_oh = mats[0], mats[1]  # (ncls,Km,BS,D,D), (L,ncls,W)
-                Hn = self._ring_H
-                Km_, BS_ = rhs_base.shape[0], rhs_base.shape[1]
-                offs = jnp.arange(L, dtype=jnp.int32) * W
-
-                def ring_body(ring, xs):
-                    off, oh_l, coh_l = xs
-                    rhs = lax.dynamic_slice_in_dim(rhs_base, off, W, axis=-1)
-                    cin_l = lax.dynamic_slice_in_dim(
-                        cin_int_all, off, W, axis=-1)  # (Km, nf, W)
-                    if not self._ring_ccpl:
-                        cpl_l = lax.dynamic_slice_in_dim(
-                            coupling, off, W, axis=-1)  # (nf, D, D, W)
-                    # per-face: one-hot select from the ring (clean
-                    # (KmBSD, HW) @ (HW, W) matmul), inflow-weight, couple
-                    for f in range(nf):
-                        un_f = jnp.einsum(
-                            "kbdv,vw->kbdw", ring, oh_l[f]
-                        )  # (Km, BS, D, W)
-                        un_f = un_f * cin_l[:, f][:, None, None, :]
-                        if self._ring_ccpl:
-                            # single-class coupling: one (D, D) @ (D, KmBSW)
-                            tf_ = jnp.einsum("ij,kbjw->kbiw", mats[4][f], un_f)
-                        else:
-                            tf_ = jnp.einsum(
-                                "ijw,kbjw->kbiw", cpl_l[f], un_f
-                            )
-                        term = tf_ if f == 0 else term + tf_
-                    rhs = rhs - c["vg"][None, :, None, None] * term
-                    if self.ncls_ring == 1:
-                        sol = jnp.einsum("kbij,kbjw->kbiw", a_cls[0], rhs)
-                    else:
-                        sol = jnp.einsum(
-                            "ckbij,kbjw,cw->kbiw", a_cls, rhs, coh_l
-                        )
-                    ring = lax.dynamic_update_slice_in_dim(
-                        ring, sol, (off % (Hn * W)), axis=-1
-                    )
-                    return ring, sol
-
-                ring0 = jnp.zeros((Km_, BS_, D, Hn * W), rhs_base.dtype)
-                _, ys = lax.scan(
-                    ring_body, ring0, (offs, ring_oh_g, cls_oh),
-                    unroll=self.scan_unroll,
-                )
-                # (L, Km, BS, D, W) -> (Km, BS, D, L*W)
-                return jnp.moveaxis(ys, 0, 3).reshape(Km_, BS_, D, L * W)
 
             def make_level_body(Ws):
                 iota = jnp.arange(Ws)
@@ -1086,13 +1112,13 @@ class SourceIterationSolver:
         # any garbage it produces lands on padded slots, which nothing reads)
         TcT_groups = jnp.moveaxis(TcT[:, c["perm"]], 1, 0)  # (G, D, ne)
 
-        ring_extra = (c["ring_oh"],) if self.sweep_mode == "ring" else ()
+        extra = (c["dvec"],) if self.has_dirichlet else ()
         u = jax.vmap(sweep_group)(
             u, TcT_groups, c["mass_t"], c["face_int"], c["coupling"],
             c["nbr_pos"], c["bc_T"], c["fdot"], c["mats"], c["mass"],
             c["offsets"], c["counts"],
             c["per_face"], c["per_pos"], c["per_src"], c["per_cpl"],
-            c["per_valid"], *ring_extra,
+            c["per_valid"], *extra,
         )
 
         # macroscopic closure: per-group partials in group order -> global
@@ -1102,6 +1128,120 @@ class SourceIterationSolver:
         Tv_new = macroscopic.compute_tv(Tc_new, c["basis_int_glob"])
         res = macroscopic.residual(Tv_new, Tv_prev)
         return u, Tc_new, Tv_new, res
+
+    def _step_ring(self, c, u, Tc, Tv_prev):
+        """Ring sweep step on slab-major state u (G, L, Km, BS, D, W).
+
+        Everything is L-LEADING: the scan's xs arrays slice natively, the
+        per-level solutions stack natively into the next state (ys), and no
+        transposes of the 3GB state remain (the (Km,BS,D,L*W)-major variant
+        measured 35 ms/step in pure layout copies at hex-16^3)."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        G, W, L, nf, D = self.G, self.W, self.L, self.nf, self.D
+        Km, BS = self.Km, self.BS
+        ncls = self.ncls_ring
+        Hn = self._ring_H
+
+        TcT = Tc.T  # (D, ne)
+        # (G, L, D, W) slab view of the lagged temperature (tiny array)
+        tc_slab = jnp.transpose(
+            TcT[:, c["perm"]].reshape(D, G, L, W), (1, 2, 0, 3)
+        )
+        slot_off = (jnp.arange(L, dtype=jnp.int32) % Hn) * W
+
+        def ring_group(u_g, tc_g, bsrc0_g, cin_g, oh_g, mats_g,
+                       per_cpl, per_cin, per_pl, per_pw, per_sl, per_sw,
+                       cpl_slab, *extra):
+            a_cls, cls_oh, massT_c = mats_g[0], mats_g[1], mats_g[2]
+
+            # ---- rhs base in slab layout (class-dense mass matmuls) ----
+            t_tc = jnp.einsum("ij,ljw->liw", massT_c[0], tc_g)
+            t_old = jnp.einsum("ij,lkbjw->lkbiw", massT_c[0], u_g)
+            if ncls > 1:
+                m0 = cls_oh[:, 0]
+                t_tc = t_tc * m0[:, None, :]
+                t_old = t_old * m0[:, None, None, None, :]
+                for ci in range(1, ncls):
+                    mc = cls_oh[:, ci]
+                    t_tc = t_tc + mc[:, None, :] * jnp.einsum(
+                        "ij,ljw->liw", massT_c[ci], tc_g
+                    )
+                    t_old = t_old + mc[:, None, None, None, :] * jnp.einsum(
+                        "ij,lkbjw->lkbiw", massT_c[ci], u_g
+                    )
+            rhs_base = (
+                c["src_w"][None, None, :, None, None] * t_tc[:, None, None]
+                + c["relax_w"][None, None, :, None, None] * t_old
+                - (c["vg"] * c["bc_w"])[None, None, :, None, None]
+                * bsrc0_g[:, :, None]
+            )  # (L, Km, BS, D, W)
+            if self.has_dirichlet:
+                (dsrc0_g,) = extra  # (L, Km, D, W)
+                rhs_base = rhs_base - (
+                    c["vg"][None, None, :, None, None] * dsrc0_g[:, :, None]
+                )
+
+            if self.has_periodic:
+                # lagged periodic coupling against the previous iterate
+                u_src = u_g[per_sl, :, :, :, per_sw]  # (P, Km, BS, D)
+                contrib = jnp.einsum(
+                    "pij,kp,pkbj->pkbi", per_cpl, per_cin, u_src
+                )
+                rhs_base = rhs_base.at[per_pl, :, :, :, per_pw].add(
+                    -contrib * c["vg"][None, None, :, None]
+                )
+
+            def body(ring, xs):
+                rhs, oh_l, cin_l, coh_l, off, cpl_l = xs
+                # batched per-face one-hot selection from the ring
+                un = jnp.einsum("kbdv,fvw->fkbdw", ring, oh_l)
+                unc = un * cin_l[:, :, None, None, :]  # (nf, Km, BS, D, W)
+                if self._ring_ccpl:
+                    term = jnp.einsum("fij,fkbjw->kbiw", mats_g[3], unc)
+                else:
+                    term = jnp.einsum("fijw,fkbjw->kbiw", cpl_l, unc)
+                rhs = rhs - c["vg"][None, :, None, None] * term
+                if ncls == 1:
+                    sol = jnp.einsum("kbij,kbjw->kbiw", a_cls[0], rhs)
+                else:
+                    sol = jnp.einsum(
+                        "ckbij,kbjw,cw->kbiw", a_cls, rhs, coh_l
+                    )
+                if Hn == 1:
+                    ring = sol
+                else:
+                    ring = lax.dynamic_update_slice_in_dim(
+                        ring, sol, off, axis=-1
+                    )
+                return ring, sol
+
+            ring0 = jnp.zeros((Km, BS, D, Hn * W), rhs_base.dtype)
+            xs = (rhs_base, oh_g, cin_g, cls_oh, slot_off, cpl_slab)
+            _, ys = lax.scan(body, ring0, xs, unroll=self.scan_unroll)
+            return ys  # (L, Km, BS, D, W): the next state, no transposes
+
+        cpl_slab = c.get("ring_cpl")
+        if cpl_slab is None:
+            # dummy xs leaf (single-class coupling lives in mats)
+            cpl_slab = jnp.zeros((G, L, 1), dtype=u.dtype)
+        extra = (c["ring_dsrc0"],) if self.has_dirichlet else ()
+        u_new = jax.vmap(ring_group)(
+            u, tc_slab, c["ring_bsrc0"], c["ring_cin"], c["ring_oh"],
+            c["mats"], c["per_cpl"], c["per_cin"], c["per_pl"], c["per_pw"],
+            c["per_sl"], c["per_sw"], cpl_slab, *extra,
+        )
+
+        partial = jnp.einsum("gkb,glkbiw->gilw", c["macro_w"], u_new).reshape(
+            G, D, self.ne_pad
+        )
+        pos = c["pos_of_elem"]  # (G, ne)
+        Tc_new = jax.vmap(lambda pg, po: pg[:, po])(partial, pos).sum(0).T
+        Tv_new = macroscopic.compute_tv(Tc_new, c["basis_int_glob"])
+        res = macroscopic.residual(Tv_new, Tv_prev)
+        return u_new, Tc_new, Tv_new, res
 
     def _rhs_base_impl(self, c, u, Tc):
         """rhs base for all groups/elements (fused path), emitted directly in
@@ -1241,7 +1381,12 @@ class SourceIterationSolver:
     def u_by_direction(self, u):
         """Map slot-major group-ordered u to direction-major (K, BS, ne, D)."""
         u = np.asarray(u)
-        if u.ndim == 6:  # fused layout (G, L, Km, D, BS, W)
+        if u.ndim == 6 and self.sweep_mode == "ring":
+            # ring slab layout (G, L, Km, BS, D, W)
+            u = u.transpose(0, 2, 3, 4, 1, 5).reshape(
+                self.G, self.Km, self.BS, self.D, self.ne_pad
+            )
+        elif u.ndim == 6:  # fused layout (G, L, Km, D, BS, W)
             u = u.transpose(0, 2, 4, 3, 1, 5).reshape(
                 self.G, self.Km, self.BS, self.D, self.ne_pad
             )
@@ -1260,7 +1405,11 @@ class SourceIterationSolver:
         import jax
         import jax.numpy as jnp
 
-        if u.ndim == 6:  # fused layout (G, L, Km, D, BS, W)
+        if u.ndim == 6 and self.sweep_mode == "ring":
+            u = jnp.transpose(u, (0, 2, 3, 4, 1, 5)).reshape(
+                self.G, self.Km, self.BS, self.D, self.ne_pad
+            )
+        elif u.ndim == 6:  # fused layout (G, L, Km, D, BS, W)
             u = jnp.transpose(u, (0, 2, 4, 3, 1, 5)).reshape(
                 self.G, self.Km, self.BS, self.D, self.ne_pad
             )

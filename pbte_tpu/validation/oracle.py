@@ -17,7 +17,7 @@ from pbte_tpu.sweep import planner
 
 
 def solve_oracle(ops, quad, tables, bc_temps, tol=1e-7, max_iter=101, record=None,
-                 part=None):
+                 part=None, dirichlet=None):
     """Returns (u, Tc, Tv, residual, iters). u shape (K, BS, ne, D).
 
     If `part` (ne,) is given, cross-partition neighbor reads use the PREVIOUS
@@ -45,6 +45,11 @@ def solve_oracle(ops, quad, tables, bc_temps, tol=1e-7, max_iter=101, record=Non
     bc_T = np.zeros((ne, nf))
     for attr, T in bc_temps.items():
         bc_T[ops.face_attr == int(attr)] = float(T)
+    # Dirichlet (legacy type 7): prescribed incoming intensity g per attr
+    dvec = np.zeros((ne, nf, D))
+    for attr, gval in (dirichlet or {}).items():
+        sel = ops.face_attr == int(attr)
+        dvec[sel] = float(gval) * ops.face_int[sel]
 
     # A and factorization per (k, bs, e)
     G = -np.einsum("kd,edij->keij", dirs, ops.stiff) + np.einsum(
@@ -81,6 +86,7 @@ def solve_oracle(ops, quad, tables, bc_temps, tol=1e-7, max_iter=101, record=Non
                                 * bc_T[e, f]
                                 * ops.face_int[e, f]
                             )
+                            rhs += -coeff_in * dvec[e, f]
                         else:
                             lagged = (
                                 part is not None and part[nbr] != part[e]
