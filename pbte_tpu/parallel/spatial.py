@@ -49,6 +49,8 @@ class SpatialShardedSolver:
         partition_method: str = "rcb",
         topo=None,  # MeshTopology (for the partitioner); required
         require_bcs: bool = True,
+        halo_mode: str = "ppermute",  # "ppermute" (neighbor-to-neighbor,
+        # O(interface) traffic) | "psum" (legacy all-reduce, O(P*interface))
     ):
         import jax
         import jax.numpy as jnp
@@ -172,6 +174,47 @@ class SpatialShardedSolver:
             p = pplan.part[e]
             iface_src[p, idx] = pplan.local_of_global[e]
 
+        # ---- neighbor-to-neighbor halo plan (ppermute) ---------------------
+        # The all-reduce halo (psum of a full (ni,) buffer over every space
+        # shard) moves O(P * ni); real halos are O(neighbors). Bucket the
+        # ordered partition pairs by RING SHIFT (q - p) mod P: each shift is
+        # ONE lax.ppermute of a compact per-pair buffer — sender p packs the
+        # interface elements partition (p+s) reads from it, receiver scatters
+        # them into its halo slots. Analog of the reference's per-neighbor
+        # Isend/Irecv lists (ref: reference/DGSolver/PBTE_NonGraySMRT_MPI.cpp:
+        # 57-181), expressed as XLA collectives.
+        pair_slots = {}  # (src, dst) -> sorted interface-buffer indices
+        for q in range(Pn):
+            used = np.unique(pplan.nbr_iface[q][pplan.nbr_iface[q] >= 0])
+            for idx in used:
+                e = int(pplan.interface[idx])
+                psrc = int(pplan.part[e])
+                if psrc != q:
+                    pair_slots.setdefault((psrc, q), []).append(int(idx))
+        shifts = sorted({(q - p) % Pn for (p, q) in pair_slots}) or [0]
+        n_sh = len(shifts)
+        Ms = max(
+            (len(v) for v in pair_slots.values()), default=1
+        )
+        halo_send = np.zeros((Pn, n_sh, Ms), dtype=np.int32)
+        halo_recv = np.full((Pn, n_sh, Ms), ni, dtype=np.int32)  # ni = drop
+        for (p, q), slots in pair_slots.items():
+            s_i = shifts.index((q - p) % Pn)
+            slots = sorted(slots)
+            locs = [
+                int(pplan.local_of_global[pplan.interface[idx]])
+                for idx in slots
+            ]
+            halo_send[p, s_i, : len(slots)] = locs
+            halo_recv[q, s_i, : len(slots)] = slots
+        self._halo_shifts = shifts
+        self.halo_bytes_per_shard = (
+            sum(len(v) for v in pair_slots.values()) / max(Pn, 1)
+        )
+        if halo_mode not in ("ppermute", "psum"):
+            raise ValueError(f"unknown halo_mode: {halo_mode}")
+        self.halo_mode = halo_mode
+
         # macroscopic weights on slots (padded slots zero)
         mw = macroscopic.macro_weights(quad, tables)
         mw_slots = np.where(dir_valid[..., None], mw[dirs_safe], 0.0)  # (G, Km, BS)
@@ -218,6 +261,8 @@ class SpatialShardedSolver:
             ),  # (P, G, Km, nf, ne_max)
             a_inv=puts(a_inv, (S, None, DIR)),  # (P, G, Km, BS, D, D, ne_max)
             iface_src=puts(iface_src, (S,), np.int32),  # (P, ni)
+            halo_send=puts(halo_send, (S,), np.int32),  # (P, n_sh, Ms)
+            halo_recv=puts(halo_recv, (S,), np.int32),  # (P, n_sh, Ms)
         )
         self.ne_max = ne_max
         self.ni = ni
@@ -272,6 +317,7 @@ class SpatialShardedSolver:
                 elem_valid=P(S), vg=P(), src_w=P(), relax_w=P(), bc_w=P(),
                 macro_w=P(None, None, DIR), levels=P(S),
                 fdot=P(S, None, DIR), a_inv=P(S, None, DIR), iface_src=P(S),
+                halo_send=P(S), halo_recv=P(S),
             ),
             P(S, None, DIR),  # u
             P(S),  # Tc
@@ -303,12 +349,31 @@ class SpatialShardedSolver:
             bc_w = cl["bc_w"][0]
 
             # ---- halo exchange: lagged interface coefficients ----
-            owned = iface_src >= 0
-            src = jnp.where(owned, iface_src, 0)
-            contrib = jnp.where(
-                owned[None, None, None, None, :], u_l[..., src], 0.0
-            )  # (G, Kl, BS, D, ni)
-            halo = lax.psum(contrib, S)
+            if self.halo_mode == "psum":
+                # legacy all-reduce halo: O(P * ni) traffic (kept for
+                # cross-checking the ppermute plan)
+                owned = iface_src >= 0
+                src = jnp.where(owned, iface_src, 0)
+                contrib = jnp.where(
+                    owned[None, None, None, None, :], u_l[..., src], 0.0
+                )  # (G, Kl, BS, D, ni)
+                halo = lax.psum(contrib, S)
+            else:
+                # neighbor-to-neighbor: one ppermute per partition-graph
+                # ring shift; traffic is O(own interface), independent of P
+                halo_send = cl["halo_send"][0]  # (n_sh, Ms)
+                halo_recv = cl["halo_recv"][0]  # (n_sh, Ms), ni = drop
+                Pn = self.pplan.nparts
+                halo = jnp.zeros(u_l.shape[:-1] + (ni,), u_l.dtype)
+                for s_i, shift in enumerate(self._halo_shifts):
+                    buf = u_l[..., halo_send[s_i]]  # (G, Kl, BS, D, Ms)
+                    recv = lax.ppermute(
+                        buf, S,
+                        perm=[(i, (i + shift) % Pn) for i in range(Pn)],
+                    )
+                    halo = halo.at[..., halo_recv[s_i]].set(
+                        recv, mode="drop"
+                    )
 
             TcT = Tc_l.T  # (D, ne_max)
 

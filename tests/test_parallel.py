@@ -15,6 +15,7 @@ from pbte_tpu.angular import quadrature as ang
 from pbte_tpu.fem import assembly
 from pbte_tpu.material import nongray_smrt as mat
 from pbte_tpu.parallel import partition as part_mod
+from pbte_tpu.solver.source_iteration import SourceIterationSolver
 from pbte_tpu.validation.oracle import solve_oracle
 from pbte_tpu.validation.partition import validate
 
@@ -121,3 +122,58 @@ def test_spatial_and_plain_share_fixed_point(problem):
     np.testing.assert_allclose(
         sp.gather_Tc(rp.Tc), np.asarray(rs.Tc), rtol=1e-4, atol=1e-7
     )
+
+
+def test_band_sharding_lifts_km_ceiling():
+    """P(dir, band) sharding: 8 devices on a problem with Km=4 slots — the
+    band axis supplies the extra parallel dimension (VERDICT r1 weak #8).
+    Padded bands carry zero tables and must not perturb the solution."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, axis_names=("dir", "band"))
+    sharding = NamedSharding(mesh, P("dir", "band"))
+
+    m = pmesh.make_cartesian_2d(3, 3, pmesh.GEOM_TRIANGLE).scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1, face_mode="consistent")
+    quad = ang.build(ang.AngularOptions(dimension=2, azimuth_points=8))
+    tables = mat.build_tables(mat.SILICON, num_spectral=3)  # BS=6 -> pads ok
+    bcs = {1: -0.5, 2: -0.5, 3: 0.5, 4: -0.5}
+    s = SourceIterationSolver(ops, quad, tables, bcs, dir_sharding=sharding)
+    assert s.BS % 2 == 0 and s.BS >= s.BS_orig
+    res = s.solve(tol=0, max_iter=5, verbose=False)
+
+    s_ref = SourceIterationSolver(ops, quad, tables, bcs)
+    ref = s_ref.solve(tol=0, max_iter=5, verbose=False)
+    np.testing.assert_allclose(
+        np.asarray(res.Tc), np.asarray(ref.Tc), rtol=1e-10, atol=1e-14
+    )
+    # direction-major views drop band padding
+    assert s.u_by_direction(res.u).shape == s_ref.u_by_direction(ref.u).shape
+
+
+def test_ppermute_halo_matches_psum():
+    """The neighbor-to-neighbor (ppermute) halo must produce the same
+    iterates as the legacy all-reduce halo (and the lagged oracle)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from pbte_tpu.parallel.spatial import SpatialShardedSolver
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    dmesh = Mesh(devs, axis_names=("dir", "space"))
+    m = pmesh.make_cartesian_2d(4, 4, pmesh.GEOM_TRIANGLE).scaled(1e-6)
+    topo = pmesh.connect(m)
+    ops = assembly.assemble(topo, order=1, face_mode="consistent")
+    quad = ang.build(ang.AngularOptions(dimension=2, azimuth_points=8))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    bcs = {1: -0.5, 2: -0.5, 3: 0.5, 4: -0.5}
+    out = {}
+    for mode in ("ppermute", "psum"):
+        s = SpatialShardedSolver(ops, quad, tables, bcs, device_mesh=dmesh,
+                                 topo=topo, halo_mode=mode)
+        res = s.solve(tol=0, max_iter=6, verbose=False)
+        out[mode] = s.gather_Tc(res.Tc)
+    np.testing.assert_allclose(out["ppermute"], out["psum"],
+                               rtol=1e-12, atol=1e-15)
