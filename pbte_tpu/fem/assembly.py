@@ -307,26 +307,31 @@ def element_classes(ops: ElementOps, grain: float = 1e-11) -> np.ndarray:
         ops.basis_int.reshape(ne, -1),
         ops.normals.reshape(ne, -1),
     ]
-    F = np.concatenate(parts, axis=1)
-    scale = np.abs(F).max() or 1.0
-    q = np.round(F / (scale * grain)).astype(np.int64)
-    # exact row dedup via two independent wrap-around polynomial hashes
+    scale = max(max(float(np.abs(p).max()) for p in parts), 1e-300)
+    inv = 1.0 / (scale * grain)
+    # exact row dedup via two independent wrap-around polynomial hashes,
+    # accumulated part-by-part (NO (ne, ~6000) concatenation: that is a 5GB
+    # temp at ne=1e5 and dominated setup time)
     rng = np.random.default_rng(0x5EED)
-    r1 = rng.integers(1, 2**62, size=q.shape[1], dtype=np.int64) | 1
-    r2 = rng.integers(1, 2**62, size=q.shape[1], dtype=np.int64) | 1
+    h1 = np.zeros(ne, dtype=np.int64)
+    h2 = np.zeros(ne, dtype=np.int64)
     with np.errstate(over="ignore"):
-        h1 = q @ r1
-        h2 = q @ r2
-    _, cls = np.unique(np.stack([h1, h2], axis=1), axis=0, return_inverse=True)
-    # renumber by first occurrence for determinism
-    first = {}
-    out = np.empty(ne, dtype=np.int64)
-    for e in range(ne):
-        c = cls[e]
-        if c not in first:
-            first[c] = len(first)
-        out[e] = first[c]
-    return out
+        for p in parts:
+            q = np.rint(p * inv).astype(np.int64)
+            r1 = rng.integers(1, 2**62, size=q.shape[1], dtype=np.int64) | 1
+            r2 = rng.integers(1, 2**62, size=q.shape[1], dtype=np.int64) | 1
+            h1 += q @ r1
+            h2 += q @ r2
+    hh = np.empty((ne, 2), dtype=np.int64)
+    hh[:, 0], hh[:, 1] = h1, h2
+    key = hh.view([("a", np.int64), ("b", np.int64)]).ravel()
+    _, first_idx, cls = np.unique(
+        key, return_index=True, return_inverse=True
+    )
+    # renumber by first occurrence for determinism (vectorized)
+    rank = np.empty(len(first_idx), dtype=np.int64)
+    rank[np.argsort(first_idx, kind="stable")] = np.arange(len(first_idx))
+    return rank[cls]
 
 
 def canonical_face_perm(ops: ElementOps, grain: float = 1e-9) -> np.ndarray:

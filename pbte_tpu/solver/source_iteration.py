@@ -182,6 +182,7 @@ class SourceIterationSolver:
         from pbte_tpu.fem import assembly as _assembly
 
         self._canonical_faces = False
+        self._cls_cache = None  # element classes of the (final) ops
         if sweep_mode in ("auto", "ring") and not use_pallas and ne >= 512:
             cls0 = _assembly.element_classes(ops)
             ops_c = _assembly.permute_faces(
@@ -191,6 +192,9 @@ class SourceIterationSolver:
             if cls1.max() < cls0.max():
                 ops = ops_c
                 self._canonical_faces = True
+                self._cls_cache = cls1
+            else:
+                self._cls_cache = cls0
 
         # Boundary sanity: the serial reference asserts every boundary face has
         # an isothermal entry (ref: src/PBTESolver.cpp:286); Dirichlet
@@ -292,7 +296,10 @@ class SourceIterationSolver:
         self._ring_ccpl_arr = None
         ring_want = sweep_mode in ("auto", "ring") and not use_pallas
         if ring_want:
-            cls_r = _assembly.element_classes(ops)
+            cls_r = (
+                self._cls_cache if self._cls_cache is not None
+                else _assembly.element_classes(ops)
+            )
             ncls_r = int(cls_r.max()) + 1
             # level index of each element per group
             lev_of = np.zeros((G, ne), dtype=np.int32)
@@ -382,7 +389,10 @@ class SourceIterationSolver:
         self._cls = None
         self.ncls = 0
         if cache_policy == "eigen" and not self.padded:
-            cls = _assembly.element_classes(ops)
+            cls = (
+                self._cls_cache if self._cls_cache is not None
+                else _assembly.element_classes(ops)
+            )
             ncls = int(cls.max()) + 1
             if ncls <= 64 and ncls * 4 <= ne:
                 self._cls = cls
@@ -468,12 +478,17 @@ class SourceIterationSolver:
             ring_oh = oh
 
         def gperm(a, extra_axes=None):
-            """a (ne, ...) -> (G, ..., ne_pad) in group order, zero padded."""
-            g = a[perm_safe]
+            """a (ne, ...) -> (G, ..., ne_pad) in group order, zero padded.
+            Emits the solver dtype contiguously so device_put takes it
+            without further astype/ascontiguousarray copies (those measured
+            ~17s of the 1e5-element setup in f64)."""
+            g = a[perm_safe].astype(np_dtype, copy=False)
             g = np.where(
-                pos_valid.reshape(G, ne_pad, *([1] * (g.ndim - 2))), g, 0
+                pos_valid.reshape(G, ne_pad, *([1] * (g.ndim - 2))),
+                g,
+                np.zeros((), dtype=np_dtype),
             )
-            return np.moveaxis(g, 1, -1)
+            return np.ascontiguousarray(np.moveaxis(g, 1, -1))
 
         face_int_g = gperm(ops.face_int, None)  # (G, nf, D, ne_pad)
         bc_T_g = gperm(bc_T, None)  # (G, nf, ne_pad)
