@@ -172,9 +172,16 @@ def assemble(
     face_degree: int | None = None,
     chunk: int = 4096,
     face_mode: str = "mfem-parity",
+    volume_mode: str = "quadrature",
 ) -> ElementOps:
+    """volume_mode="exact" computes the volume operators from closed-form
+    monomial integrals (affine simplices only; fem.exact, the analog of the
+    reference's math_utils.cpp:76-159 backend). Identical to the default
+    2p+1 quadrature to machine precision — kept as parity/cross-check."""
     if face_mode not in ("mfem-parity", "consistent"):
         raise ValueError(f"unknown face_mode: {face_mode}")
+    if volume_mode not in ("quadrature", "exact"):
+        raise ValueError(f"unknown volume_mode: {volume_mode}")
     mesh = topo.mesh
     geom = mesh.geom
     dim = mesh.dim
@@ -262,6 +269,13 @@ def assemble(
             S_nbr = b.eval(r_nbr)  # (E, nf, Qf, D)
             cpl = np.einsum("efq,efqi,efqj->efij", wf, S_self, S_nbr)
             coupling[sl] = np.where(has_nbr[..., None, None], cpl, 0.0)
+
+    if volume_mode == "exact":
+        from pbte_tpu.fem import exact
+
+        basis_int, mass, stiff = exact.volume_operators(
+            geom, order, verts[ev]
+        )
 
     return ElementOps(
         geom=geom,

@@ -172,3 +172,32 @@ def test_coupling_consistency():
             np.testing.assert_allclose(
                 ops.coupling[e, f], ops.coupling[nbr, f2].T, atol=1e-16
             )
+
+
+@pytest.mark.parametrize("geom,make,order", [
+    ("triangle", lambda: pmesh.make_cartesian_2d(3, 2, "triangle"), 1),
+    ("triangle", lambda: pmesh.make_cartesian_2d(3, 2, "triangle"), 3),
+    ("tet", lambda: pmesh.make_cartesian_3d(2, 2, 2, "tet"), 2),
+])
+def test_exact_volume_operators_match_quadrature(geom, make, order):
+    """Closed-form monomial integrals (fem.exact, the analog of the
+    reference's math_utils.cpp:76-159 backend) must agree with the 2p+1
+    quadrature to machine precision on affine simplices."""
+    m = make()
+    topo = pmesh.connect(m)
+    a_q = assembly.assemble(topo, order=order, face_mode="consistent")
+    a_e = assembly.assemble(topo, order=order, face_mode="consistent",
+                            volume_mode="exact")
+    np.testing.assert_allclose(a_e.basis_int, a_q.basis_int,
+                               rtol=1e-11, atol=1e-14)
+    np.testing.assert_allclose(a_e.mass, a_q.mass, rtol=1e-11, atol=1e-13)
+    np.testing.assert_allclose(a_e.stiff, a_q.stiff, rtol=1e-11, atol=1e-13)
+
+
+def test_exact_monomial_integrals_values():
+    """Spot values: int over unit triangle of 1, x, x*y, x^2."""
+    from pbte_tpu.fem.exact import monomial_integrals_simplex
+
+    expo = np.array([[0, 0], [1, 0], [1, 1], [2, 0]])
+    got = monomial_integrals_simplex(expo, 2)
+    np.testing.assert_allclose(got, [0.5, 1 / 6, 1 / 24, 1 / 12], rtol=1e-15)
