@@ -338,6 +338,10 @@ class SourceIterationSolver:
                 )
                 self._ring_ccpl = self._ring_ccpl_arr is not None
 
+        # NOTE: lane-aligning W (192 -> 256) measured perf-NEUTRAL at the
+        # hex-16^3 flagship (89.7 vs 90.0 ms/step) while costing 33% more
+        # state memory — the ring body is compute/byte-proportional in W,
+        # not tile-padding bound. Left unaligned.
         self.padded = bool(use_pallas) or self.sweep_mode == "ring"
         if self.padded:
             self.ne_pad = ne_pad = L * W
