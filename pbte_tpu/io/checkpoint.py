@@ -29,6 +29,10 @@ def _fingerprint(solver) -> dict:
     if hasattr(solver, "pplan"):  # SpatialShardedSolver
         fp["nparts"] = solver.pplan.nparts
         fp["ne_max"] = solver.ne_max
+    if getattr(solver, "sweep_mode", "scan") == "ring":
+        # the ring carries the mass-transformed state v = M^T u — a
+        # checkpoint of one kind must not silently load into the other
+        fp["state_kind"] = 1
     return fp
 
 

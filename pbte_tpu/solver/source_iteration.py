@@ -337,6 +337,16 @@ class SourceIterationSolver:
                     else None
                 )
                 self._ring_ccpl = self._ring_ccpl_arr is not None
+                # per-class M^-T: the ring carries the mass-transformed
+                # state v = M^T u, so every coupling that reads a neighbor
+                # value gets a trailing M_{neighbor}^-T fold
+                reps_r = np.array(
+                    [int(np.flatnonzero(cls_r == c)[0])
+                     for c in range(ncls_r)]
+                )
+                self._ring_invMT_cls = np.linalg.inv(
+                    np.swapaxes(ops.mass[reps_r], -1, -2)
+                )  # (ncls, D, D)
 
         # NOTE: lane-aligning W (192 -> 256) measured perf-NEUTRAL at the
         # hex-16^3 flagship (89.7 vs 90.0 ms/step) while costing 33% more
@@ -503,11 +513,18 @@ class SourceIterationSolver:
         # pytree uniform without the HBM (1.2GB coupling at hex-16^3)
         if self.sweep_mode == "ring":
             mass_t_g = np.zeros((G, 1, 1, 1))
-            coupling_g = (
-                np.zeros((G, 1, 1, 1, 1))
-                if self._ring_ccpl
-                else gperm(ops.coupling, None)
-            )
+            if self._ring_ccpl:
+                coupling_g = np.zeros((G, 1, 1, 1, 1))
+            else:
+                # fold M_{neighbor}^-T into the per-element coupling (the
+                # ring state is v = M^T u)
+                nbr_c = self._ring_cls[np.clip(ops.neighbor, 0, None)]
+                cpl_folded = np.einsum(
+                    "efij,efjk->efik",
+                    ops.coupling,
+                    self._ring_invMT_cls[nbr_c],
+                )
+                coupling_g = gperm(cpl_folded, None)
         else:
             mass_t_g = gperm(np.swapaxes(ops.mass, -1, -2), None)  # (G,D,D,ne_pad)
             coupling_g = gperm(ops.coupling, None)  # (G, nf, D, D, ne_pad)
@@ -552,6 +569,14 @@ class SourceIterationSolver:
                     .transpose(0, 4, 1, 2, 3, 5)
                 )  # (G, L, nf, D, D, W)
             # periodic slot tables in slab coordinates + static inflow coeffs
+            # (ring state is v = M^T u: fold the source element's M^-T)
+            if self.has_periodic:
+                src_elem = perm_safe[np.arange(G)[:, None], per_src]
+                per_cpl = np.einsum(
+                    "gpij,gpjk->gpik",
+                    per_cpl,
+                    self._ring_invMT_cls[self._ring_cls[src_elem]],
+                )
             gi2 = np.arange(G)[:, None]
             per_cin = (
                 np.minimum(fdot[gi2, :, per_face, per_pos], 0.0)
@@ -607,6 +632,12 @@ class SourceIterationSolver:
             fmass_r = ops.face_mass[reps]
             mass_r = ops.mass[reps]
             norm_r = ops.normals[reps]  # (ncls, nf, dim)
+            # MASS-TRANSFORMED state: the ring carries v = M^T u, so the
+            # pseudo-time term is relax*v (no per-step mass matmul — that
+            # stream measured 14 ms/step at hex-16^3), the apply factor is
+            # B = M^T A^-1, and M^-T folds into the neighbor couplings.
+            massT_r = np.swapaxes(mass_r, -1, -2)
+            invMT_r = self._ring_invMT_cls  # (ncls, D, D)
             a_cls = np.empty((G, ncls, Km, BS, D, D), dtype=np_dtype)
             for g in range(G):
                 dk = dirs_np[dirs_safe[g]]  # (Km, dim)
@@ -618,7 +649,12 @@ class SourceIterationSolver:
                     mass_r[:, None, None]
                     + vg_s[None, None, :, None, None] * G_k[:, :, None]
                 )  # (ncls, Km, BS, D, D)
-                a_cls[g] = np.linalg.inv(A).astype(np_dtype)
+                a_cls[g] = np.einsum(
+                    "cij,ckbjl->ckbil", massT_r, np.linalg.inv(A)
+                ).astype(np_dtype)
+            # per-element M^-T (by class) for output-time v -> u conversion
+            # and the macroscopic closure
+            self._ring_invMT = invMT_r[self._ring_cls]  # (ne, D, D)
             # class id per padded slot -> one-hot slabs (G, L, ncls, W)
             cls_pos = np.where(pos_valid, self._ring_cls[perm_safe], -1)
             cls_oh = np.zeros((G, L, ncls, W), dtype=np_dtype)
@@ -648,9 +684,12 @@ class SourceIterationSolver:
                 (
                     jax.device_put(
                         np.broadcast_to(
-                            ccpl[0].astype(np_dtype), (G,) + ccpl[0].shape
+                            np.einsum(
+                                "fij,jk->fik", ccpl[0], invMT_r[0]
+                            ).astype(np_dtype),
+                            (G,) + ccpl[0].shape,
                         ).copy()
-                    ),  # (G, nf, D, D) single-class coupling
+                    ),  # (G, nf, D, D) single-class coupling (M^-T folded)
                 )
                 if self._ring_ccpl
                 else ()
@@ -809,6 +848,7 @@ class SourceIterationSolver:
                     "ring_oh": put(ring_oh),  # (G, L, nf, HW, W)
                     "ring_cin": put(ring_cin),  # (G, L, nf, Km, W)
                     "ring_bsrc0": put(ring_bsrc0),  # (G, L, Km, D, W)
+                    "ring_invMT": put(self._ring_invMT),  # (ne, D, D)
                     "per_cin": put(per_cin),  # (G, Km, P)
                     "per_pl": iput(per_pl),
                     "per_pw": iput(per_pw),
@@ -1202,50 +1242,53 @@ class SourceIterationSolver:
         )
         slot_off = (jnp.arange(L, dtype=jnp.int32) % Hn) * W
 
-        def ring_group(u_g, tc_g, bsrc0_g, cin_g, oh_g, mats_g,
+        def ring_group(v_g, tc_g, bsrc0_g, cin_g, oh_g, mats_g, macro_w_g,
                        per_cpl, per_cin, per_pl, per_pw, per_sl, per_sw,
                        cpl_slab, *extra):
-            a_cls, cls_oh, massT_c = mats_g[0], mats_g[1], mats_g[2]
+            # v_g (L, Km, BS, D, W): the MASS-TRANSFORMED state v = M^T u.
+            # The pseudo-time term is then relax*v (no per-step mass
+            # matmul), the apply factor is B = M^T A^-1, and M^-T is folded
+            # into every neighbor coupling at setup.
+            b_cls, cls_oh, massT_c = mats_g[0], mats_g[1], mats_g[2]
 
-            # ---- rhs base in slab layout (class-dense mass matmuls) ----
+            # lagged-temperature term (tiny: (L, D, W))
             t_tc = jnp.einsum("ij,ljw->liw", massT_c[0], tc_g)
-            t_old = jnp.einsum("ij,lkbjw->lkbiw", massT_c[0], u_g)
             if ncls > 1:
-                m0 = cls_oh[:, 0]
-                t_tc = t_tc * m0[:, None, :]
-                t_old = t_old * m0[:, None, None, None, :]
+                t_tc = t_tc * cls_oh[:, 0][:, None, :]
                 for ci in range(1, ncls):
-                    mc = cls_oh[:, ci]
-                    t_tc = t_tc + mc[:, None, :] * jnp.einsum(
+                    t_tc = t_tc + cls_oh[:, ci][:, None, :] * jnp.einsum(
                         "ij,ljw->liw", massT_c[ci], tc_g
                     )
-                    t_old = t_old + mc[:, None, None, None, :] * jnp.einsum(
-                        "ij,lkbjw->lkbiw", massT_c[ci], u_g
-                    )
-            rhs_base = (
-                c["src_w"][None, None, :, None, None] * t_tc[:, None, None]
-                + c["relax_w"][None, None, :, None, None] * t_old
-                - (c["vg"] * c["bc_w"])[None, None, :, None, None]
-                * bsrc0_g[:, :, None]
-            )  # (L, Km, BS, D, W)
+            # u-independent per-level rhs pieces, (L, Km, BS, D, W) folded
+            # lazily in the body (only (L,Km,D,W)-sized consts live in HBM)
             if self.has_dirichlet:
                 (dsrc0_g,) = extra  # (L, Km, D, W)
-                rhs_base = rhs_base - (
-                    c["vg"][None, None, :, None, None] * dsrc0_g[:, :, None]
-                )
+            else:
+                dsrc0_g = None
 
+            # periodic: lagged wrap couplings against the previous iterate,
+            # materialized as a sparse rhs addition (periodic meshes only)
+            rhs_extra = None
             if self.has_periodic:
-                # lagged periodic coupling against the previous iterate
-                u_src = u_g[per_sl, :, :, :, per_sw]  # (P, Km, BS, D)
+                v_src = v_g[per_sl, :, :, :, per_sw]  # (P, Km, BS, D)
                 contrib = jnp.einsum(
-                    "pij,kp,pkbj->pkbi", per_cpl, per_cin, u_src
+                    "pij,kp,pkbj->pkbi", per_cpl, per_cin, v_src
                 )
-                rhs_base = rhs_base.at[per_pl, :, :, :, per_pw].add(
+                rhs_extra = jnp.zeros(
+                    (L, Km, BS, D, W), v_g.dtype
+                ).at[per_pl, :, :, :, per_pw].add(
                     -contrib * c["vg"][None, None, :, None]
                 )
 
             def body(ring, xs):
-                rhs, oh_l, cin_l, coh_l, off, cpl_l = xs
+                v_l, ttc_l, bsrc_l, oh_l, cin_l, coh_l, off, cpl_l, ex_l = xs
+                rhs = (
+                    c["src_w"][None, :, None, None] * ttc_l[None, None]
+                    + c["relax_w"][None, :, None, None] * v_l
+                    - (c["vg"] * c["bc_w"])[None, :, None, None]
+                    * bsrc_l[:, None]
+                    + ex_l
+                )
                 # batched per-face one-hot selection from the ring
                 un = jnp.einsum("kbdv,fvw->fkbdw", ring, oh_l)
                 unc = un * cin_l[:, :, None, None, :]  # (nf, Km, BS, D, W)
@@ -1255,43 +1298,68 @@ class SourceIterationSolver:
                     term = jnp.einsum("fijw,fkbjw->kbiw", cpl_l, unc)
                 rhs = rhs - c["vg"][None, :, None, None] * term
                 if ncls == 1:
-                    sol = jnp.einsum("kbij,kbjw->kbiw", a_cls[0], rhs)
+                    sol = jnp.einsum("kbij,kbjw->kbiw", b_cls[0], rhs)
                 else:
                     sol = jnp.einsum(
-                        "ckbij,kbjw,cw->kbiw", a_cls, rhs, coh_l
+                        "ckbij,kbjw,cw->kbiw", b_cls, rhs, coh_l
                     )
+                # fused macroscopic partial: read sol while it is hot
+                m_l = jnp.einsum("kb,kbiw->iw", macro_w_g, sol)
                 if Hn == 1:
                     ring = sol
                 else:
                     ring = lax.dynamic_update_slice_in_dim(
                         ring, sol, off, axis=-1
                     )
-                return ring, sol
+                return ring, (sol, m_l)
 
-            ring0 = jnp.zeros((Km, BS, D, Hn * W), rhs_base.dtype)
-            xs = (rhs_base, oh_g, cin_g, cls_oh, slot_off, cpl_slab)
-            _, ys = lax.scan(body, ring0, xs, unroll=self.scan_unroll)
-            return ys  # (L, Km, BS, D, W): the next state, no transposes
+            ring0 = jnp.zeros((Km, BS, D, Hn * W), v_g.dtype)
+            xs = (
+                v_g, t_tc, bsrc0_g, oh_g, cin_g, cls_oh, slot_off, cpl_slab,
+                rhs_extra if rhs_extra is not None
+                else jnp.zeros((L, 1, 1, 1, 1), v_g.dtype),
+            )
+            if dsrc0_g is not None:
+                def body_d(ring, xs):
+                    (v_l, ttc_l, bsrc_l, oh_l, cin_l, coh_l, off, cpl_l,
+                     ex_l, dsrc_l) = xs
+                    inner_xs = (
+                        v_l, ttc_l, bsrc_l, oh_l, cin_l, coh_l, off, cpl_l,
+                        ex_l - c["vg"][None, :, None, None] * dsrc_l[:, None],
+                    )
+                    return body(ring, inner_xs)
+                _, (ys, ms) = lax.scan(
+                    body_d, ring0, xs + (dsrc0_g,), unroll=self.scan_unroll
+                )
+            else:
+                _, (ys, ms) = lax.scan(
+                    body, ring0, xs, unroll=self.scan_unroll
+                )
+            return ys, ms  # (L,Km,BS,D,W), (L,D,W)
 
         cpl_slab = c.get("ring_cpl")
         if cpl_slab is None:
             # dummy xs leaf (single-class coupling lives in mats)
             cpl_slab = jnp.zeros((G, L, 1), dtype=u.dtype)
         extra = (c["ring_dsrc0"],) if self.has_dirichlet else ()
-        u_new = jax.vmap(ring_group)(
+        v_new, m_part = jax.vmap(ring_group)(
             u, tc_slab, c["ring_bsrc0"], c["ring_cin"], c["ring_oh"],
-            c["mats"], c["per_cpl"], c["per_cin"], c["per_pl"], c["per_pw"],
-            c["per_sl"], c["per_sw"], cpl_slab, *extra,
+            c["mats"], c["macro_w"], c["per_cpl"], c["per_cin"], c["per_pl"],
+            c["per_pw"], c["per_sl"], c["per_sw"], cpl_slab, *extra,
         )
 
-        partial = jnp.einsum("gkb,glkbiw->gilw", c["macro_w"], u_new).reshape(
+        # macroscopic closure from the fused in-scan partials (the separate
+        # 3GB re-read of the state measured 6.4 ms/step)
+        partial = jnp.transpose(m_part, (0, 2, 1, 3)).reshape(
             G, D, self.ne_pad
         )
         pos = c["pos_of_elem"]  # (G, ne)
-        Tc_new = jax.vmap(lambda pg, po: pg[:, po])(partial, pos).sum(0).T
+        Tc_v = jax.vmap(lambda pg, po: pg[:, po])(partial, pos).sum(0).T
+        # v = M^T u  =>  Tc_u[e] = M_e^-T Tc_v[e]
+        Tc_new = jnp.einsum("eij,ej->ei", c["ring_invMT"], Tc_v)
         Tv_new = macroscopic.compute_tv(Tc_new, c["basis_int_glob"])
         res = macroscopic.residual(Tv_new, Tv_prev)
-        return u_new, Tc_new, Tv_new, res
+        return v_new, Tc_new, Tv_new, res
 
     def _rhs_base_impl(self, c, u, Tc):
         """rhs base for all groups/elements (fused path), emitted directly in
@@ -1448,6 +1516,9 @@ class SourceIterationSolver:
                 d = self.dirs_pad[g, k]
                 if d >= 0:
                     out[d, :, elems, :] = u[g, k][:, :, valid].transpose(2, 0, 1)
+        if self.sweep_mode == "ring":
+            # ring state is v = M^T u: convert to physical coefficients
+            out = np.einsum("eij,kbej->kbei", self._ring_invMT, out)
         return out[:, : self.BS_orig]  # drop band-shard padding
 
     def heat_flux(self, u):
@@ -1467,6 +1538,9 @@ class SourceIterationSolver:
         pos = self.consts["pos_of_elem"]  # (G, ne)
         gathered = jax.vmap(lambda pg, po: pg[:, :, po])(partial, pos)  # (G,dim,D,ne)
         Qc = jnp.moveaxis(gathered.sum(0), -1, 1)  # (dim, ne, D)
+        if self.sweep_mode == "ring":
+            # ring state is v = M^T u: convert the flux coefficients
+            Qc = jnp.einsum("eij,dej->dei", self.consts["ring_invMT"], Qc)
         Qv = jnp.einsum("dei,ei->de", Qc, self.consts["basis_int_glob"])
         return Qc, Qv
 
