@@ -193,3 +193,38 @@ def write_3d_slice(mesh, order, Tc, Qc, z, path, nx=100, ny=100):
                     f"{Q[0, j, i]:.8e} {Q[1, j, i]:.8e} {Q[2, j, i]:.8e}\n"
                 )
     return T, Q
+
+
+def write_2d_slice_tq(mesh, order, Tc, Qc, path, nx=50, ny=50,
+                      clamp_tol=1e-12):
+    """2D-mesh T and heat-flux slice (legacy NonGraySMRT::output_2D_slice_T_Q,
+    ref: reference/PhononModel/NonGraySMRT.cpp:137-253: 50x50 sampling of T
+    and Q over the domain bounding box). Writes 'x y T Qx Qy' rows; returns
+    (T (ny, nx), Q (2, ny, nx))."""
+    import os
+
+    if mesh.dim != 2:
+        raise ValueError("write_2d_slice_tq supports 2D meshes only")
+    mn = mesh.vertices.min(axis=0)
+    mx = mesh.vertices.max(axis=0)
+    xs = np.linspace(mn[0] + clamp_tol, mx[0] - clamp_tol, nx)
+    ys = np.linspace(mn[1] + clamp_tol, mx[1] - clamp_tol, ny)
+    X, Y = np.meshgrid(xs, ys, indexing="xy")
+    pts = np.stack([X.reshape(-1), Y.reshape(-1)], axis=-1)
+    T = sample_field(mesh, order, np.asarray(Tc), pts).reshape(ny, nx)
+    Qc = np.asarray(Qc)
+    Q = np.stack(
+        [sample_field(mesh, order, Qc[d], pts).reshape(ny, nx)
+         for d in range(2)]
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write(f"# nx {nx} ny {ny}\n")
+        f.write("x y T Qx Qy\n")
+        for j in range(ny):
+            for i in range(nx):
+                f.write(
+                    f"{xs[i]:.16f} {ys[j]:.16f} {T[j, i]:.16f} "
+                    f"{Q[0, j, i]:.16f} {Q[1, j, i]:.16f}\n"
+                )
+    return T, Q

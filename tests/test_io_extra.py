@@ -228,3 +228,23 @@ def test_vtu_lod0_backcompat(tmp_path):
     path = write_vtu(m, 1, {"T": coeffs}, prefix=str(tmp_path / "lin"), lod=0)
     text = open(path).read()
     assert f'NumberOfCells="{m.num_elements}"' in text
+
+
+def test_2d_slice_tq(tmp_path):
+    """Legacy output_2D_slice_T_Q analog: T and Q sampled on a 2D mesh."""
+    from pbte_tpu.io.slice import write_2d_slice_tq
+
+    m = pmesh.make_cartesian_2d(3, 3, pmesh.GEOM_TRIANGLE).scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1, face_mode="consistent")
+    quad = ang.build(ang.AngularOptions(dimension=2, azimuth_points=8))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    s = SourceIterationSolver(ops, quad, tables, {1: -0.5, 2: -0.5, 3: 0.5, 4: -0.5})
+    res = s.solve(tol=0, max_iter=10, verbose=False)
+    Qc, _ = s.heat_flux(res.u)
+    T, Q = write_2d_slice_tq(m, 1, np.asarray(res.Tc), np.asarray(Qc),
+                             str(tmp_path / "tq.txt"), nx=20, ny=20)
+    assert T.shape == (20, 20) and Q.shape == (2, 20, 20)
+    assert np.isfinite(T).all() and np.isfinite(Q).all()
+    rows = open(tmp_path / "tq.txt").readlines()
+    assert rows[1].strip() == "x y T Qx Qy"
+    assert len(rows) == 2 + 400
