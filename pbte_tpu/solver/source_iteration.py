@@ -481,14 +481,36 @@ class SourceIterationSolver:
             from pbte_tpu.ops import fused_sweep as fs
 
             H_r = self._ring_H
-            # per-FACE (H*W, W) blocks: selections then run as nf clean
-            # (KmBSD, HW) @ (HW, W) matmuls. A single flat (HW, nf*W)
-            # one-hot forces a (nf, W) lane-split reshape downstream that
-            # XLA lowers at 10 TF instead of 150 (measured).
-            oh = np.empty((G, L, nf, H_r * W, W), dtype=np_dtype)
+            # ACTIVE faces per group: within one direction group only the
+            # faces that can ever be inflow (cin < 0 for some valid slot)
+            # contribute — on canonical-face hex octants that is exactly 3
+            # of 6, halving the selection/coupling work and one-hot memory.
+            cin_probe = np.einsum(
+                "gefd,gkd->gkfe", ops.normals[perm_safe], dirs_np[dirs_safe]
+            )
+            cin_probe = np.minimum(cin_probe, 0.0) * dir_valid[:, :, None, None]
+            active = [
+                np.flatnonzero((cin_probe[g] < 0).any(axis=(0, 2)))
+                for g in range(G)
+            ]
+            nf_act = max(max((len(a) for a in active), default=1), 1)
+            # pad with a repeat of the first active face (its one-hot and
+            # cin slots are zeroed for the padded entries)
+            act_f = np.zeros((G, nf_act), dtype=np.int64)
+            act_valid = np.zeros((G, nf_act), dtype=bool)
+            for g, a in enumerate(active):
+                a = a if len(a) else np.array([0])
+                act_f[g, : len(a)] = a
+                act_valid[g, : len(a)] = True
+            self._ring_act_f = act_f
+            self._ring_act_valid = act_valid
+            self._ring_nf_act = nf_act
+            oh = np.zeros((G, L, nf_act, H_r * W, W), dtype=np_dtype)
             for g in range(G):
                 gp = fs.build_group_plan(nbr_pos[g], pos_valid[g], L, W, H_r)
-                oh[g] = gp.onehot.transpose(2, 0, 1, 3)  # (L, nf, HW, W)
+                sel = gp.onehot[act_f[g]]  # (nf_act, HW, L, W)
+                sel = sel * act_valid[g][:, None, None, None]
+                oh[g] = sel.transpose(2, 0, 1, 3)  # (L, nf_act, HW, W)
             ring_oh = oh
 
         def gperm(a, extra_axes=None):
@@ -545,9 +567,13 @@ class SourceIterationSolver:
             isb_np = nbr_pos < 0  # (G, nf, ne_pad)
             cin_bnd_np = np.where(isb_np[:, None], cin_np, 0.0)
             cin_int_np = np.where(isb_np[:, None], 0.0, cin_np)
+            # active-face selection (see ring_oh build above)
+            gi0 = np.arange(G)[:, None]
+            cin_act = cin_int_np[gi0, :, self._ring_act_f]  # (G,nf_act,Km,E)
             ring_cin = np.ascontiguousarray(
-                cin_int_np.reshape(G, Km, nf, L, W).transpose(0, 3, 2, 1, 4)
-            )  # (G, L, nf, Km, W)
+                cin_act.reshape(G, self._ring_nf_act, Km, L, W)
+                .transpose(0, 3, 1, 2, 4)
+            )  # (G, L, nf_act, Km, W)
             bsrc0 = np.einsum(
                 "gkfE,gfE,gfiE->gkiE", cin_bnd_np, bc_T_g, face_int_g
             )
@@ -564,10 +590,11 @@ class SourceIterationSolver:
             # meshes use the (nf, D, D) class coupling in mats)
             ring_cpl = None
             if not self._ring_ccpl:
+                cplg_act = coupling_g[gi0, self._ring_act_f]
                 ring_cpl = np.ascontiguousarray(
-                    coupling_g.reshape(G, nf, D, D, L, W)
+                    cplg_act.reshape(G, self._ring_nf_act, D, D, L, W)
                     .transpose(0, 4, 1, 2, 3, 5)
-                )  # (G, L, nf, D, D, W)
+                )  # (G, L, nf_act, D, D, W)
             # periodic slot tables in slab coordinates + static inflow coeffs
             # (ring state is v = M^T u: fold the source element's M^-T)
             if self.has_periodic:
@@ -683,13 +710,11 @@ class SourceIterationSolver:
             ) + (
                 (
                     jax.device_put(
-                        np.broadcast_to(
-                            np.einsum(
-                                "fij,jk->fik", ccpl[0], invMT_r[0]
-                            ).astype(np_dtype),
-                            (G,) + ccpl[0].shape,
-                        ).copy()
-                    ),  # (G, nf, D, D) single-class coupling (M^-T folded)
+                        np.einsum(
+                            "fij,jk->fik", ccpl[0], invMT_r[0]
+                        ).astype(np_dtype)[self._ring_act_f]
+                    ),  # (G, nf_act, D, D) class coupling (M^-T folded,
+                    # active faces per group)
                 )
                 if self._ring_ccpl
                 else ()
