@@ -505,13 +505,13 @@ class SourceIterationSolver:
             self._ring_act_f = act_f
             self._ring_act_valid = act_valid
             self._ring_nf_act = nf_act
-            oh = np.zeros((G, L, nf_act, H_r * W, W), dtype=np_dtype)
+            oh = np.zeros((L, G, nf_act, H_r * W, W), dtype=np_dtype)
             for g in range(G):
                 gp = fs.build_group_plan(nbr_pos[g], pos_valid[g], L, W, H_r)
                 sel = gp.onehot[act_f[g]]  # (nf_act, HW, L, W)
                 sel = sel * act_valid[g][:, None, None, None]
-                oh[g] = sel.transpose(2, 0, 1, 3)  # (L, nf_act, HW, W)
-            ring_oh = oh
+                oh[:, g] = sel.transpose(2, 0, 1, 3)  # (L, nf_act, HW, W)
+            ring_oh = oh  # (L, G, nf_act, HW, W): L-MAJOR (see ring_cin)
 
         def gperm(a, extra_axes=None):
             """a (ne, ...) -> (G, ..., ne_pad) in group order, zero padded.
@@ -572,20 +572,22 @@ class SourceIterationSolver:
             cin_act = cin_int_np[gi0, :, self._ring_act_f]  # (G,nf_act,Km,E)
             ring_cin = np.ascontiguousarray(
                 cin_act.reshape(G, self._ring_nf_act, Km, L, W)
-                .transpose(0, 3, 1, 2, 4)
-            )  # (G, L, nf_act, Km, W)
+                .transpose(3, 0, 1, 2, 4)
+            )  # (L, G, nf_act, Km, W): L-MAJOR so the scan's per-level
+            # slices hit contiguous memory (a G-major layout costs a full
+            # relayout copy inside every step)
             bsrc0 = np.einsum(
                 "gkfE,gfE,gfiE->gkiE", cin_bnd_np, bc_T_g, face_int_g
             )
             ring_bsrc0 = np.ascontiguousarray(
-                bsrc0.reshape(G, Km, D, L, W).transpose(0, 3, 1, 2, 4)
-            )  # (G, L, Km, D, W)
+                bsrc0.reshape(G, Km, D, L, W).transpose(3, 0, 1, 2, 4)
+            )  # (L, G, Km, D, W)
             ring_dsrc0 = None
             if self.has_dirichlet:
                 dsrc0 = np.einsum("gkfE,gfiE->gkiE", cin_bnd_np, dvec_g)
                 ring_dsrc0 = np.ascontiguousarray(
-                    dsrc0.reshape(G, Km, D, L, W).transpose(0, 3, 1, 2, 4)
-                )
+                    dsrc0.reshape(G, Km, D, L, W).transpose(3, 0, 1, 2, 4)
+                )  # (L, G, Km, D, W)
             # per-element coupling slab (multi-class meshes only; single-class
             # meshes use the (nf, D, D) class coupling in mats)
             ring_cpl = None
@@ -593,8 +595,8 @@ class SourceIterationSolver:
                 cplg_act = coupling_g[gi0, self._ring_act_f]
                 ring_cpl = np.ascontiguousarray(
                     cplg_act.reshape(G, self._ring_nf_act, D, D, L, W)
-                    .transpose(0, 4, 1, 2, 3, 5)
-                )  # (G, L, nf_act, D, D, W)
+                    .transpose(4, 0, 1, 2, 3, 5)
+                )  # (L, G, nf_act, D, D, W)
             # periodic slot tables in slab coordinates + static inflow coeffs
             # (ring state is v = M^T u: fold the source element's M^-T)
             if self.has_periodic:
@@ -684,9 +686,9 @@ class SourceIterationSolver:
             self._ring_invMT = invMT_r[self._ring_cls]  # (ne, D, D)
             # class id per padded slot -> one-hot slabs (G, L, ncls, W)
             cls_pos = np.where(pos_valid, self._ring_cls[perm_safe], -1)
-            cls_oh = np.zeros((G, L, ncls, W), dtype=np_dtype)
+            cls_oh = np.zeros((L, G, ncls, W), dtype=np_dtype)
             gi, pi = np.nonzero(cls_pos >= 0)
-            cls_oh[gi, pi // W, cls_pos[gi, pi], pi % W] = 1.0
+            cls_oh[pi // W, gi, cls_pos[gi, pi], pi % W] = 1.0
             # class mass transposes for the rhs base: the per-element
             # "ijE,kbjE->kbiE" batched dot gets a BS-in-lane layout from XLA
             # (measured 3.8x padding blowup, 10.8GB temp at hex-16^3);
@@ -1023,7 +1025,8 @@ class SourceIterationSolver:
         if getattr(self, "_fused", None) is not None and self.use_pallas:
             shape = (self.G, self.L, self.Km, self.D, self.BS, self.W)
         elif self.sweep_mode == "ring":
-            shape = (self.G, self.L, self.Km, self.BS, self.D, self.W)
+            # L-MAJOR state: the ring scan slices the level axis
+            shape = (self.L, self.G, self.Km, self.BS, self.D, self.W)
         else:
             shape = (self.G, self.Km, self.BS, self.D, self.ne_pad)
         if self._dir_sharding is not None:
@@ -1261,9 +1264,9 @@ class SourceIterationSolver:
         Hn = self._ring_H
 
         TcT = Tc.T  # (D, ne)
-        # (G, L, D, W) slab view of the lagged temperature (tiny array)
+        # (L, G, D, W) slab view of the lagged temperature (tiny array)
         tc_slab = jnp.transpose(
-            TcT[:, c["perm"]].reshape(D, G, L, W), (1, 2, 0, 3)
+            TcT[:, c["perm"]].reshape(D, G, L, W), (2, 1, 0, 3)
         )
         slot_off = (jnp.arange(L, dtype=jnp.int32) % Hn) * W
 
@@ -1315,6 +1318,9 @@ class SourceIterationSolver:
                     + ex_l
                 )
                 # batched per-face one-hot selection from the ring
+                # (NOTE: emitting (k,b,f,d,w) with (f,d) adjacent to feed a
+                # merged (D, nf*D) coupling dot measured 74 vs 59 ms/step —
+                # the selection matmul pays more than the coupling saves)
                 un = jnp.einsum("kbdv,fvw->fkbdw", ring, oh_l)
                 unc = un * cin_l[:, :, None, None, :]  # (nf, Km, BS, D, W)
                 if self._ring_ccpl:
@@ -1365,9 +1371,21 @@ class SourceIterationSolver:
         cpl_slab = c.get("ring_cpl")
         if cpl_slab is None:
             # dummy xs leaf (single-class coupling lives in mats)
-            cpl_slab = jnp.zeros((G, L, 1), dtype=u.dtype)
+            cpl_slab = jnp.zeros((L, G, 1), dtype=u.dtype)
         extra = (c["ring_dsrc0"],) if self.has_dirichlet else ()
-        v_new, m_part = jax.vmap(ring_group)(
+        # state and all L-indexed consts are stored L-MAJOR (L, G, ...) and
+        # vmapped over axis 1: the scan then slices contiguous leading-axis
+        # slabs — a G-major state cost a full 3GB relayout copy (13.5
+        # ms/step measured) inside every step
+        mats_axes = tuple(
+            1 if i == 1 else 0 for i in range(len(c["mats"]))
+        )
+        v_new, m_part = jax.vmap(
+            ring_group,
+            in_axes=(1, 1, 1, 1, 1, mats_axes, 0, 0, 0, 0, 0, 0, 0, 1)
+            + ((1,) if self.has_dirichlet else ()),
+            out_axes=(1, 0),
+        )(
             u, tc_slab, c["ring_bsrc0"], c["ring_cin"], c["ring_oh"],
             c["mats"], c["macro_w"], c["per_cpl"], c["per_cin"], c["per_pl"],
             c["per_pw"], c["per_sl"], c["per_sw"], cpl_slab, *extra,
@@ -1525,8 +1543,8 @@ class SourceIterationSolver:
         """Map slot-major group-ordered u to direction-major (K, BS, ne, D)."""
         u = np.asarray(u)
         if u.ndim == 6 and self.sweep_mode == "ring":
-            # ring slab layout (G, L, Km, BS, D, W)
-            u = u.transpose(0, 2, 3, 4, 1, 5).reshape(
+            # ring slab layout (L, G, Km, BS, D, W)
+            u = u.transpose(1, 2, 3, 4, 0, 5).reshape(
                 self.G, self.Km, self.BS, self.D, self.ne_pad
             )
         elif u.ndim == 6:  # fused layout (G, L, Km, D, BS, W)
@@ -1552,7 +1570,7 @@ class SourceIterationSolver:
         import jax.numpy as jnp
 
         if u.ndim == 6 and self.sweep_mode == "ring":
-            u = jnp.transpose(u, (0, 2, 3, 4, 1, 5)).reshape(
+            u = jnp.transpose(u, (1, 2, 3, 4, 0, 5)).reshape(
                 self.G, self.Km, self.BS, self.D, self.ne_pad
             )
         elif u.ndim == 6:  # fused layout (G, L, Km, D, BS, W)

@@ -93,3 +93,23 @@ def test_ring_state_roundtrip_views():
     Qc, Qv = s.heat_flux(res.u)
     total = np.asarray(Qv).sum(axis=1)
     assert total[2] < 0  # heat flows downward from the hot top z-face
+
+
+def test_ring_with_dir_sharding():
+    """Ring mode under ordinate sharding on the virtual device mesh."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, axis_names=("dir",))
+    sharding = NamedSharding(mesh, P("dir"))
+    m = pmesh.make_cartesian_2d(6, 6, pmesh.GEOM_QUAD).scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1, face_mode="consistent")
+    quad = ang.build(ang.AngularOptions(dimension=2, azimuth_points=8))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    s = SourceIterationSolver(ops, quad, tables, BCS2, dtype=jnp.float64,
+                              sweep_mode="ring", dir_sharding=sharding)
+    assert s.sweep_mode == "ring"
+    res = s.solve(tol=0, max_iter=5, verbose=False)
+    uo, Tco, *_ = solve_oracle(ops, quad, tables, BCS2, tol=0, max_iter=5)
+    np.testing.assert_allclose(np.asarray(res.Tc), Tco, rtol=1e-10, atol=1e-14)
