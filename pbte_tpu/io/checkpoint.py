@@ -43,7 +43,7 @@ def _expected_u_shape(solver) -> tuple:
     if getattr(solver, "_fused", None) is not None and solver.use_pallas:
         return (solver.G, solver.L, solver.Km, solver.D, solver.BS, solver.W)
     if getattr(solver, "sweep_mode", "scan") == "ring":
-        return (solver.L, solver.G, solver.Km, solver.BS, solver.D, solver.W)
+        return (solver.L, solver.G, solver.Km, solver.D, solver.BS, solver.W)
     return (solver.G, solver.Km, solver.BS, solver.D, solver.ne_pad)
 
 

@@ -1025,16 +1025,19 @@ class SourceIterationSolver:
         if getattr(self, "_fused", None) is not None and self.use_pallas:
             shape = (self.G, self.L, self.Km, self.D, self.BS, self.W)
         elif self.sweep_mode == "ring":
-            # L-MAJOR state: the ring scan slices the level axis
-            shape = (self.L, self.G, self.Km, self.BS, self.D, self.W)
+            # L-MAJOR state, (Km, D, BS, W) trailing: matches XLA's internal
+            # scan-buffer layout (W, BS, D minor-to-major)
+            shape = (self.L, self.G, self.Km, self.D, self.BS, self.W)
         else:
             shape = (self.G, self.Km, self.BS, self.D, self.ne_pad)
         if self._dir_sharding is not None:
             km_ax = 2 if self.sweep_mode == "ring" else 1
+            # ring layout is (L, G, Km, D, BS, W): the band axis sits at 4
+            band_ax = 4 if self.sweep_mode == "ring" else km_ax + 1
             u = jax.device_put(
                 jnp.zeros(shape, dtype=self.dtype),
                 self._slot_sharding(
-                    np.empty(shape), km_axis=km_ax, band_axis=km_ax + 1
+                    np.empty(shape), km_axis=km_ax, band_axis=band_ax
                 ),
             )
         else:
@@ -1298,44 +1301,48 @@ class SourceIterationSolver:
             # materialized as a sparse rhs addition (periodic meshes only)
             rhs_extra = None
             if self.has_periodic:
-                v_src = v_g[per_sl, :, :, :, per_sw]  # (P, Km, BS, D)
+                v_src = v_g[per_sl, :, :, :, per_sw]  # (P, Km, D, BS)
                 contrib = jnp.einsum(
-                    "pij,kp,pkbj->pkbi", per_cpl, per_cin, v_src
+                    "pij,kp,pkjb->pkib", per_cpl, per_cin, v_src
                 )
                 rhs_extra = jnp.zeros(
-                    (L, Km, BS, D, W), v_g.dtype
+                    (L, Km, D, BS, W), v_g.dtype
                 ).at[per_pl, :, :, :, per_pw].add(
-                    -contrib * c["vg"][None, None, :, None]
+                    -contrib * c["vg"][None, None, None, :]
                 )
 
             def body(ring, xs):
+                # state/rhs/sol axis order is (Km, D, BS, W): XLA's chosen
+                # internal layout for the scan buffers is W,BS,D minor-to-
+                # major, so this ordering makes the row-major default match
+                # (no relayout copies at the jit boundary)
                 v_l, ttc_l, bsrc_l, oh_l, cin_l, coh_l, off, cpl_l, ex_l = xs
                 rhs = (
-                    c["src_w"][None, :, None, None] * ttc_l[None, None]
-                    + c["relax_w"][None, :, None, None] * v_l
-                    - (c["vg"] * c["bc_w"])[None, :, None, None]
-                    * bsrc_l[:, None]
+                    c["src_w"][None, None, :, None] * ttc_l[None, :, None]
+                    + c["relax_w"][None, None, :, None] * v_l
+                    - (c["vg"] * c["bc_w"])[None, None, :, None]
+                    * bsrc_l[:, :, None]
                     + ex_l
                 )
                 # batched per-face one-hot selection from the ring
-                # (NOTE: emitting (k,b,f,d,w) with (f,d) adjacent to feed a
-                # merged (D, nf*D) coupling dot measured 74 vs 59 ms/step —
-                # the selection matmul pays more than the coupling saves)
-                un = jnp.einsum("kbdv,fvw->fkbdw", ring, oh_l)
-                unc = un * cin_l[:, :, None, None, :]  # (nf, Km, BS, D, W)
+                # (NOTE: emitting with (f,d) adjacent to feed a merged
+                # (D, nf*D) coupling dot measured 74 vs 59 ms/step — the
+                # selection matmul pays more than the coupling saves)
+                un = jnp.einsum("kdbv,fvw->fkdbw", ring, oh_l)
+                unc = un * cin_l[:, :, None, None, :]  # (nf, Km, D, BS, W)
                 if self._ring_ccpl:
-                    term = jnp.einsum("fij,fkbjw->kbiw", mats_g[3], unc)
+                    term = jnp.einsum("fij,fkjbw->kibw", mats_g[3], unc)
                 else:
-                    term = jnp.einsum("fijw,fkbjw->kbiw", cpl_l, unc)
-                rhs = rhs - c["vg"][None, :, None, None] * term
+                    term = jnp.einsum("fijw,fkjbw->kibw", cpl_l, unc)
+                rhs = rhs - c["vg"][None, None, :, None] * term
                 if ncls == 1:
-                    sol = jnp.einsum("kbij,kbjw->kbiw", b_cls[0], rhs)
+                    sol = jnp.einsum("kbij,kjbw->kibw", b_cls[0], rhs)
                 else:
                     sol = jnp.einsum(
-                        "ckbij,kbjw,cw->kbiw", b_cls, rhs, coh_l
+                        "ckbij,kjbw,cw->kibw", b_cls, rhs, coh_l
                     )
                 # fused macroscopic partial: read sol while it is hot
-                m_l = jnp.einsum("kb,kbiw->iw", macro_w_g, sol)
+                m_l = jnp.einsum("kb,kibw->iw", macro_w_g, sol)
                 if Hn == 1:
                     ring = sol
                 else:
@@ -1344,7 +1351,7 @@ class SourceIterationSolver:
                     )
                 return ring, (sol, m_l)
 
-            ring0 = jnp.zeros((Km, BS, D, Hn * W), v_g.dtype)
+            ring0 = jnp.zeros((Km, D, BS, Hn * W), v_g.dtype)
             xs = (
                 v_g, t_tc, bsrc0_g, oh_g, cin_g, cls_oh, slot_off, cpl_slab,
                 rhs_extra if rhs_extra is not None
@@ -1356,7 +1363,8 @@ class SourceIterationSolver:
                      ex_l, dsrc_l) = xs
                     inner_xs = (
                         v_l, ttc_l, bsrc_l, oh_l, cin_l, coh_l, off, cpl_l,
-                        ex_l - c["vg"][None, :, None, None] * dsrc_l[:, None],
+                        ex_l
+                        - c["vg"][None, None, :, None] * dsrc_l[:, :, None],
                     )
                     return body(ring, inner_xs)
                 _, (ys, ms) = lax.scan(
@@ -1543,8 +1551,8 @@ class SourceIterationSolver:
         """Map slot-major group-ordered u to direction-major (K, BS, ne, D)."""
         u = np.asarray(u)
         if u.ndim == 6 and self.sweep_mode == "ring":
-            # ring slab layout (L, G, Km, BS, D, W)
-            u = u.transpose(1, 2, 3, 4, 0, 5).reshape(
+            # ring slab layout (L, G, Km, D, BS, W)
+            u = u.transpose(1, 2, 4, 3, 0, 5).reshape(
                 self.G, self.Km, self.BS, self.D, self.ne_pad
             )
         elif u.ndim == 6:  # fused layout (G, L, Km, D, BS, W)
@@ -1570,7 +1578,7 @@ class SourceIterationSolver:
         import jax.numpy as jnp
 
         if u.ndim == 6 and self.sweep_mode == "ring":
-            u = jnp.transpose(u, (1, 2, 3, 4, 0, 5)).reshape(
+            u = jnp.transpose(u, (1, 2, 4, 3, 0, 5)).reshape(
                 self.G, self.Km, self.BS, self.D, self.ne_pad
             )
         elif u.ndim == 6:  # fused layout (G, L, Km, D, BS, W)
