@@ -36,14 +36,18 @@ def _fingerprint(solver) -> dict:
     return fp
 
 
-def _expected_u_shape(solver) -> tuple:
+def _expected_u_shape(solver):
     if hasattr(solver, "pplan"):  # SpatialShardedSolver
         return (solver.pplan.nparts, solver.G, solver.Km, solver.BS,
                 solver.D, solver.ne_max)
     if getattr(solver, "_fused", None) is not None and solver.use_pallas:
         return (solver.G, solver.L, solver.Km, solver.D, solver.BS, solver.W)
     if getattr(solver, "sweep_mode", "scan") == "ring":
-        return (solver.L, solver.G, solver.Km, solver.D, solver.BS, solver.W)
+        # bucketed state: a LIST of per-bucket shapes
+        return [
+            (solver.L, len(gs), km_b, solver.D, solver.BS, solver.W)
+            for gs, km_b in solver._ring_buckets
+        ]
     return (solver.G, solver.Km, solver.BS, solver.D, solver.ne_pad)
 
 
@@ -51,13 +55,18 @@ def save_checkpoint(path: str, solver, u, Tc, Tv, iteration: int, residual: floa
     import os
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if isinstance(u, (tuple, list)):  # bucketed ring state
+        u_fields = {f"u_{i}": np.asarray(b) for i, b in enumerate(u)}
+        u_fields["u_nbuckets"] = len(u)
+    else:
+        u_fields = {"u": np.asarray(u)}
     np.savez_compressed(
         path,
-        u=np.asarray(u),
         Tc=np.asarray(Tc),
         Tv=np.asarray(Tv),
         iteration=iteration,
         residual=residual,
+        **u_fields,
         **{f"fp_{k}": v for k, v in _fingerprint(solver).items()},
     )
 
@@ -77,11 +86,29 @@ def load_checkpoint(path: str, solver):
                 f"checkpoint mismatch: {k} was {stored}, solver has {v}"
             )
     want = _expected_u_shape(solver)
-    if tuple(data["u"].shape) != want:
-        raise ValueError(
-            f"checkpoint u has shape {data['u'].shape}, solver expects {want}"
+    if isinstance(want, list):  # bucketed ring state
+        n = int(data["u_nbuckets"]) if "u_nbuckets" in data else -1
+        if n != len(want):
+            raise ValueError(
+                f"checkpoint has {n} state buckets, solver expects {len(want)}"
+            )
+        for i, w in enumerate(want):
+            got = tuple(data[f"u_{i}"].shape)
+            if got != w:
+                raise ValueError(
+                    f"checkpoint u_{i} has shape {got}, solver expects {w}"
+                )
+        u = tuple(
+            jnp.asarray(data[f"u_{i}"], dtype=solver.dtype)
+            for i in range(len(want))
         )
-    u = jnp.asarray(data["u"], dtype=solver.dtype)
+    else:
+        if "u" not in data or tuple(data["u"].shape) != want:
+            got = tuple(data["u"].shape) if "u" in data else None
+            raise ValueError(
+                f"checkpoint u has shape {got}, solver expects {want}"
+            )
+        u = jnp.asarray(data["u"], dtype=solver.dtype)
     Tc = jnp.asarray(data["Tc"], dtype=solver.dtype)
     Tv = jnp.asarray(data["Tv"], dtype=solver.dtype)
     return (u, Tc, Tv), int(data["iteration"]), float(data["residual"])

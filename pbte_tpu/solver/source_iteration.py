@@ -245,6 +245,7 @@ class SourceIterationSolver:
         # scale to Km * BS. Both axes pad to their shard counts; padded
         # bands carry zero tables and are exactly inert.
         n_band_shards = 1
+        n_dir_shards = 1
         if dir_sharding is not None:
             spec = list(dir_sharding.spec)
             n_dir_shards = (
@@ -271,6 +272,18 @@ class SourceIterationSolver:
         dir_valid = dirs_pad >= 0
         dirs_np = quad.directions[:, : self.dim]
         dirs_safe = np.where(dir_valid, dirs_pad, 0)
+
+        # ring-mode Km BUCKETS: direction-group sizes are uneven (hex
+        # flagship octants: [10,10,10,10,6,6,6,6] from the Gauss azimuth),
+        # and one uniform vmap pads every group to the max — 25% pure waste.
+        # Groups sharing the same (shard-rounded) slot count run in their
+        # own vmap/scan with exactly that many slots.
+        sizes = np.array([len(d) for d in plan.dirs_of_group])
+        km_req = np.maximum(-(-sizes // n_dir_shards) * n_dir_shards, 1)
+        self._ring_buckets = [
+            (np.flatnonzero(km_req == kv), int(kv))
+            for kv in sorted({int(x) for x in km_req}, reverse=True)
+        ]
 
         # ---- level-ordered element layout per group --------------------------
         # Compact mode (default): perm[g] concatenates level member lists
@@ -702,24 +715,29 @@ class SourceIterationSolver:
             # across elements after face canonicalization; boundary faces are
             # masked by cin so their zeroed entries are never read
             ccpl = self._ring_ccpl_arr
-            mats = (
-                jax.device_put(a_cls),
-                jax.device_put(cls_oh),
-                # broadcast to a group axis so the vmap maps uniformly
-                jax.device_put(
-                    np.broadcast_to(massT_cls, (G,) + massT_cls.shape).copy()
-                ),  # (G, ncls, D, D)
-            ) + (
+            massT_G = np.broadcast_to(
+                massT_cls, (G,) + massT_cls.shape
+            ).copy()  # (G, ncls, D, D)
+            ccpl_G = None
+            if self._ring_ccpl:
+                ccpl_G = np.einsum(
+                    "fij,jk->fik", ccpl[0], invMT_r[0]
+                ).astype(np_dtype)[self._ring_act_f]  # (G, nf_act, D, D)
+            # per-BUCKET factor tuples (groups sliced, Km trimmed)
+            mats = tuple(
                 (
                     jax.device_put(
-                        np.einsum(
-                            "fij,jk->fik", ccpl[0], invMT_r[0]
-                        ).astype(np_dtype)[self._ring_act_f]
-                    ),  # (G, nf_act, D, D) class coupling (M^-T folded,
-                    # active faces per group)
+                        np.ascontiguousarray(a_cls[gs][:, :, :km_b])
+                    ),
+                    jax.device_put(np.ascontiguousarray(cls_oh[:, gs])),
+                    jax.device_put(np.ascontiguousarray(massT_G[gs])),
                 )
-                if self._ring_ccpl
-                else ()
+                + (
+                    (jax.device_put(np.ascontiguousarray(ccpl_G[gs])),)
+                    if self._ring_ccpl
+                    else ()
+                )
+                for gs, km_b in self._ring_buckets
             )
         elif cache_policy == "full":
             a_inv = np.empty((G, Km, BS, D, D, ne_pad), dtype=np_dtype)
@@ -872,24 +890,33 @@ class SourceIterationSolver:
             per_valid=put(per_valid),  # (G, P) 1.0 real / 0.0 padding
             **(
                 {
-                    "ring_oh": put(ring_oh),  # (G, L, nf, HW, W)
-                    "ring_cin": put(ring_cin),  # (G, L, nf, Km, W)
-                    "ring_bsrc0": put(ring_bsrc0),  # (G, L, Km, D, W)
                     "ring_invMT": put(self._ring_invMT),  # (ne, D, D)
-                    "per_cin": put(per_cin),  # (G, Km, P)
-                    "per_pl": iput(per_pl),
-                    "per_pw": iput(per_pw),
-                    "per_sl": iput(per_sl),
-                    "per_sw": iput(per_sw),
-                    **(
-                        {"ring_cpl": put(ring_cpl)}
-                        if ring_cpl is not None
-                        else {}
-                    ),
-                    **(
-                        {"ring_dsrc0": put(ring_dsrc0)}
-                        if ring_dsrc0 is not None
-                        else {}
+                    # per-BUCKET slab constants (groups sliced, Km trimmed):
+                    # see self._ring_buckets
+                    "ring_b": tuple(
+                        {
+                            "oh": put(ring_oh[:, gs]),
+                            "cin": put(ring_cin[:, gs][:, :, :, :km_b]),
+                            "bsrc0": put(ring_bsrc0[:, gs, :km_b]),
+                            "macro_w": put(mw_slots[gs, :km_b]),
+                            "per_cpl": put(per_cpl[gs]),
+                            "per_cin": put(per_cin[gs][:, :km_b]),
+                            "per_pl": iput(per_pl[gs]),
+                            "per_pw": iput(per_pw[gs]),
+                            "per_sl": iput(per_sl[gs]),
+                            "per_sw": iput(per_sw[gs]),
+                            **(
+                                {"cpl": put(ring_cpl[:, gs])}
+                                if ring_cpl is not None
+                                else {}
+                            ),
+                            **(
+                                {"dsrc0": put(ring_dsrc0[:, gs, :km_b])}
+                                if ring_dsrc0 is not None
+                                else {}
+                            ),
+                        }
+                        for gs, km_b in self._ring_buckets
                     ),
                 }
                 if ring_oh is not None
@@ -1025,9 +1052,36 @@ class SourceIterationSolver:
         if getattr(self, "_fused", None) is not None and self.use_pallas:
             shape = (self.G, self.L, self.Km, self.D, self.BS, self.W)
         elif self.sweep_mode == "ring":
-            # L-MAJOR state, (Km, D, BS, W) trailing: matches XLA's internal
-            # scan-buffer layout (W, BS, D minor-to-major)
-            shape = (self.L, self.G, self.Km, self.D, self.BS, self.W)
+            # tuple of per-BUCKET L-MAJOR slabs, (Km_b, D, BS, W) trailing
+            if self._dir_sharding is not None:
+                u = tuple(
+                    jax.device_put(
+                        jnp.zeros(
+                            (self.L, len(gs), km_b, self.D, self.BS, self.W),
+                            dtype=self.dtype,
+                        ),
+                        self._slot_sharding(
+                            np.empty(
+                                (self.L, len(gs), km_b, self.D, self.BS,
+                                 self.W)
+                            ),
+                            km_axis=2,
+                            band_axis=4,
+                        ),
+                    )
+                    for gs, km_b in self._ring_buckets
+                )
+            else:
+                u = tuple(
+                    jnp.zeros(
+                        (self.L, len(gs), km_b, self.D, self.BS, self.W),
+                        dtype=self.dtype,
+                    )
+                    for gs, km_b in self._ring_buckets
+                )
+            Tc = jnp.zeros((self.ne, self.D), dtype=self.dtype)
+            Tv = jnp.zeros((self.ne,), dtype=self.dtype)
+            return u, Tc, Tv
         else:
             shape = (self.G, self.Km, self.BS, self.D, self.ne_pad)
         if self._dir_sharding is not None:
@@ -1276,7 +1330,7 @@ class SourceIterationSolver:
         def ring_group(v_g, tc_g, bsrc0_g, cin_g, oh_g, mats_g, macro_w_g,
                        per_cpl, per_cin, per_pl, per_pw, per_sl, per_sw,
                        cpl_slab, *extra):
-            # v_g (L, Km, BS, D, W): the MASS-TRANSFORMED state v = M^T u.
+            # v_g (L, Km_b, D, BS, W): the MASS-TRANSFORMED state v = M^T u.
             # The pseudo-time term is then relax*v (no per-step mass
             # matmul), the apply factor is B = M^T A^-1, and M^-T is folded
             # into every neighbor coupling at setup.
@@ -1301,12 +1355,12 @@ class SourceIterationSolver:
             # materialized as a sparse rhs addition (periodic meshes only)
             rhs_extra = None
             if self.has_periodic:
-                v_src = v_g[per_sl, :, :, :, per_sw]  # (P, Km, D, BS)
+                v_src = v_g[per_sl, :, :, :, per_sw]  # (P, Km_b, D, BS)
                 contrib = jnp.einsum(
                     "pij,kp,pkjb->pkib", per_cpl, per_cin, v_src
                 )
                 rhs_extra = jnp.zeros(
-                    (L, Km, D, BS, W), v_g.dtype
+                    (L, v_g.shape[1], D, BS, W), v_g.dtype
                 ).at[per_pl, :, :, :, per_pw].add(
                     -contrib * c["vg"][None, None, None, :]
                 )
@@ -1351,7 +1405,8 @@ class SourceIterationSolver:
                     )
                 return ring, (sol, m_l)
 
-            ring0 = jnp.zeros((Km, D, BS, Hn * W), v_g.dtype)
+            Km_b = v_g.shape[1]
+            ring0 = jnp.zeros((Km_b, D, BS, Hn * W), v_g.dtype)
             xs = (
                 v_g, t_tc, bsrc0_g, oh_g, cin_g, cls_oh, slot_off, cpl_slab,
                 rhs_extra if rhs_extra is not None
@@ -1374,34 +1429,49 @@ class SourceIterationSolver:
                 _, (ys, ms) = lax.scan(
                     body, ring0, xs, unroll=self.scan_unroll
                 )
-            return ys, ms  # (L,Km,BS,D,W), (L,D,W)
+            return ys, ms  # (L,Km_b,D,BS,W), (L,D,W)
 
-        cpl_slab = c.get("ring_cpl")
-        if cpl_slab is None:
-            # dummy xs leaf (single-class coupling lives in mats)
-            cpl_slab = jnp.zeros((L, G, 1), dtype=u.dtype)
-        extra = (c["ring_dsrc0"],) if self.has_dirichlet else ()
-        # state and all L-indexed consts are stored L-MAJOR (L, G, ...) and
-        # vmapped over axis 1: the scan then slices contiguous leading-axis
-        # slabs — a G-major state cost a full 3GB relayout copy (13.5
-        # ms/step measured) inside every step
-        mats_axes = tuple(
-            1 if i == 1 else 0 for i in range(len(c["mats"]))
-        )
-        v_new, m_part = jax.vmap(
-            ring_group,
-            in_axes=(1, 1, 1, 1, 1, mats_axes, 0, 0, 0, 0, 0, 0, 0, 1)
-            + ((1,) if self.has_dirichlet else ()),
-            out_axes=(1, 0),
-        )(
-            u, tc_slab, c["ring_bsrc0"], c["ring_cin"], c["ring_oh"],
-            c["mats"], c["macro_w"], c["per_cpl"], c["per_cin"], c["per_pl"],
-            c["per_pw"], c["per_sl"], c["per_sw"], cpl_slab, *extra,
-        )
+        # state and all L-indexed consts are stored L-MAJOR (L, G_b, ...)
+        # and vmapped over axis 1: the scan then slices contiguous leading-
+        # axis slabs — a G-major state cost a full 3GB relayout copy
+        # (13.5 ms/step measured) inside every step. One vmap per Km BUCKET
+        # (groups with fewer direction slots run with exactly that many —
+        # a uniform vmap padded every group to the max, 25% pure waste on
+        # the hex flagship's [10,10,10,10,6,6,6,6] octants).
+        m_parts = []
+        v_new = []
+        for bi, (gs, km_b) in enumerate(self._ring_buckets):
+            cb = c["ring_b"][bi]
+            mats_b = c["mats"][bi]
+            cpl_slab = cb.get("cpl")
+            if cpl_slab is None:
+                cpl_slab = jnp.zeros((L, len(gs), 1), dtype=u[bi].dtype)
+            extra = (cb["dsrc0"],) if self.has_dirichlet else ()
+            mats_axes = tuple(
+                1 if i == 1 else 0 for i in range(len(mats_b))
+            )
+            vb, mb = jax.vmap(
+                ring_group,
+                in_axes=(1, 1, 1, 1, 1, mats_axes, 0, 0, 0, 0, 0, 0, 0, 1)
+                + ((1,) if self.has_dirichlet else ()),
+                out_axes=(1, 0),
+            )(
+                u[bi], tc_slab[:, gs], cb["bsrc0"], cb["cin"], cb["oh"],
+                mats_b, cb["macro_w"], cb["per_cpl"], cb["per_cin"],
+                cb["per_pl"], cb["per_pw"], cb["per_sl"], cb["per_sw"],
+                cpl_slab, *extra,
+            )
+            v_new.append(vb)
+            m_parts.append(mb)
 
         # macroscopic closure from the fused in-scan partials (the separate
-        # 3GB re-read of the state measured 6.4 ms/step)
-        partial = jnp.transpose(m_part, (0, 2, 1, 3)).reshape(
+        # 3GB re-read of the state measured 6.4 ms/step); reassemble the
+        # bucket partials into global group order
+        order = np.concatenate([gs for gs, _ in self._ring_buckets])
+        inv_order = np.empty(G, dtype=np.int32)
+        inv_order[order] = np.arange(G)
+        m_cat = jnp.concatenate(m_parts, axis=0)[inv_order]  # (G, L, D, W)
+        partial = jnp.transpose(m_cat, (0, 2, 1, 3)).reshape(
             G, D, self.ne_pad
         )
         pos = c["pos_of_elem"]  # (G, ne)
@@ -1410,7 +1480,7 @@ class SourceIterationSolver:
         Tc_new = jnp.einsum("eij,ej->ei", c["ring_invMT"], Tc_v)
         Tv_new = macroscopic.compute_tv(Tc_new, c["basis_int_glob"])
         res = macroscopic.residual(Tv_new, Tv_prev)
-        return v_new, Tc_new, Tv_new, res
+        return tuple(v_new), Tc_new, Tv_new, res
 
     def _rhs_base_impl(self, c, u, Tc):
         """rhs base for all groups/elements (fused path), emitted directly in
@@ -1547,18 +1617,30 @@ class SourceIterationSolver:
 
     # -- views / diagnostics ------------------------------------------------
 
+    def _ring_u_standard(self, u):
+        """Bucketed ring state -> standard (G, Km, BS, D, ne_pad) numpy."""
+        out = np.zeros(
+            (self.G, self.Km, self.BS, self.D, self.ne_pad),
+            dtype=np.asarray(u[0]).dtype,
+        )
+        for bi, (gs, km_b) in enumerate(self._ring_buckets):
+            ub = np.asarray(u[bi])  # (L, Gb, Km_b, D, BS, W)
+            ub = ub.transpose(1, 2, 4, 3, 0, 5).reshape(
+                len(gs), km_b, self.BS, self.D, self.ne_pad
+            )
+            out[gs, :km_b] = ub
+        return out
+
     def u_by_direction(self, u):
         """Map slot-major group-ordered u to direction-major (K, BS, ne, D)."""
-        u = np.asarray(u)
-        if u.ndim == 6 and self.sweep_mode == "ring":
-            # ring slab layout (L, G, Km, D, BS, W)
-            u = u.transpose(1, 2, 4, 3, 0, 5).reshape(
-                self.G, self.Km, self.BS, self.D, self.ne_pad
-            )
-        elif u.ndim == 6:  # fused layout (G, L, Km, D, BS, W)
-            u = u.transpose(0, 2, 4, 3, 1, 5).reshape(
-                self.G, self.Km, self.BS, self.D, self.ne_pad
-            )
+        if self.sweep_mode == "ring":
+            u = self._ring_u_standard(u)
+        else:
+            u = np.asarray(u)
+            if u.ndim == 6:  # fused layout (G, L, Km, D, BS, W)
+                u = u.transpose(0, 2, 4, 3, 1, 5).reshape(
+                    self.G, self.Km, self.BS, self.D, self.ne_pad
+                )
         out = np.zeros((self.K, self.BS, self.ne, self.D), dtype=u.dtype)
         for g in range(self.G):
             valid = self._perm[g] >= 0
@@ -1577,10 +1659,8 @@ class SourceIterationSolver:
         import jax
         import jax.numpy as jnp
 
-        if u.ndim == 6 and self.sweep_mode == "ring":
-            u = jnp.transpose(u, (1, 2, 4, 3, 0, 5)).reshape(
-                self.G, self.Km, self.BS, self.D, self.ne_pad
-            )
+        if self.sweep_mode == "ring":
+            u = jnp.asarray(self._ring_u_standard(u))
         elif u.ndim == 6:  # fused layout (G, L, Km, D, BS, W)
             u = jnp.transpose(u, (0, 2, 4, 3, 1, 5)).reshape(
                 self.G, self.Km, self.BS, self.D, self.ne_pad

@@ -113,3 +113,26 @@ def test_ring_with_dir_sharding():
     res = s.solve(tol=0, max_iter=5, verbose=False)
     uo, Tco, *_ = solve_oracle(ops, quad, tables, BCS2, tol=0, max_iter=5)
     np.testing.assert_allclose(np.asarray(res.Tc), Tco, rtol=1e-10, atol=1e-14)
+
+
+def test_ring_checkpoint_roundtrip(tmp_path):
+    """Bucketed ring state saves/loads; resumed run == uninterrupted run."""
+    from pbte_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    m = pmesh.make_cartesian_3d(6, 6, 6, "hex").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1, face_mode="consistent")
+    quad = ang.build(ang.AngularOptions(dimension=3, polar_points=2,
+                                        azimuth_points=4))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    s = SourceIterationSolver(ops, quad, tables, BCS3, dtype=jnp.float64,
+                              sweep_mode="ring")
+    assert isinstance(s.initial_state()[0], tuple)
+    full = s.solve(tol=0, max_iter=6, verbose=False)
+    half = s.solve(tol=0, max_iter=3, verbose=False)
+    ck = str(tmp_path / "ring.npz")
+    save_checkpoint(ck, s, half.u, half.Tc, half.Tv, 3, half.residual)
+    state, it, _ = load_checkpoint(ck, s)
+    resumed = s.solve(tol=0, max_iter=3, verbose=False, state=state)
+    np.testing.assert_allclose(
+        np.asarray(resumed.Tc), np.asarray(full.Tc), rtol=1e-12, atol=1e-15
+    )
