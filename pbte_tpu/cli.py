@@ -53,6 +53,12 @@ def main(argv=None) -> int:
     ap.add_argument("--cache-policy",
                     choices=["full", "on-the-fly", "per-iteration", "eigen"],
                     default="full")
+    ap.add_argument("--sweep-mode", choices=["auto", "scan", "ring"],
+                    default="auto",
+                    help="'ring' = slab-major wavefront sweep with one-hot "
+                         "MXU neighbor selection (the TPU fast path, "
+                         "auto-selected at scale); 'scan' = compact "
+                         "level-window scan")
     ap.add_argument("--matmul-precision", choices=["default", "highest"],
                     default="default",
                     help="'highest' removes the TPU MXU's bf16 truncation of "
@@ -214,11 +220,12 @@ def main(argv=None) -> int:
         solver = SourceIterationSolver(
             ops, quad, tables, rc.bc_temps, dtype=dtype,
             dirichlet_bcs=rc.dirichlet_bcs or None,
+            sweep_mode=args.sweep_mode,
             cache_policy=args.cache_policy,
             matmul_precision=(None if args.matmul_precision == "default"
                               else args.matmul_precision),
         )
-        print(f"[pbte_tpu] solver: groups={solver.plan.num_groups} "
+        print(f"[pbte_tpu] solver[{solver.sweep_mode}]: groups={solver.plan.num_groups} "
               f"levels<={solver.plan.max_levels} width<={solver.plan.max_width} "
               f"padding={solver.plan.padding_ratio():.1%} ({time.time()-t0:.1f}s)")
 

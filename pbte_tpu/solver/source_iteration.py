@@ -325,13 +325,20 @@ class SourceIterationSolver:
             gaps = np.where(sweep_nbr[None] >= 0, gaps, 0)
             H_r = max(1, int(gaps.max()))
             oh_bytes = G * L * (H_r * W) * (nf * W) * 4
+            # padded slab state (the ring's u) — two live copies in flight
+            # with donation; must fit HBM next to the consts
+            itemsize = np.dtype(np_dtype).itemsize
+            state_bytes = (
+                sum(sizes) + G  # slots incl. worst-case bucket padding
+            ) * BS * D * L * W * itemsize
             # auto: heuristics for when ring beats the compact scan (lanes
             # reasonably full, small class count / ring depth, bounded
             # one-hot memory). Explicit "ring" overrides the performance
-            # heuristics; only a truly unaffordable one-hot blocks it.
+            # heuristics; only truly unaffordable memory blocks it.
             ok = (
                 ncls_r <= 8 and H_r <= 4 and W >= 64
                 and oh_bytes <= 700e6
+                and state_bytes <= 4.5e9
             )
             if sweep_mode == "ring":
                 if oh_bytes > 2e9:
