@@ -1312,7 +1312,8 @@ class SourceIterationSolver:
         return u, Tc_new, Tv_new, res
 
     def _step_ring(self, c, u, Tc, Tv_prev):
-        """Ring sweep step on slab-major state u (G, L, Km, BS, D, W).
+        """Ring sweep step on the bucketed slab-major state: u is a tuple of
+        per-Km-bucket arrays (L, G_b, Km_b, D, BS, W) — see _ring_buckets.
 
         Everything is L-LEADING: the scan's xs arrays slice natively, the
         per-level solutions stack natively into the next state (ys), and no
@@ -1323,7 +1324,7 @@ class SourceIterationSolver:
         from jax import lax
 
         G, W, L, nf, D = self.G, self.W, self.L, self.nf, self.D
-        Km, BS = self.Km, self.BS
+        BS = self.BS
         ncls = self.ncls_ring
         Hn = self._ring_H
 
