@@ -26,7 +26,6 @@ reference's golden dumps:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict
 
 import numpy as np
 
