@@ -73,24 +73,20 @@ def build_group_plan(nbr_pos, valid_pos, L, W, H) -> FusedSweepPlan:
     nf, ne_pad = nbr_pos.shape
     onehot = np.zeros((nf, H * W, L, W), dtype=np.float32)
     valid = valid_pos.reshape(L, W).astype(np.float32)
-    for p in range(ne_pad):
-        if not valid_pos[p]:
-            continue
-        l, w = p // W, p % W
-        for f in range(nf):
-            nb = int(nbr_pos[f, p])
-            if nb < 0:
-                continue
-            gl, gw = nb // W, nb % W
-            gap = l - gl
-            if gap <= 0:
-                # downwind neighbor: its inflow factor cin is zero, so its
-                # (unavailable) value never contributes — leave the one-hot
-                # column empty
-                continue
-            if gap > H:
-                raise ValueError("upwind level gap exceeds ring depth")
-            onehot[f, (gl % H) * W + gw, l, w] = 1.0
+    # vectorized over all (face, position) pairs (the per-position Python
+    # loop was ~G*ne_pad*nf iterations of setup time)
+    pos = np.arange(ne_pad)
+    l, w = pos // W, pos % W
+    nb = nbr_pos  # (nf, ne_pad)
+    gl, gw = nb // W, nb % W
+    gap = l[None, :] - gl
+    # downwind (gap <= 0) neighbors never contribute (their inflow factor
+    # cin is zero); invalid/boundary positions carry no entry
+    use = (nb >= 0) & (gap > 0) & valid_pos[None, :]
+    if np.any(use & (gap > H)):
+        raise ValueError("upwind level gap exceeds ring depth")
+    fi, pi = np.nonzero(use)
+    onehot[fi, (gl[fi, pi] % H) * W + gw[fi, pi], l[pi], w[pi]] = 1.0
     return FusedSweepPlan(H=H, L=L, W=W, onehot=onehot, valid=valid)
 
 
