@@ -74,3 +74,20 @@ def test_legacy_config_type7(tmp_path):
     rc = load_legacy_control(str(p))
     assert rc.bc_temps == {1: -0.5, 2: -0.5, 4: -0.5}
     assert rc.dirichlet_bcs == {3: 1.5e-9}
+
+
+def test_modern_config_dirichlet(tmp_path):
+    from pbte_tpu.config import load_run_config
+
+    p = tmp_path / "config.yaml"
+    p.write_text(
+        "boundary_conditions:\n"
+        "  - {attr: 1, temperature: -0.5}\n"
+        "  - {attr: 2, type: periodic}\n"
+        "  - {attr: 3, type: dirichlet, value: 2.0e-9}\n"
+        "  - {attr: 4, temperature: 0.5}\n"
+    )
+    rc = load_run_config(str(p))
+    assert rc.bc_temps == {1: -0.5, 4: 0.5}
+    assert rc.periodic_attrs == [2]
+    assert rc.dirichlet_bcs == {3: 2.0e-9}
