@@ -117,6 +117,16 @@ class SweepPlan:
 def build_plan(
     neighbor: np.ndarray, normals: np.ndarray, directions: np.ndarray
 ) -> SweepPlan:
+    # NOTE on group counts: the exact-signature partition explodes on
+    # refined unstructured meshes (unit-cube-tet -r 2: 34 groups for 64
+    # directions). Merging groups while keeping the sweep EXACT was
+    # investigated and is structurally impossible there: a shared leveling
+    # must respect the UNION of the member signatures' upwind DAGs, and on
+    # 6-tet meshes every pairwise signature union is already cyclic (the
+    # diagonal-face normals flip orientation between nearby directions) —
+    # measured: greedy pairwise union merging achieves 34 -> 34. Reducing
+    # the replication cost at large G needs group-shared operator storage
+    # or lagged cycle-breaking (inexact), not grouping tricks.
     K = directions.shape[0]
     ne = neighbor.shape[0]
     inflow = upwind_inflow(neighbor, normals, directions)
