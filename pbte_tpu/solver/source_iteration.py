@@ -76,6 +76,65 @@ from pbte_tpu.models import macroscopic
 from pbte_tpu.sweep import planner
 
 
+def _lattice_ring_tables(lat, plan, dirs_np):
+    """Per-group lattice slab tables for the SHIFT-STRUCTURED ring sweep.
+
+    With wavefront level l = sum of sweep-transformed integer coordinates
+    i'_d (i'_d = coord_d for positive sweep axes, n_d-1-coord_d for
+    negative) and slab slot w = i'_p1 * n_p2 + i'_p2 over the plane axes,
+    the upwind neighbor along every axis sits in the PREVIOUS level's slab
+    at a static offset (0 for the major axis, n_p2 / 1 for the plane axes).
+    The ring sweep's neighbor selection then needs no one-hot matmuls —
+    those cost (W*nf_act)/D ~ 7-21x the useful coupling flops on the MXU
+    and were the round-2 MFU ceiling.
+
+    Returns (tables (G, L, W), axis_faces (G, dim), shifts (dim,)) or None.
+    tables[g, l, w] = element id (or -1 padding); axis_faces[g, j] = the
+    inflow face slot of axis j for group g (the active-face order is BY
+    AXIS, identical shift vector for every group); shifts[j] = slab offset
+    of axis j's upwind neighbor within the previous level's slab.
+    """
+    dim = len(lat.dims)
+    dims = np.asarray(lat.dims, dtype=np.int64)
+    G = plan.num_groups
+    ne = lat.coords.shape[0]
+    L = int(dims.sum()) - dim + 1
+    if L != plan.max_levels:
+        return None
+    # slab plane = all axes but the largest (minimizes W = prod(plane dims))
+    a0 = int(np.argmax(dims))
+    plane = [d for d in range(dim) if d != a0]
+    shifts = np.zeros(dim, dtype=np.int64)
+    if dim == 3:
+        W = int(dims[plane[0]] * dims[plane[1]])
+        shifts[plane[0]] = int(dims[plane[1]])
+        shifts[plane[1]] = 1
+    elif dim == 2:
+        W = int(dims[plane[0]])
+        shifts[plane[0]] = 1
+    else:
+        return None
+    tables = np.full((G, L, W), -1, dtype=np.int32)
+    axis_faces = np.zeros((G, dim), dtype=np.int64)
+    for g in range(G):
+        rep = dirs_np[plan.dirs_of_group[g][0]]
+        if np.abs(rep[:dim]).min() < 1e-14:
+            return None  # axis-grazing direction: sign pattern ill-defined
+        sgn = np.where(rep[:dim] > 0, 1, -1)
+        ip = np.where(sgn[None, :] > 0, lat.coords, dims[None, :] - 1 - lat.coords)
+        lev = ip.sum(axis=1)
+        # the lattice leveling must BE the canonical longest-path leveling
+        if not np.array_equal(lev, plan.level_of_elem[g]):
+            return None
+        if dim == 3:
+            w = ip[:, plane[0]] * dims[plane[1]] + ip[:, plane[1]]
+        else:
+            w = ip[:, plane[0]]
+        tables[g, lev, w] = np.arange(ne, dtype=np.int32)
+        axis_faces[g] = np.where(sgn > 0, lat.face_minus, lat.face_plus)
+    return tables, axis_faces, shifts
+
+
 def _pick_level_segments(counts, max_segments=6):
     """Partition the level axis into <= max_segments contiguous segments,
     minimizing sum(len(seg) * max_width(seg)) — the columns actually touched
@@ -131,6 +190,9 @@ class SourceIterationSolver:
         scan_unroll: int = 1,  # unroll factor for the level scan
         matmul_precision: str | None = None,  # e.g. "highest" (see below)
         sweep_mode: str = "auto",  # "auto" | "scan" | "ring" (see below)
+        use_lattice: bool = True,  # shift-structured ring on Cartesian
+        # lattice meshes (False forces the general one-hot selection; kept
+        # selectable so both ring variants stay testable on every mesh)
     ):
         import jax
         import jax.numpy as jnp
@@ -307,6 +369,7 @@ class SourceIterationSolver:
         self.ncls_ring = 0
         self._ring_ccpl = False
         self._ring_ccpl_arr = None
+        self._ring_lattice = False
         ring_want = sweep_mode in ("auto", "ring") and not use_pallas
         if ring_want:
             cls_r = (
@@ -314,41 +377,67 @@ class SourceIterationSolver:
                 else _assembly.element_classes(ops)
             )
             ncls_r = int(cls_r.max()) + 1
-            # level index of each element per group
-            lev_of = np.zeros((G, ne), dtype=np.int32)
-            for g in range(G):
-                for l in range(L):
-                    row = plan.levels[g, l]
-                    lev_of[g, row[row >= 0]] = l
-            nbr_s = np.where(sweep_nbr >= 0, sweep_nbr, 0)
-            gaps = lev_of[:, :, None] - lev_of[:, nbr_s]  # (G, ne, nf)
-            gaps = np.where(sweep_nbr[None] >= 0, gaps, 0)
-            H_r = max(1, int(gaps.max()))
-            oh_bytes = G * L * (H_r * W) * (nf * W) * 4
-            # padded slab state (the ring's u) — two live copies in flight
-            # with donation; must fit HBM next to the consts
             itemsize = np.dtype(np_dtype).itemsize
-            state_bytes = (
-                sum(sizes) + G  # slots incl. worst-case bucket padding
-            ) * BS * D * L * W * itemsize
-            # auto: heuristics for when ring beats the compact scan (lanes
-            # reasonably full, small class count / ring depth, bounded
-            # one-hot memory). Explicit "ring" overrides the performance
-            # heuristics; only truly unaffordable memory blocks it.
-            ok = (
-                ncls_r <= 8 and H_r <= 4 and W >= 64
-                and oh_bytes <= 700e6
-                and state_bytes <= 4.5e9
-            )
-            if sweep_mode == "ring":
-                if oh_bytes > 2e9:
-                    raise ValueError(
-                        f"sweep_mode='ring' infeasible: one-hot tables need "
-                        f"{oh_bytes/1e9:.1f}GB (ncls={ncls_r}, H={H_r}, W={W})"
-                    )
-                ok = True
+            # ---- lattice shift structure (the no-one-hot fast path) -------
+            lat_tabs = None
+            if use_lattice:
+                lat = planner.detect_lattice(sweep_nbr, ops.normals)
+                if lat is not None:
+                    lt = _lattice_ring_tables(lat, plan, dirs_np)
+                    if lt is not None:
+                        lat_tabs, lat_axis_faces, lat_shifts = lt
+            if lat_tabs is not None:
+                H_r = 1  # lattice levelings have unit upwind gap by
+                # construction (each axis decrement drops the level by 1)
+                W_lat = lat_tabs.shape[2]
+                oh_bytes = 0
+                state_bytes = (sum(sizes) + G) * BS * D * L * W_lat * itemsize
+                ok = ncls_r <= 8 and state_bytes <= 4.5e9
+                if sweep_mode == "ring":
+                    ok = True
+            else:
+                # level index of each element per group
+                lev_of = np.zeros((G, ne), dtype=np.int32)
+                for g in range(G):
+                    for l in range(L):
+                        row = plan.levels[g, l]
+                        lev_of[g, row[row >= 0]] = l
+                nbr_s = np.where(sweep_nbr >= 0, sweep_nbr, 0)
+                gaps = lev_of[:, :, None] - lev_of[:, nbr_s]  # (G, ne, nf)
+                gaps = np.where(sweep_nbr[None] >= 0, gaps, 0)
+                H_r = max(1, int(gaps.max()))
+                oh_bytes = G * L * (H_r * W) * (nf * W) * 4
+                # padded slab state (the ring's u) — two live copies in
+                # flight with donation; must fit HBM next to the consts
+                state_bytes = (
+                    sum(sizes) + G  # slots incl. worst-case bucket padding
+                ) * BS * D * L * W * itemsize
+                # auto: heuristics for when ring beats the compact scan
+                # (lanes reasonably full, small class count / ring depth,
+                # bounded one-hot memory). Explicit "ring" overrides the
+                # performance heuristics; only truly unaffordable memory
+                # blocks it.
+                ok = (
+                    ncls_r <= 8 and H_r <= 4 and W >= 64
+                    and oh_bytes <= 700e6
+                    and state_bytes <= 4.5e9
+                )
+                if sweep_mode == "ring":
+                    if oh_bytes > 2e9:
+                        raise ValueError(
+                            f"sweep_mode='ring' infeasible: one-hot tables "
+                            f"need {oh_bytes/1e9:.1f}GB (ncls={ncls_r}, "
+                            f"H={H_r}, W={W})"
+                        )
+                    ok = True
             if ok:
                 self.sweep_mode = "ring"
+                if lat_tabs is not None:
+                    self._ring_lattice = True
+                    self._lat_tables = lat_tabs
+                    self._lat_axis_faces = lat_axis_faces
+                    self._ring_shift_vals = tuple(int(s) for s in lat_shifts)
+                    self.W = W = W_lat
                 self.ncls_ring = ncls_r
                 self._ring_cls = cls_r
                 self._ring_H = H_r
@@ -374,12 +463,16 @@ class SourceIterationSolver:
         # not tile-padding bound. Left unaligned.
         self.padded = bool(use_pallas) or self.sweep_mode == "ring"
         if self.padded:
+            W = self.W  # lattice mode widened the slab to the plane size
+            levels_src = (
+                self._lat_tables if self._ring_lattice else plan.levels
+            )
             self.ne_pad = ne_pad = L * W
-            perm = plan.levels.reshape(G, ne_pad).astype(np.int64)  # -1 padded
+            perm = levels_src.reshape(G, ne_pad).astype(np.int64)  # -1 padded
             counts = np.zeros((G, L), dtype=np.int32)
             offsets = np.tile(np.arange(L, dtype=np.int32) * W, (G, 1))
             for g in range(G):
-                counts[g] = (plan.levels[g] >= 0).sum(axis=1)
+                counts[g] = (levels_src[g] >= 0).sum(axis=1)
         else:
             self.ne_pad = ne_pad = ne  # compact: no interspersed padding
             perm = np.empty((G, ne), dtype=np.int64)
@@ -491,13 +584,39 @@ class SourceIterationSolver:
                     per_cpl[g, i] = cpl
                     per_valid[g, i] = 1.0
 
-        # ---- ring-mode one-hot neighbor tables -----------------------------
-        # oh[g, l] maps the ring of the previous H solution slabs to each
-        # face's upwind-neighbor values: (H*W, nf*W) per level, consumed by
-        # one MXU matmul per level (ring[KmBSD, HW] @ oh[HW, nfW]) — the
-        # layout/semantics of ops.fused_sweep.build_group_plan reused intact.
+        # ---- ring-mode neighbor selection tables ---------------------------
+        # Lattice meshes: NO tables at all — the upwind neighbor of slot w is
+        # the previous level's slot w - shift (static per axis), so the scan
+        # body reads it with a static pad+slice of the ring (zero selection
+        # flops; the one-hot matmuls below cost (W*nf_act)/D ~ 7-21x the
+        # useful coupling work and were the round-2 MFU ceiling).
+        # General meshes: oh[g, l] maps the ring of the previous H solution
+        # slabs to each face's upwind-neighbor values: (H*W, nf*W) per level,
+        # consumed by one MXU matmul per level (ring[KmBSD, HW] @ oh[HW, nfW])
+        # — layout/semantics of ops.fused_sweep.build_group_plan reused.
         ring_oh = None
-        if self.sweep_mode == "ring":
+        if self.sweep_mode == "ring" and self._ring_lattice:
+            nf_act = self.dim
+            act_f = self._lat_axis_faces  # (G, dim): slot j = axis j inflow
+            act_valid = np.ones((G, nf_act), dtype=bool)
+            self._ring_act_f = act_f
+            self._ring_act_valid = act_valid
+            self._ring_nf_act = nf_act
+            # defense in depth: every valid interior upwind read must hit
+            # the previous level's slab at exactly the static shift
+            for g in range(G):
+                for j, f in enumerate(act_f[g]):
+                    psel = np.flatnonzero(
+                        pos_valid[g] & (nbr_pos[g, f] >= 0)
+                    )
+                    if psel.size:
+                        d = psel - nbr_pos[g, f, psel]
+                        expect = W + self._ring_shift_vals[j]
+                        assert np.all(d == expect), (
+                            f"lattice shift mismatch g={g} axis={j}: "
+                            f"offsets {np.unique(d)} != {expect}"
+                        )
+        elif self.sweep_mode == "ring":
             from pbte_tpu.ops import fused_sweep as fs
 
             H_r = self._ring_H
@@ -902,7 +1021,11 @@ class SourceIterationSolver:
                     # see self._ring_buckets
                     "ring_b": tuple(
                         {
-                            "oh": put(ring_oh[:, gs]),
+                            **(
+                                {"oh": put(ring_oh[:, gs])}
+                                if ring_oh is not None
+                                else {}
+                            ),
                             "cin": put(ring_cin[:, gs][:, :, :, :km_b]),
                             "bsrc0": put(ring_bsrc0[:, gs, :km_b]),
                             "macro_w": put(mw_slots[gs, :km_b]),
@@ -925,8 +1048,18 @@ class SourceIterationSolver:
                         }
                         for gs, km_b in self._ring_buckets
                     ),
+                    # inert padding: zero the lagged-temperature source on
+                    # padded slots so they stay EXACTLY zero through every
+                    # iteration (they start zero, bc_T/bsrc0 are zeroed by
+                    # gperm, and relax*0 = 0) — no garbage can grow into
+                    # inf/nan over long convergence runs
+                    "valid_slab": put(
+                        pos_valid.reshape(G, L, W)
+                        .transpose(1, 0, 2)
+                        .astype(np_dtype)
+                    ),  # (L, G, W)
                 }
-                if ring_oh is not None
+                if self.sweep_mode == "ring"
                 else {}
             ),
             **(
@@ -1329,9 +1462,12 @@ class SourceIterationSolver:
         Hn = self._ring_H
 
         TcT = Tc.T  # (D, ne)
-        # (L, G, D, W) slab view of the lagged temperature (tiny array)
-        tc_slab = jnp.transpose(
-            TcT[:, c["perm"]].reshape(D, G, L, W), (2, 1, 0, 3)
+        # (L, G, D, W) slab view of the lagged temperature (tiny array);
+        # padded slots are zeroed so they stay exactly-zero fixed points of
+        # the iteration (see consts["valid_slab"])
+        tc_slab = (
+            jnp.transpose(TcT[:, c["perm"]].reshape(D, G, L, W), (2, 1, 0, 3))
+            * c["valid_slab"][:, :, None, :]
         )
         slot_off = (jnp.arange(L, dtype=jnp.int32) % Hn) * W
 
@@ -1386,16 +1522,40 @@ class SourceIterationSolver:
                     * bsrc_l[:, :, None]
                     + ex_l
                 )
-                # batched per-face one-hot selection from the ring
-                # (NOTE: emitting with (f,d) adjacent to feed a merged
-                # (D, nf*D) coupling dot measured 74 vs 59 ms/step — the
-                # selection matmul pays more than the coupling saves)
-                un = jnp.einsum("kdbv,fvw->fkdbw", ring, oh_l)
-                unc = un * cin_l[:, :, None, None, :]  # (nf, Km, D, BS, W)
-                if self._ring_ccpl:
-                    term = jnp.einsum("fij,fkjbw->kibw", mats_g[3], unc)
+                if self._ring_lattice:
+                    # static shift selection (lattice meshes): the upwind
+                    # neighbor of slot w along axis j is the PREVIOUS
+                    # level's slot w - shift_j — a pad+slice instead of the
+                    # one-hot matmul (which cost (W*nf_act)/D ~ 7-21x the
+                    # useful coupling flops). Boundary wrap-ins are masked
+                    # by cin (zero on boundary faces).
+                    term = None
+                    for fi, s in enumerate(self._ring_shift_vals):
+                        if s == 0:
+                            unf = ring
+                        else:
+                            unf = jnp.pad(
+                                ring[..., :-s],
+                                ((0, 0), (0, 0), (0, 0), (s, 0)),
+                            )
+                        unf = unf * cin_l[fi][:, None, None, :]
+                        t = (
+                            jnp.einsum("ij,kjbw->kibw", mats_g[3][fi], unf)
+                            if self._ring_ccpl
+                            else jnp.einsum("ijw,kjbw->kibw", cpl_l[fi], unf)
+                        )
+                        term = t if term is None else term + t
                 else:
-                    term = jnp.einsum("fijw,fkjbw->kibw", cpl_l, unc)
+                    # batched per-face one-hot selection from the ring
+                    # (NOTE: emitting with (f,d) adjacent to feed a merged
+                    # (D, nf*D) coupling dot measured 74 vs 59 ms/step — the
+                    # selection matmul pays more than the coupling saves)
+                    un = jnp.einsum("kdbv,fvw->fkdbw", ring, oh_l)
+                    unc = un * cin_l[:, :, None, None, :]  # (nf,Km,D,BS,W)
+                    if self._ring_ccpl:
+                        term = jnp.einsum("fij,fkjbw->kibw", mats_g[3], unc)
+                    else:
+                        term = jnp.einsum("fijw,fkjbw->kibw", cpl_l, unc)
                 rhs = rhs - c["vg"][None, None, :, None] * term
                 if ncls == 1:
                     sol = jnp.einsum("kbij,kjbw->kibw", b_cls[0], rhs)
@@ -1464,7 +1624,13 @@ class SourceIterationSolver:
                 + ((1,) if self.has_dirichlet else ()),
                 out_axes=(1, 0),
             )(
-                u[bi], tc_slab[:, gs], cb["bsrc0"], cb["cin"], cb["oh"],
+                u[bi], tc_slab[:, gs], cb["bsrc0"], cb["cin"],
+                # lattice mode has no one-hot tables; feed a tiny dummy so
+                # the traced xs structure stays uniform
+                cb.get(
+                    "oh",
+                    jnp.zeros((L, len(gs), 1, 1, 1), dtype=u[bi].dtype),
+                ),
                 mats_b, cb["macro_w"], cb["per_cpl"], cb["per_cin"],
                 cb["per_pl"], cb["per_pw"], cb["per_sl"], cb["per_sw"],
                 cpl_slab, *extra,

@@ -136,3 +136,60 @@ def test_ring_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(resumed.Tc), np.asarray(full.Tc), rtol=1e-12, atol=1e-15
     )
+
+
+def test_ring_lattice_matches_onehot():
+    """The shift-structured lattice ring (no one-hot selection) must agree
+    with the general one-hot ring to machine precision on hex/quad lattices,
+    including periodic wrap and Dirichlet faces."""
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    # 3D hex with a periodic axis and a Dirichlet face
+    m = pmesh.make_cartesian_3d(8, 8, 8, "hex").scaled(1e-6)
+    m = pmesh.make_periodic(m, [0])
+    ops = assembly.assemble(pmesh.connect(m), order=1, face_mode="consistent")
+    quad = ang.build(ang.AngularOptions(dimension=3, polar_points=2,
+                                        azimuth_points=4))
+    bcs = {1: -0.5, 2: -0.5, 4: -0.5}
+    kw = dict(dtype=jnp.float64, sweep_mode="ring",
+              dirichlet_bcs={6: 0.25})
+    s_lat = SourceIterationSolver(ops, quad, tables, bcs, **kw)
+    assert s_lat._ring_lattice and s_lat.has_periodic and s_lat.has_dirichlet
+    assert s_lat._ring_shift_vals == (0, 8, 1)
+    s_oh = SourceIterationSolver(ops, quad, tables, bcs, use_lattice=False,
+                                 **kw)
+    assert s_oh.sweep_mode == "ring" and not s_oh._ring_lattice
+    r_lat = s_lat.solve(tol=0, max_iter=5, verbose=False)
+    r_oh = s_oh.solve(tol=0, max_iter=5, verbose=False)
+    # fp summation order differs (faces summed by axis vs one matmul)
+    np.testing.assert_allclose(
+        np.asarray(r_lat.Tc), np.asarray(r_oh.Tc), rtol=1e-10, atol=0
+    )
+
+
+def test_ring_lattice_2d_oracle():
+    """2D quad lattice ring vs the dense oracle (>=512 elements so the
+    canonical face ordering and lattice detection both engage)."""
+    m = pmesh.make_cartesian_2d(32, 24, "quad").scaled(1e-6)
+    s, res, Tco = _solve_both(m, 2, BCS2, order=1)
+    assert s._ring_lattice and s._ring_shift_vals == (0, 1)
+    np.testing.assert_allclose(np.asarray(res.Tc), Tco, rtol=1e-12, atol=1e-14)
+
+
+def test_ring_lattice_padded_slots_stay_zero():
+    """Padded slab slots are exact zero fixed points (no garbage growth
+    over long runs — the lagged-Tc source is masked by valid_slab)."""
+    m = pmesh.make_cartesian_3d(16, 8, 4, "hex").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1, face_mode="consistent")
+    quad = ang.build(ang.AngularOptions(dimension=3, polar_points=2,
+                                        azimuth_points=4))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    s = SourceIterationSolver(ops, quad, tables, BCS3, dtype=jnp.float64,
+                              sweep_mode="ring")
+    assert s._ring_lattice
+    res = s.solve(tol=0, max_iter=8, verbose=False)
+    for bi, (gs, km_b) in enumerate(s._ring_buckets):
+        ub = np.asarray(res.u[bi])  # (L, Gb, Km_b, D, BS, W)
+        pv = s._pos_valid[gs].reshape(len(gs), s.L, s.W)  # (Gb, L, W)
+        pad = ~np.transpose(pv, (1, 0, 2))  # (L, Gb, W)
+        vals = np.moveaxis(ub, (0, 1, 5), (0, 1, 2))[pad]
+        assert vals.size and np.all(vals == 0.0)
