@@ -321,17 +321,21 @@ def element_classes(ops: ElementOps, grain: float = 1e-11) -> np.ndarray:
         ops.basis_int.reshape(ne, -1),
         ops.normals.reshape(ne, -1),
     ]
-    scale = max(max(float(np.abs(p).max()) for p in parts), 1e-300)
-    inv = 1.0 / (scale * grain)
     # exact row dedup via two independent wrap-around polynomial hashes,
     # accumulated part-by-part (NO (ne, ~6000) concatenation: that is a 5GB
-    # temp at ne=1e5 and dominated setup time)
+    # temp at ne=1e5 and dominated setup time).
+    # Each part quantizes against its OWN scale: normals are O(1) while mass
+    # entries are O(volume) ~ 1e-22 after micron scaling — one global scale
+    # made every volume-dependent operator invisible to the hash and falsely
+    # merged elements that differ only in size (caught by a stretched-lattice
+    # oracle test: 1e11 relative field error).
     rng = np.random.default_rng(0x5EED)
     h1 = np.zeros(ne, dtype=np.int64)
     h2 = np.zeros(ne, dtype=np.int64)
     with np.errstate(over="ignore"):
         for p in parts:
-            q = np.rint(p * inv).astype(np.int64)
+            scale = max(float(np.abs(p).max()), 1e-300)
+            q = np.rint(p * (1.0 / (scale * grain))).astype(np.int64)
             r1 = rng.integers(1, 2**62, size=q.shape[1], dtype=np.int64) | 1
             r2 = rng.integers(1, 2**62, size=q.shape[1], dtype=np.int64) | 1
             h1 += q @ r1

@@ -76,7 +76,7 @@ from pbte_tpu.models import macroscopic
 from pbte_tpu.sweep import planner
 
 
-def _lattice_ring_tables(lat, plan, dirs_np):
+def _lattice_ring_tables(lat, plan, dirs_np, major_axis=None):
     """Per-group lattice slab tables for the SHIFT-STRUCTURED ring sweep.
 
     With wavefront level l = sum of sweep-transformed integer coordinates
@@ -101,8 +101,10 @@ def _lattice_ring_tables(lat, plan, dirs_np):
     L = int(dims.sum()) - dim + 1
     if L != plan.max_levels:
         return None
-    # slab plane = all axes but the largest (minimizes W = prod(plane dims))
-    a0 = int(np.argmax(dims))
+    # slab plane = all axes but the largest (minimizes W = prod(plane dims));
+    # major_axis overrides (the spatial slab solver must partition along a
+    # non-periodic axis)
+    a0 = int(np.argmax(dims)) if major_axis is None else int(major_axis)
     plane = [d for d in range(dim) if d != a0]
     shifts = np.zeros(dim, dtype=np.int64)
     if dim == 3:
@@ -736,6 +738,18 @@ class SourceIterationSolver:
                     cplg_act.reshape(G, self._ring_nf_act, D, D, L, W)
                     .transpose(4, 0, 1, 2, 3, 5)
                 )  # (L, G, nf_act, D, D, W)
+                if self._ring_lattice:
+                    # the scan applies couplings to the UNSHIFTED ring and
+                    # shifts the OUTPUT:  out[w] = C[w] @ ring[w - s]  ==
+                    # shift_s( C'[v] @ ring[v] ) with C'[v] = C[v + s] —
+                    # pre-shift the (receiver-slot) matrices here so the
+                    # device never relayouts the slab-sized matmul operand
+                    for fi, s in enumerate(self._ring_shift_vals):
+                        if s:
+                            ring_cpl[:, :, fi, :, :, :-s] = (
+                                ring_cpl[:, :, fi, :, :, s:]
+                            )
+                            ring_cpl[:, :, fi, :, :, -s:] = 0.0
             # periodic slot tables in slab coordinates + static inflow coeffs
             # (ring state is v = M^T u: fold the source element's M^-T)
             if self.has_periodic:
@@ -845,10 +859,27 @@ class SourceIterationSolver:
                 massT_cls, (G,) + massT_cls.shape
             ).copy()  # (G, ncls, D, D)
             ccpl_G = None
+            bcv_G = None
             if self._ring_ccpl:
                 ccpl_G = np.einsum(
                     "fij,jk->fik", ccpl[0], invMT_r[0]
                 ).astype(np_dtype)[self._ring_act_f]  # (G, nf_act, D, D)
+                if self._ring_lattice:
+                    # FOLDED neighbor factors for the lattice ring:
+                    #   sol = B @ rhs,  rhs = base - sum_f vg C_f @ un_f
+                    #   ==>  sol = B @ base - sum_f (vg_b B C_f) @ un_f
+                    # All four per-level matmuls then take the batched
+                    # (k, b) 27x27 form XLA's EmitAllBatchInSublanes lowers
+                    # at ~19 TF — the standalone C_f matmuls (no batch dims,
+                    # middle-axis contraction) forced full slab relayouts
+                    # instead (measured 53-76 ms/step vs 44.9 one-hot).
+                    # Same flop count; factors folded in f64 at setup.
+                    bcv_G = np.einsum(
+                        "gkbij,gfjl,b->gfkbil",
+                        a_cls[:, 0].astype(np.float64),
+                        ccpl_G.astype(np.float64),
+                        vg_s,
+                    ).astype(np_dtype)  # (G, nf_act, Km, BS, D, D)
             # per-BUCKET factor tuples (groups sliced, Km trimmed)
             mats = tuple(
                 (
@@ -861,6 +892,13 @@ class SourceIterationSolver:
                 + (
                     (jax.device_put(np.ascontiguousarray(ccpl_G[gs])),)
                     if self._ring_ccpl
+                    else ()
+                )
+                + (
+                    (jax.device_put(
+                        np.ascontiguousarray(bcv_G[gs][:, :, :km_b])
+                    ),)
+                    if bcv_G is not None
                     else ()
                 )
                 for gs, km_b in self._ring_buckets
@@ -1522,28 +1560,56 @@ class SourceIterationSolver:
                     * bsrc_l[:, :, None]
                     + ex_l
                 )
-                if self._ring_lattice:
-                    # static shift selection (lattice meshes): the upwind
-                    # neighbor of slot w along axis j is the PREVIOUS
-                    # level's slot w - shift_j — a pad+slice instead of the
-                    # one-hot matmul (which cost (W*nf_act)/D ~ 7-21x the
-                    # useful coupling flops). Boundary wrap-ins are masked
-                    # by cin (zero on boundary faces).
-                    term = None
+                if self._ring_lattice and self._ring_ccpl:
+                    # static shift selection (lattice meshes), FOLDED form:
+                    #   sol = B @ rhs_base - sum_f (vg_b B C_f) @ un_f
+                    # where un_f = shift_{s_f}(ring) * cin_f. All four
+                    # matmuls take the batched-(k,b) 27x27 shape XLA lowers
+                    # at ~19 TF (EmitAllBatchInSublanes) — standalone C_f
+                    # matmuls (no batch dims) forced full slab relayouts
+                    # (53-76 ms/step measured vs 44.9 one-hot baseline),
+                    # and the one-hot selection itself costs (W*nf_act)/D
+                    # ~ 7-21x the useful coupling flops.
+                    bcv = mats_g[4]  # (nf_act, Km, BS, D, D)
+                    sol = jnp.einsum("kbij,kjbw->kibw", b_cls[0], rhs)
                     for fi, s in enumerate(self._ring_shift_vals):
-                        if s == 0:
-                            unf = ring
-                        else:
-                            unf = jnp.pad(
-                                ring[..., :-s],
+                        yf = ring
+                        if s:
+                            yf = jnp.pad(
+                                yf[..., :-s],
                                 ((0, 0), (0, 0), (0, 0), (s, 0)),
                             )
-                        unf = unf * cin_l[fi][:, None, None, :]
-                        t = (
-                            jnp.einsum("ij,kjbw->kibw", mats_g[3][fi], unf)
-                            if self._ring_ccpl
-                            else jnp.einsum("ijw,kjbw->kibw", cpl_l[fi], unf)
+                        yf = yf * cin_l[fi][:, None, None, :]
+                        sol = sol - jnp.einsum(
+                            "kbij,kjbw->kibw", bcv[fi], yf
                         )
+                    # fused macroscopic partial: read sol while it is hot
+                    m_l = jnp.einsum("kb,kibw->iw", macro_w_g, sol)
+                    if Hn == 1:
+                        ring = sol
+                    else:
+                        ring = lax.dynamic_update_slice_in_dim(
+                            ring, sol, off, axis=-1
+                        )
+                    return ring, (sol, m_l)
+                if self._ring_lattice:
+                    # multi-class lattice: per-element couplings applied to
+                    # the unshifted ring (matrices pre-shifted at setup so
+                    # out[w] = C[w] @ ring[w-s]), outputs shifted + masked
+                    y = jnp.einsum(
+                        "fijv,kjbv->kfibv", cpl_l, ring
+                    ).reshape(ring.shape[0], -1, BS, W)
+                    term = None
+                    for fi, s in enumerate(self._ring_shift_vals):
+                        yf = y[:, fi * D : (fi + 1) * D]
+                        if s:
+                            yf = jnp.pad(
+                                yf[..., :-s],
+                                ((0, 0), (0, 0), (0, 0), (s, 0)),
+                            )
+                        # cin is a per-(k, w) diagonal: commutes with the
+                        # coupling matmul, applied on the (shifted) output
+                        t = yf * cin_l[fi][:, None, None, :]
                         term = t if term is None else term + t
                 else:
                     # batched per-face one-hot selection from the ring

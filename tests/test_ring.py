@@ -193,3 +193,29 @@ def test_ring_lattice_padded_slots_stay_zero():
         pad = ~np.transpose(pv, (1, 0, 2))  # (L, Gb, W)
         vals = np.moveaxis(ub, (0, 1, 5), (0, 1, 2))[pad]
         assert vals.size and np.all(vals == 0.0)
+
+
+def test_ring_stretched_lattice_multiclass_oracle():
+    """Graded (stretched) Cartesian hex: still a lattice, but one geometry
+    class per x-layer with per-element couplings (exercises the pre-shifted
+    coupling slabs). Also a regression test for the element_classes
+    per-part quantization scale: a single global scale made the O(volume)
+    operators invisible next to the O(1) normals and falsely merged
+    different-sized elements (1e11 relative field error vs the oracle)."""
+    import dataclasses
+
+    m = pmesh.make_cartesian_3d(8, 8, 8, "hex")
+    v = m.vertices.copy()
+    v[:, 0] = v[:, 0] ** 2  # grade the x spacing
+    m = dataclasses.replace(m, vertices=v).scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1, face_mode="consistent")
+    quad = ang.build(ang.AngularOptions(dimension=3, polar_points=2,
+                                        azimuth_points=4))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    s = SourceIterationSolver(ops, quad, tables, BCS3, dtype=jnp.float64,
+                              sweep_mode="ring")
+    assert s._ring_lattice and s.ncls_ring == 8 and not s._ring_ccpl
+    res = s.solve(tol=0, max_iter=4, verbose=False)
+    uo, Tco, *_ = solve_oracle(ops, quad, tables, BCS3, tol=0, max_iter=4)
+    np.testing.assert_allclose(np.asarray(res.Tc), Tco, rtol=1e-12,
+                               atol=1e-14 * np.abs(Tco).max())
