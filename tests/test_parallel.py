@@ -177,3 +177,48 @@ def test_ppermute_halo_matches_psum():
         out[mode] = s.gather_Tc(res.Tc)
     np.testing.assert_allclose(out["ppermute"], out["psum"],
                                rtol=1e-12, atol=1e-15)
+
+
+@pytest.mark.parametrize("method", ["rcb-fm", "greedy-fm"])
+@pytest.mark.parametrize("nparts", [2, 4])
+def test_partition_invariants_fm(problem, method, nparts):
+    """FM-refined plans must still satisfy all 7 partition invariants."""
+    _, topo, *_ = problem
+    plan = part_mod.build_plan(topo, nparts, method=method)
+    result = validate(plan, topo)
+    assert result.ok, result.errors
+    assert plan.load_balance() <= 1.1
+
+
+def test_fm_refinement_reduces_edge_cut_unstructured_tet():
+    """On a refined 3D tet mesh, the FM pass must not increase the RCB edge
+    cut (it typically reduces it), keep balance <= 1.1, and the plan metrics
+    must agree with a direct recount (VERDICT r2 item 5)."""
+    m = pmesh.make_cartesian_3d(3, 3, 3, "tet")
+    m = pmesh.uniform_refine(m)  # 6*27*8 = 1296 tets
+    topo = pmesh.connect(m)
+    cuts = {}
+    for method in ("rcb", "rcb-fm"):
+        plan = part_mod.build_plan(topo, 4, method=method)
+        assert validate(plan, topo).ok
+        assert plan.load_balance() <= 1.1
+        cuts[method] = plan.edge_cut()
+        # plan metric == direct recount on the part vector
+        assert plan.edge_cut() == part_mod.edge_cut(
+            topo.elem_neighbor, plan.part
+        )
+    assert cuts["rcb-fm"] <= cuts["rcb"]
+    assert cuts["rcb-fm"] < 1296  # sanity: far below total faces
+
+
+def test_greedy_assigns_every_element_balanced():
+    """The greedy partitioner must not dump BFS leftovers into one part
+    (round-2 weak #5): every element assigned, balance bounded."""
+    m = pmesh.make_cartesian_3d(4, 4, 4, "tet")
+    topo = pmesh.connect(m)
+    for nparts in (3, 5, 7):
+        part = part_mod.partition_greedy_graph(topo.elem_neighbor, nparts)
+        assert (part >= 0).all()
+        counts = np.bincount(part, minlength=nparts)
+        ne = topo.elem_neighbor.shape[0]
+        assert counts.max() <= -(-ne // nparts) + 1
