@@ -203,19 +203,37 @@ def main(argv=None) -> int:
                   "the full A^-1 cache at default precision); ignoring")
         dmesh = Mesh(_np.array(devs[: n_dir * n_space]).reshape(n_dir, n_space),
                      axis_names=("dir", "space"))
-        if rc.dirichlet_bcs:
-            raise SystemExit(
-                "[pbte_tpu] Dirichlet BCs are not supported with --parallel"
+        # production path: slab-lattice ring decomposition (class-batched
+        # factors, ppermute exit-layer halo, Dirichlet + plane-periodic);
+        # general meshes fall back to SpatialShardedSolver
+        try:
+            from pbte_tpu.parallel.slab import SlabLatticeSolver
+
+            solver = SlabLatticeSolver(
+                ops, quad, tables, rc.bc_temps, device_mesh=dmesh,
+                dtype=dtype, dirichlet_bcs=rc.dirichlet_bcs or None,
             )
-        solver = SpatialShardedSolver(
-            ops, quad, tables, rc.bc_temps, device_mesh=dmesh, topo=topo,
-            dtype=dtype,
-        )
-        print(f"[pbte_tpu] parallel solver: mesh (dir={n_dir}, space={n_space}), "
-              f"partitions={solver.pplan.nparts} "
-              f"interface={solver.pplan.num_interface} "
-              f"load_balance={solver.pplan.load_balance():.2f} "
-              f"({time.time()-t0:.1f}s)")
+            print(f"[pbte_tpu] slab-lattice solver: mesh (dir={n_dir}, "
+                  f"space={n_space}), slabs={solver.P} along axis "
+                  f"{solver.a0}, W={solver.W} L={solver.L} "
+                  f"({time.time()-t0:.1f}s)")
+        except NotImplementedError as e:
+            if rc.dirichlet_bcs:
+                raise SystemExit(
+                    "[pbte_tpu] Dirichlet BCs with --parallel need a "
+                    f"lattice mesh (slab solver unavailable: {e})"
+                )
+            solver = SpatialShardedSolver(
+                ops, quad, tables, rc.bc_temps, device_mesh=dmesh, topo=topo,
+                dtype=dtype,
+            )
+            print(f"[pbte_tpu] parallel solver (general mesh: {e}): "
+                  f"mesh (dir={n_dir}, space={n_space}), "
+                  f"partitions={solver.pplan.nparts} "
+                  f"interface={solver.pplan.num_interface} "
+                  f"edge_cut={solver.pplan.edge_cut()} "
+                  f"load_balance={solver.pplan.load_balance():.2f} "
+                  f"({time.time()-t0:.1f}s)")
     else:
         solver = SourceIterationSolver(
             ops, quad, tables, rc.bc_temps, dtype=dtype,

@@ -13,9 +13,8 @@ import numpy as np
 
 
 def _fingerprint(solver) -> dict:
-    # cache_policy/use_pallas determine the state LAYOUT of u (scan layout
-    # (G, Km, BS, D, ne_pad) vs fused (G, L, Km, D, BS, W)); a layout-
-    # mismatched load must fail here, not as an opaque XLA shape error later
+    # cache_policy determines the state LAYOUT of u; a layout-mismatched
+    # load must fail here, not as an opaque XLA shape error later
     policy = {"full": 0, "on-the-fly": 1, "eigen": 2}[
         getattr(solver, "cache_policy", "full")
     ]
@@ -24,7 +23,9 @@ def _fingerprint(solver) -> dict:
         K=solver.K, dt_inv=solver.dt_inv,
         ne_pad=getattr(solver, "ne_pad", solver.ne),
         cache_policy=policy,
-        use_pallas=int(bool(getattr(solver, "use_pallas", False))),
+        # kept for fingerprint compatibility with round-2 checkpoints
+        # (the fused Pallas layout was removed in round 3)
+        use_pallas=0,
     )
     if hasattr(solver, "pplan"):  # SpatialShardedSolver
         fp["nparts"] = solver.pplan.nparts
@@ -40,8 +41,6 @@ def _expected_u_shape(solver):
     if hasattr(solver, "pplan"):  # SpatialShardedSolver
         return (solver.pplan.nparts, solver.G, solver.Km, solver.BS,
                 solver.D, solver.ne_max)
-    if getattr(solver, "_fused", None) is not None and solver.use_pallas:
-        return (solver.G, solver.L, solver.Km, solver.D, solver.BS, solver.W)
     if getattr(solver, "sweep_mode", "scan") == "ring":
         # bucketed state: a LIST of per-bucket shapes
         return [

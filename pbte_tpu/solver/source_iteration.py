@@ -69,6 +69,7 @@ precision and T_slice.txt to 2.5e-15.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -188,7 +189,6 @@ class SourceIterationSolver:
         cache_policy: str = "full",  # "full" | "per-iteration"
         require_bcs: bool = True,
         dir_sharding=None,  # optional jax.sharding.NamedSharding for the Km axis
-        use_pallas: bool = False,  # Pallas kernel for the level solve
         scan_unroll: int = 1,  # unroll factor for the level scan
         matmul_precision: str | None = None,  # e.g. "highest" (see below)
         sweep_mode: str = "auto",  # "auto" | "scan" | "ring" (see below)
@@ -210,7 +210,6 @@ class SourceIterationSolver:
         if sweep_mode not in ("auto", "scan", "ring"):
             raise ValueError(f"unknown sweep_mode: {sweep_mode}")
         self.cache_policy = cache_policy
-        self.use_pallas = use_pallas
         self.scan_unroll = scan_unroll
         # On TPU the MXU truncates f32 einsum operands to bf16 by default,
         # which puts ~2e-3 relative noise on every contraction (measured on
@@ -247,7 +246,7 @@ class SourceIterationSolver:
 
         self._canonical_faces = False
         self._cls_cache = None  # element classes of the (final) ops
-        if sweep_mode in ("auto", "ring") and not use_pallas and ne >= 512:
+        if sweep_mode in ("auto", "ring") and ne >= 512:
             cls0 = _assembly.element_classes(ops)
             ops_c = _assembly.permute_faces(
                 ops, _assembly.canonical_face_perm(ops)
@@ -265,10 +264,6 @@ class SourceIterationSolver:
         # (type 7) attrs satisfy the check too.
         dirichlet_bcs = dirichlet_bcs or {}
         self.has_dirichlet = bool(dirichlet_bcs)
-        if self.has_dirichlet and use_pallas:
-            raise NotImplementedError(
-                "use_pallas does not support Dirichlet BCs yet"
-            )
         bdry_attrs = set(int(a) for a in np.unique(ops.face_attr[ops.neighbor < 0]))
         missing = (
             bdry_attrs
@@ -294,10 +289,6 @@ class SourceIterationSolver:
         # iterate below — mirroring how the reference orders before pairing
         # (Reference Project/include/SpatialMesh/SpatialMesh.hpp:272-276)
         self.has_periodic = bool(ops.periodic.any())
-        if self.has_periodic and use_pallas:
-            raise NotImplementedError(
-                "use_pallas does not support periodic meshes yet"
-            )
         sweep_nbr = ops.sweep_neighbor
         plan = planner.build_plan(sweep_nbr, ops.normals, quad.directions)
         self.plan = plan
@@ -352,9 +343,9 @@ class SourceIterationSolver:
         # ---- level-ordered element layout per group --------------------------
         # Compact mode (default): perm[g] concatenates level member lists
         # (length exactly ne); level l occupies [offsets[g,l], +counts[g,l]).
-        # Padded mode (the fused Pallas sweep): level l occupies the fixed
-        # slab [l*W, (l+1)*W) with -1 padding — required so kernel blocks are
-        # aligned; padded slots carry zero weights everywhere.
+        # Padded mode (the ring sweep): level l occupies the fixed slab
+        # [l*W, (l+1)*W) with -1 padding; padded slots carry zero weights
+        # everywhere.
         self.L = L = plan.max_levels
         self.W = W = min(plan.max_width, ne)
 
@@ -372,7 +363,7 @@ class SourceIterationSolver:
         self._ring_ccpl = False
         self._ring_ccpl_arr = None
         self._ring_lattice = False
-        ring_want = sweep_mode in ("auto", "ring") and not use_pallas
+        ring_want = sweep_mode in ("auto", "ring")
         if ring_want:
             cls_r = (
                 self._cls_cache if self._cls_cache is not None
@@ -463,7 +454,7 @@ class SourceIterationSolver:
         # hex-16^3 flagship (89.7 vs 90.0 ms/step) while costing 33% more
         # state memory — the ring body is compute/byte-proportional in W,
         # not tile-padding bound. Left unaligned.
-        self.padded = bool(use_pallas) or self.sweep_mode == "ring"
+        self.padded = self.sweep_mode == "ring"
         if self.padded:
             W = self.W  # lattice mode widened the slab to the plane size
             levels_src = (
@@ -595,7 +586,7 @@ class SourceIterationSolver:
         # General meshes: oh[g, l] maps the ring of the previous H solution
         # slabs to each face's upwind-neighbor values: (H*W, nf*W) per level,
         # consumed by one MXU matmul per level (ring[KmBSD, HW] @ oh[HW, nfW])
-        # — layout/semantics of ops.fused_sweep.build_group_plan reused.
+        # — layout/semantics of ops.ring_plan.build_group_plan reused.
         ring_oh = None
         if self.sweep_mode == "ring" and self._ring_lattice:
             nf_act = self.dim
@@ -619,7 +610,7 @@ class SourceIterationSolver:
                             f"offsets {np.unique(d)} != {expect}"
                         )
         elif self.sweep_mode == "ring":
-            from pbte_tpu.ops import fused_sweep as fs
+            from pbte_tpu.ops import ring_plan as fs
 
             H_r = self._ring_H
             # ACTIVE faces per group: within one direction group only the
@@ -1107,73 +1098,6 @@ class SourceIterationSolver:
             ),
         )
 
-        # ---- fused Pallas sweep plan (padded mode) --------------------------
-        self._fused = None
-        if self.use_pallas:
-            if cache_policy != "eigen":
-                raise ValueError("use_pallas requires cache_policy='eigen'")
-            from pbte_tpu.ops import fused_sweep as fs
-
-            H = max(fs.max_level_gap(nbr_pos[g], W) for g in range(G))
-            if H > 4:
-                import warnings
-
-                warnings.warn(
-                    f"fused Pallas sweep disabled: upwind level gap {H} "
-                    "exceeds the ring bound; using the XLA scan path"
-                )
-                self.use_pallas = False
-            else:
-                plans = [
-                    fs.build_group_plan(nbr_pos[g], pos_valid[g], L, W, H)
-                    for g in range(G)
-                ]
-                cin_all = np.minimum(fdot, 0.0)  # (G, Km, nf, ne_pad)
-                is_b_all = nbr_pos < 0  # (G, nf, ne_pad)
-                cin_int = np.where(is_b_all[:, None], 0.0, cin_all)
-                nf_ = self.nf
-                # leading-L layouts (Pallas blocks slice the level axis only)
-                oh_lw = np.stack([gp.onehot for gp in plans])  # (G,nf,HW,L,W)
-                self._fused = dict(
-                    H=H,
-                    onehot=jax.device_put(
-                        np.ascontiguousarray(
-                            oh_lw.transpose(0, 3, 1, 2, 4), dtype=np_dtype)
-                    ),  # (G, L, nf, HW, W)
-                    valid=jax.device_put(
-                        np.stack([gp.valid for gp in plans])[:, :, None]
-                        .astype(np_dtype)
-                    ),  # (G, L, 1, W)
-                    cin_int=jax.device_put(
-                        np.ascontiguousarray(
-                            cin_int.reshape(G, Km, nf_, L, W)
-                            .transpose(0, 3, 1, 2, 4), dtype=np_dtype)
-                    ),  # (G, L, Km, nf, W)
-                    cpl=jax.device_put(
-                        np.ascontiguousarray(
-                            coupling_g.reshape(G, nf_, D, D, L, W)
-                            .transpose(0, 4, 1, 2, 3, 5), dtype=np_dtype)
-                    ),  # (G, L, nf, D, D, W)
-                    pre=jax.device_put(np.ascontiguousarray(
-                        P[:, :, 0].reshape(G, Km, D, D, L, W)
-                        .transpose(0, 4, 1, 2, 3, 5), dtype=np_dtype)),
-                    pim=jax.device_put(np.ascontiguousarray(
-                        P[:, :, 1].reshape(G, Km, D, D, L, W)
-                        .transpose(0, 4, 1, 2, 3, 5), dtype=np_dtype)),
-                    qre=jax.device_put(np.ascontiguousarray(
-                        Qm[:, :, 0].reshape(G, Km, D, D, L, W)
-                        .transpose(0, 4, 1, 2, 3, 5), dtype=np_dtype)),
-                    qim=jax.device_put(np.ascontiguousarray(
-                        Qm[:, :, 1].reshape(G, Km, D, D, L, W)
-                        .transpose(0, 4, 1, 2, 3, 5), dtype=np_dtype)),
-                    lre=jax.device_put(np.ascontiguousarray(
-                        lam[:, :, 0].reshape(G, Km, D, L, W)
-                        .transpose(0, 3, 1, 2, 4), dtype=np_dtype)),
-                    lim=jax.device_put(np.ascontiguousarray(
-                        lam[:, :, 1].reshape(G, Km, D, L, W)
-                        .transpose(0, 3, 1, 2, 4), dtype=np_dtype)),
-                    vg2=jax.device_put(vg_s[:, None].astype(np_dtype)),  # (BS, 1)
-                )
         def _jit(fn, donate=()):
             if self.matmul_precision is None:
                 return jax.jit(fn, donate_argnums=donate)
@@ -1187,26 +1111,17 @@ class SourceIterationSolver:
 
         # ring mode: donate the (large, padded) state u — the outer loop
         # always discards the previous iterate, and without donation two
-        # 3GB u buffers coexist at hex-16^3 (OOM on a 16GB chip)
+        # 3GB u buffers coexist at hex-16^3 (OOM on a 16GB chip).
+        # NOTE (round-3 profile): donation makes XLA COPY the scan's ys into
+        # the donated buffer (~9.6 ms/step of plain same-layout copies at
+        # the flagship); PBTE_RING_NO_DONATE=1 disables it for shapes whose
+        # doubled state still fits HBM.
+        no_donate = os.environ.get("PBTE_RING_NO_DONATE", "") == "1"
         self._step = _jit(
             self._step_impl,
-            donate=(1,) if self.sweep_mode == "ring" else (),
+            donate=(1,) if self.sweep_mode == "ring" and not no_donate
+            else (),
         )
-        self._rhs_base = _jit(self._rhs_base_impl)
-        self._macro = _jit(self._macro_impl)
-        if self._fused is not None:
-            # build the jitted Pallas sweep ONCE with a stable identity:
-            # calling fused_sweep() directly per step re-lowers the (heavily
-            # unrolled) kernel on the host every call (~10 s/call measured)
-            import functools
-
-            from pbte_tpu.ops.fused_sweep import fused_sweep, pick_km_chunk
-
-            interp = jax.devices()[0].platform not in ("tpu", "axon")
-            self._fused["km_chunk"] = pick_km_chunk(
-                self.Km, self.D, self.BS, self.W, self.nf, self._fused["H"])
-            self._fused_call = jax.jit(functools.partial(
-                fused_sweep, H=self._fused["H"], interpret=interp))
 
     def _slot_sharding(self, a, km_axis=1, band_axis=None):
         """NamedSharding for a slot-major array: shard the Km axis, plus the
@@ -1227,9 +1142,7 @@ class SourceIterationSolver:
         import jax
         import jax.numpy as jnp
 
-        if getattr(self, "_fused", None) is not None and self.use_pallas:
-            shape = (self.G, self.L, self.Km, self.D, self.BS, self.W)
-        elif self.sweep_mode == "ring":
+        if self.sweep_mode == "ring":
             # tuple of per-BUCKET L-MAJOR slabs, (Km_b, D, BS, W) trailing
             if self._dir_sharding is not None:
                 u = tuple(
@@ -1304,8 +1217,6 @@ class SourceIterationSolver:
         if self.sweep_mode == "ring":
             return self._step_ring(c, u, Tc, Tv_prev)
 
-        # NOTE: the Pallas path is dispatched by step() (it is three separate
-        # executables, not one jittable); _step_impl is always the scan path.
         G, W, L, nf, D = self.G, self.W, self.L, self.nf, self.D
 
         TcT = Tc.T  # (D, ne)
@@ -1722,94 +1633,10 @@ class SourceIterationSolver:
         res = macroscopic.residual(Tv_new, Tv_prev)
         return tuple(v_new), Tc_new, Tv_new, res
 
-    def _rhs_base_impl(self, c, u, Tc):
-        """rhs base for all groups/elements (fused path), emitted directly in
-        the kernel's (G, L, Km, BS, D, W) layout by the einsums."""
-        import jax.numpy as jnp
-
-        G, Km, BS, D = self.G, self.Km, self.BS, self.D
-        L, W, nf = self.L, self.W, self.nf
-        TcT = Tc.T
-        TcT_groups = jnp.moveaxis(TcT[:, c["perm"]], 1, 0)  # (G, D, ne_pad)
-        tc_lw = TcT_groups.reshape(G, D, L, W)
-        mt_lw = c["mass_t"].reshape(G, D, D, L, W)
-        t_tc = jnp.einsum("gijlw,gjlw->gliw", mt_lw, tc_lw)
-        t_old = jnp.einsum("gijlw,glkjbw->glkibw", mt_lw, u)
-        cin_all = jnp.minimum(c["fdot"], 0.0)  # (G, Km, nf, ne_pad)
-        is_b = c["nbr_pos"] < 0
-        cin_bnd = jnp.where(is_b[:, None], cin_all, 0.0).reshape(
-            G, Km, nf, L, W
-        )
-        bsrc = jnp.einsum(
-            "gkflw,gflw,gfilw->glkiw",
-            cin_bnd,
-            c["bc_T"].reshape(G, nf, L, W),
-            c["face_int"].reshape(G, nf, D, L, W),
-        )  # (G, L, Km, D, W)
-        return (
-            c["src_w"][None, None, None, None, :, None]
-            * t_tc[:, :, None, :, None, :]
-            + c["relax_w"][None, None, None, None, :, None] * t_old
-            - c["vg"][None, None, None, None, :, None]
-            * c["bc_w"][None, None, None, None, :, None]
-            * bsrc[:, :, :, :, None, :]
-        )  # (G, L, Km, D, BS, W)
-
-    def _macro_impl(self, c, u_new, Tv_prev):
-        import jax
-        import jax.numpy as jnp
-
-        partial = jnp.einsum(
-            "gkb,glkibw->gilw", c["macro_w"], u_new
-        ).reshape(self.G, self.D, self.ne_pad)
-        pos = c["pos_of_elem"]
-        Tc_new = jax.vmap(lambda pg, po: pg[:, po])(partial, pos).sum(0).T
-        Tv_new = macroscopic.compute_tv(Tc_new, c["basis_int_glob"])
-        res = macroscopic.residual(Tv_new, Tv_prev)
-        return Tc_new, Tv_new, res
-
-    def _step_pallas(self, u, Tc, Tv_prev):
-        """Fused Pallas wavefront sweep (see pbte_tpu.ops.fused_sweep).
-
-        Dispatched as three executables — a jitted rhs-base pass, ONE compiled
-        Pallas sweep reused for every direction group, and a jitted macro
-        reduction — because embedding several kernel instantiations in a
-        single jit exceeds this environment's remote-compiler request limit."""
-        import jax.numpy as jnp
-
-        c = self.consts
-        f = self._fused
-        rhsb = self._rhs_base(c, u, Tc)
-        # chunk the (independent) direction-slot axis so each kernel call
-        # fits the 128 MB VMEM (see fused_sweep.pick_km_chunk)
-        Kc = f["km_chunk"]
-        sols = []
-        for g in range(self.G):
-            chunks = []
-            for k0 in range(0, self.Km, Kc):
-                sl = slice(k0, k0 + Kc)
-                chunks.append(
-                    self._fused_call(
-                        rhsb[g][:, sl], f["cpl"][g], f["cin_int"][g][:, sl],
-                        f["onehot"][g],
-                        f["pre"][g][:, sl], f["pim"][g][:, sl],
-                        f["qre"][g][:, sl], f["qim"][g][:, sl],
-                        f["lre"][g][:, sl], f["lim"][g][:, sl],
-                        f["valid"][g], f["vg2"],
-                    )
-                )
-            sols.append(chunks[0] if len(chunks) == 1
-                        else jnp.concatenate(chunks, axis=1))
-        u_new = jnp.stack(sols)  # (G, L, Km, D, BS, W)
-        Tc_new, Tv_new, res = self._macro(c, u_new, Tv_prev)
-        return u_new, Tc_new, Tv_new, res
-
     # -- outer loop ---------------------------------------------------------
 
     def step(self, u, Tc, Tv_prev):
         """One outer iteration: returns (u, Tc, Tv, residual)."""
-        if self.use_pallas and self._fused is not None:
-            return self._step_pallas(u, Tc, Tv_prev)
         return self._step(self.consts, u, Tc, Tv_prev)
 
     def solve(
@@ -1877,10 +1704,6 @@ class SourceIterationSolver:
             u = self._ring_u_standard(u)
         else:
             u = np.asarray(u)
-            if u.ndim == 6:  # fused layout (G, L, Km, D, BS, W)
-                u = u.transpose(0, 2, 4, 3, 1, 5).reshape(
-                    self.G, self.Km, self.BS, self.D, self.ne_pad
-                )
         out = np.zeros((self.K, self.BS, self.ne, self.D), dtype=u.dtype)
         for g in range(self.G):
             valid = self._perm[g] >= 0
@@ -1901,10 +1724,6 @@ class SourceIterationSolver:
 
         if self.sweep_mode == "ring":
             u = jnp.asarray(self._ring_u_standard(u))
-        elif u.ndim == 6:  # fused layout (G, L, Km, D, BS, W)
-            u = jnp.transpose(u, (0, 2, 4, 3, 1, 5)).reshape(
-                self.G, self.Km, self.BS, self.D, self.ne_pad
-            )
         partial = jnp.einsum("gkbd,gkbip->gdip", self.consts["flux_w"], u)
         pos = self.consts["pos_of_elem"]  # (G, ne)
         gathered = jax.vmap(lambda pg, po: pg[:, :, po])(partial, pos)  # (G,dim,D,ne)
