@@ -856,21 +856,33 @@ class SourceIterationSolver:
                     "fij,jk->fik", ccpl[0], invMT_r[0]
                 ).astype(np_dtype)[self._ring_act_f]  # (G, nf_act, D, D)
                 if self._ring_lattice:
-                    # FOLDED neighbor factors for the lattice ring:
+                    # FOLDED + CONCATENATED neighbor factors for the
+                    # lattice ring:
                     #   sol = B @ rhs,  rhs = base - sum_f vg C_f @ un_f
-                    #   ==>  sol = B @ base - sum_f (vg_b B C_f) @ un_f
-                    # All four per-level matmuls then take the batched
-                    # (k, b) 27x27 form XLA's EmitAllBatchInSublanes lowers
-                    # at ~19 TF — the standalone C_f matmuls (no batch dims,
-                    # middle-axis contraction) forced full slab relayouts
-                    # instead (measured 53-76 ms/step vs 44.9 one-hot).
-                    # Same flop count; factors folded in f64 at setup.
+                    #   ==>  sol = [B | -vg B C_0 | ... ] @ [base; un_0; ...]
+                    # ONE per-level matmul with contraction (1+nf_act)*D =
+                    # 108 instead of four 27-contractions. Measured (r3
+                    # profiles): the batched 27-contraction einsum lowers
+                    # to EmitInputBatchInLanes at only ~2 TF regardless of
+                    # operand layout; the one-hot path's coupling einsum
+                    # (which contracts over nf*D = 81) is what kept round 2
+                    # fast. Factors folded in f64 at setup.
                     bcv_G = np.einsum(
                         "gkbij,gfjl,b->gfkbil",
                         a_cls[:, 0].astype(np.float64),
                         ccpl_G.astype(np.float64),
                         vg_s,
-                    ).astype(np_dtype)  # (G, nf_act, Km, BS, D, D)
+                    )  # (G, nf_act, Km, BS, D, D)
+                    bcat_G = np.concatenate(
+                        [a_cls[:, 0].astype(np.float64)[:, None], -bcv_G],
+                        axis=1,
+                    )  # (G, 1+nf_act, Km, BS, D, D)
+                    bcat_G = np.ascontiguousarray(
+                        np.moveaxis(bcat_G, 1, -2)
+                    ).reshape(
+                        G, Km, BS, D, -1
+                    ).astype(np_dtype)  # (G, Km, BS, D, (1+nf_act)*D)
+                    bcv_G = bcat_G
             # per-BUCKET factor tuples (groups sliced, Km trimmed)
             mats = tuple(
                 (
@@ -887,7 +899,7 @@ class SourceIterationSolver:
                 )
                 + (
                     (jax.device_put(
-                        np.ascontiguousarray(bcv_G[gs][:, :, :km_b])
+                        np.ascontiguousarray(bcv_G[gs][:, :km_b])
                     ),)
                     if bcv_G is not None
                     else ()
@@ -1472,17 +1484,17 @@ class SourceIterationSolver:
                     + ex_l
                 )
                 if self._ring_lattice and self._ring_ccpl:
-                    # static shift selection (lattice meshes), FOLDED form:
-                    #   sol = B @ rhs_base - sum_f (vg_b B C_f) @ un_f
-                    # where un_f = shift_{s_f}(ring) * cin_f. All four
-                    # matmuls take the batched-(k,b) 27x27 shape XLA lowers
-                    # at ~19 TF (EmitAllBatchInSublanes) — standalone C_f
-                    # matmuls (no batch dims) forced full slab relayouts
-                    # (53-76 ms/step measured vs 44.9 one-hot baseline),
-                    # and the one-hot selection itself costs (W*nf_act)/D
-                    # ~ 7-21x the useful coupling flops.
-                    bcv = mats_g[4]  # (nf_act, Km, BS, D, D)
-                    sol = jnp.einsum("kbij,kjbw->kibw", b_cls[0], rhs)
+                    # static shift selection (lattice meshes), FOLDED +
+                    # CONCATENATED form:
+                    #   sol = [B | -vg B C_0 | ...] @ [rhs; un_0; un_1; ...]
+                    # with un_f = shift_{s_f}(ring) * cin_f. ONE matmul
+                    # with contraction (1+nf_act)*D = 108 per level — the
+                    # separate 27-contraction batched matmuls lower to
+                    # EmitInputBatchInLanes at only ~2 TF (round-3 profile);
+                    # large contractions are what kept the one-hot path's
+                    # coupling einsum (nf*D = 81) fast in round 2.
+                    bcat = mats_g[4]  # (Km, BS, D, (1+nf_act)*D)
+                    parts = [rhs]
                     for fi, s in enumerate(self._ring_shift_vals):
                         yf = ring
                         if s:
@@ -1490,10 +1502,9 @@ class SourceIterationSolver:
                                 yf[..., :-s],
                                 ((0, 0), (0, 0), (0, 0), (s, 0)),
                             )
-                        yf = yf * cin_l[fi][:, None, None, :]
-                        sol = sol - jnp.einsum(
-                            "kbij,kjbw->kibw", bcv[fi], yf
-                        )
+                        parts.append(yf * cin_l[fi][:, None, None, :])
+                    xcat = jnp.concatenate(parts, axis=1)
+                    sol = jnp.einsum("kbiJ,kJbw->kibw", bcat, xcat)
                     # fused macroscopic partial: read sol while it is hot
                     m_l = jnp.einsum("kb,kibw->iw", macro_w_g, sol)
                     if Hn == 1:
