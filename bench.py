@@ -74,7 +74,8 @@ def main() -> None:
     print(
         f"[bench] hex {nx}^3 ne={ne} p={order} D={D} K={K} BS={BS} "
         f"groups={solver.G} Km={solver.Km} levels={solver.plan.max_levels} "
-        f"width={solver.plan.max_width} sweep_mode={solver.sweep_mode} "
+        f"W={solver.W} lattice={getattr(solver, '_ring_lattice', False)} "
+        f"sweep_mode={solver.sweep_mode} "
         f"setup={time.time()-t0:.1f}s device={jax.devices()[0]}",
         file=sys.stderr,
     )

@@ -1121,17 +1121,26 @@ class SourceIterationSolver:
 
             return jax.jit(wrapped, donate_argnums=donate)
 
-        # ring mode: donate the (large, padded) state u — the outer loop
-        # always discards the previous iterate, and without donation two
-        # 3GB u buffers coexist at hex-16^3 (OOM on a 16GB chip).
-        # NOTE (round-3 profile): donation makes XLA COPY the scan's ys into
-        # the donated buffer (~9.6 ms/step of plain same-layout copies at
-        # the flagship); PBTE_RING_NO_DONATE=1 disables it for shapes whose
-        # doubled state still fits HBM.
-        no_donate = os.environ.get("PBTE_RING_NO_DONATE", "") == "1"
+        # ring mode: donating the state u lets XLA alias the (large, padded)
+        # buffers — but the profile shows donation makes XLA COPY the scan's
+        # ys into the donated buffer (~9.6 ms/step of same-layout copies at
+        # the flagship; bench: 41.8 -> 31.7 ms/step without). Default: no
+        # donation while TWO state buffers + consts plausibly fit a 16 GB
+        # chip; donate above that (the memory-bound regime where the copy
+        # is the price of fitting at all). PBTE_RING_DONATE=1 /
+        # PBTE_RING_NO_DONATE=1 override.
+        if os.environ.get("PBTE_RING_NO_DONATE", "") == "1":
+            donate_ring = False
+        elif os.environ.get("PBTE_RING_DONATE", "") == "1":
+            donate_ring = True
+        else:
+            state_b = (
+                sum(sizes) + G
+            ) * BS * D * L * self.W * np.dtype(np_dtype).itemsize
+            donate_ring = state_b > 5.5e9
         self._step = _jit(
             self._step_impl,
-            donate=(1,) if self.sweep_mode == "ring" and not no_donate
+            donate=(1,) if self.sweep_mode == "ring" and donate_ring
             else (),
         )
 
