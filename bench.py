@@ -64,11 +64,13 @@ def main() -> None:
     steps = int(os.environ.get("PBTE_BENCH_STEPS", 10))
     policy = os.environ.get("PBTE_BENCH_POLICY", "eigen")
     cpp_iters = int(os.environ.get("PBTE_BENCH_CPP_ITERS", 1))
+    unroll = int(os.environ.get("PBTE_BENCH_UNROLL", 1))
 
     t0 = time.time()
     solver = _build_problem(
         nx=nx, order=order, polar=polar, azimuth=azimuth, nspec=nspec,
         dtype=jnp.float32, geom="hex", dim=3, cache_policy=policy,
+        scan_unroll=unroll,
     )
     ne, D, K, BS = solver.ne, solver.D, solver.K, solver.BS
     print(

@@ -1513,6 +1513,8 @@ class SourceIterationSolver:
                             )
                         parts.append(yf * cin_l[fi][:, None, None, :])
                     xcat = jnp.concatenate(parts, axis=1)
+                    # (pre-casting xcat to bf16 measured perf-neutral: the
+                    # default-precision MXU already truncates operands)
                     sol = jnp.einsum("kbiJ,kJbw->kibw", bcat, xcat)
                     # fused macroscopic partial: read sol while it is hot
                     m_l = jnp.einsum("kb,kibw->iw", macro_w_g, sol)

@@ -181,16 +181,19 @@ def test_eigen_class_mode_hex_f32(reference_root):
 @pytest.mark.slow
 def test_setup_budget_1e5_elements():
     """Host-side setup must stay in budget at production scale: connect +
-    assemble(p=2) + solver construction on a ~1e5-tet mesh in < 120 s on
-    this single-core host (VERDICT r1 weak #7; measured ~54 s after the
-    element_classes / gperm vectorization, was ~220 s)."""
+    assemble(p=2) + solver construction on a ~1e5-tet mesh in < 120 s of
+    PROCESS time on this host (VERDICT r1 weak #7; measured ~54 s after the
+    element_classes / gperm vectorization, was ~220 s). Process time, not
+    wall time: concurrent TPU benchmarks / native OpenMP baselines on the
+    shared host made the wall-clock version flaky (163 s observed under
+    full contention for the same ~54 s of work)."""
     import time
 
     import jax.numpy as jnp
 
     from pbte_tpu.angular import quadrature as ang3
 
-    t0 = time.time()
+    t0 = time.process_time()
     m = pmesh.make_cartesian_3d(26, 26, 26, "tet").scaled(1e-6)
     topo = pmesh.connect(m)
     ops = assembly.assemble(topo, order=2, face_mode="consistent")
@@ -202,6 +205,6 @@ def test_setup_budget_1e5_elements():
     solver = SourceIterationSolver(
         ops, quad, tables, bcs, dtype=jnp.float32, cache_policy="eigen"
     )
-    dt = time.time() - t0
+    dt = time.process_time() - t0
     assert solver.ne == 26 * 26 * 26 * 6
-    assert dt < 120.0, f"setup took {dt:.0f}s at ne=105k"
+    assert dt < 120.0, f"setup took {dt:.0f}s CPU at ne=105k"
