@@ -27,6 +27,10 @@ def _fingerprint(solver) -> dict:
         # (the fused Pallas layout was removed in round 3)
         use_pallas=0,
     )
+    if hasattr(solver, "elems_p"):  # SlabLatticeSolver (v = M^T u slabs)
+        fp["nparts"] = solver.P
+        fp["ne_max"] = solver.ne_loc
+        fp["state_kind"] = 2
     if hasattr(solver, "pplan"):  # SpatialShardedSolver
         fp["nparts"] = solver.pplan.nparts
         fp["ne_max"] = solver.ne_max
@@ -38,6 +42,9 @@ def _fingerprint(solver) -> dict:
 
 
 def _expected_u_shape(solver):
+    if hasattr(solver, "elems_p"):  # SlabLatticeSolver
+        return (solver.P, solver.L, solver.G, solver.Km, solver.D,
+                solver.BS, solver.W)
     if hasattr(solver, "pplan"):  # SpatialShardedSolver
         return (solver.pplan.nparts, solver.G, solver.Km, solver.BS,
                 solver.D, solver.ne_max)

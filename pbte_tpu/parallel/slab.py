@@ -645,7 +645,8 @@ class SlabLatticeSolver:
         return self._step(self.consts, u, Tc, Tv_prev)
 
     def solve(self, tol=1e-7, max_iter=101, state=None, verbose=True,
-              check_every=1, sync_every=10, callback=None):
+              check_every=1, sync_every=10, callback=None,
+              checkpoint_path=None, checkpoint_every=25):
         import jax
 
         u, Tc, Tv = state if state is not None else self.initial_state()
@@ -667,6 +668,11 @@ class SlabLatticeSolver:
                     break
             prev_Tv = Tv_new
             Tc = Tc_new
+            if checkpoint_path and it % checkpoint_every == 0:
+                from pbte_tpu.io.checkpoint import save_checkpoint
+
+                save_checkpoint(checkpoint_path, self, u, Tc, prev_Tv, it,
+                                float(res_dev))
         return SlabSolveResult(
             u=u, Tc=Tc, Tv=prev_Tv, residual=res, iterations=it, solver=self
         )

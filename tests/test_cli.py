@@ -118,3 +118,30 @@ def test_cli_checkpoint_resume(tmp_path):
     a = (tmp_path / "full/log/Tc_all.txt").read_text()
     b = (tmp_path / "p2/log/Tc_all.txt").read_text()
     assert a == b
+
+
+def test_cli_parallel_slab_lattice(tmp_path):
+    """--parallel on a lattice (quad) mesh dispatches to SlabLatticeSolver
+    and produces the same output-file set as the serial run; fields agree at
+    the block-Jacobi lagging scale (exact-at-convergence parity is covered
+    by tests/test_slab.py against the lagged oracle)."""
+    base = ["-m", "unit-square-quad", "-o", "1", "--face-mode", "consistent",
+            "--max-iter", "80", "--tol", "0", "--check-every", "20"]
+    ser = _run_cli(base + ["--out", "ser"], cwd=tmp_path)
+    assert ser.returncode == 0, ser.stderr[-2000:]
+    par = _run_cli(base + ["--out", "par", "--parallel", "2x2"],
+                   cwd=tmp_path, n_devices=4)
+    assert par.returncode == 0, par.stderr[-2000:]
+    assert "slab-lattice solver" in par.stderr + par.stdout, (
+        par.stderr[-500:]
+    )
+    for rel in ("log/Tc_all.txt", "log/coeff_all.txt"):
+        a = (tmp_path / "ser" / rel).read_text()
+        b = (tmp_path / "par" / rel).read_text()
+        if a != b:
+            na = np.array([float(x) for x in a.split() if _isfloat(x)])
+            nb = np.array([float(x) for x in b.split() if _isfloat(x)])
+            assert na.shape == nb.shape, rel
+            atol = max(5e-3, 0.05 * float(np.abs(na).max()))
+            np.testing.assert_allclose(na, nb, rtol=0.1, atol=atol,
+                                       err_msg=rel)
