@@ -131,3 +131,40 @@ def test_sweep_dump_golden_format(refined_topo, reference_root, tmp_path):
         reference_root / "output/log/sweep_dim2_np24_gauss_na24_gauss.txt"
     ).read_text()
     assert out.read_text().strip() == golden.strip()
+
+
+def test_detect_lattice_hex_and_refusals():
+    """Lattice detection: recovers dims/coords on canonical-face hex meshes,
+    refuses triangles (wrong face count), refuses non-canonical face order
+    (per-slot normals differ), and ignores periodic-masked wrap faces."""
+    from pbte_tpu import mesh as pmesh
+    from pbte_tpu.fem import assembly
+    from pbte_tpu.sweep.planner import detect_lattice
+
+    m = pmesh.make_cartesian_3d(5, 4, 3, "hex").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1,
+                            face_mode="consistent")
+    # raw face order: slot normals differ per element -> refused
+    assert detect_lattice(ops.sweep_neighbor, ops.normals) is None
+    opsc = assembly.permute_faces(ops, assembly.canonical_face_perm(ops))
+    lat = detect_lattice(opsc.sweep_neighbor, opsc.normals)
+    assert lat is not None and lat.dims == (5, 4, 3)
+    assert lat.coords.shape == (60, 3)
+    # every coordinate triple unique and within bounds
+    import numpy as np
+    assert len({tuple(c) for c in lat.coords}) == 60
+    # triangles: nf != 2*dim -> refused
+    mt = pmesh.make_cartesian_2d(4, 4, "triangle").scaled(1e-6)
+    ot = assembly.assemble(pmesh.connect(mt), order=1,
+                           face_mode="consistent")
+    assert detect_lattice(ot.sweep_neighbor, ot.normals) is None
+    # periodic wrap masked from the sweep graph: still a lattice
+    mp = pmesh.make_periodic(pmesh.make_cartesian_3d(4, 4, 4, "hex")
+                             .scaled(1e-6), [0])
+    op = assembly.assemble(pmesh.connect(mp), order=1,
+                           face_mode="consistent")
+    opc = assembly.permute_faces(op, assembly.canonical_face_perm(op))
+    latp = detect_lattice(opc.sweep_neighbor, opc.normals)
+    assert latp is not None and latp.dims == (4, 4, 4)
+    # but the UNMASKED neighbor table has periodic cycles -> refused
+    assert detect_lattice(opc.neighbor, opc.normals) is None
