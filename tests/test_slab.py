@@ -113,3 +113,25 @@ def test_slab_converges_to_single_device_fixed_point():
     assert ud.shape == (s.K, s.BS, s.ne, s.D) and np.isfinite(ud).all()
     Qc, Qv = s.heat_flux(r.u)
     assert np.asarray(Qv).sum(axis=1)[2] < 0  # heat flows down from hot top
+
+
+def test_slab_checkpoint_roundtrip(tmp_path):
+    from pbte_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    quad = ang.build(ang.AngularOptions(dimension=3, polar_points=2,
+                                        azimuth_points=4))
+    m = pmesh.make_cartesian_3d(6, 4, 4, "hex").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1, face_mode="consistent")
+    s = SlabLatticeSolver(ops, quad, tables, BCS3, device_mesh=_mesh2x4(),
+                          dtype=jnp.float64)
+    full = s.solve(tol=0, max_iter=6, verbose=False)
+    half = s.solve(tol=0, max_iter=3, verbose=False)
+    ck = str(tmp_path / "slab.npz")
+    save_checkpoint(ck, s, half.u, half.Tc, half.Tv, 3, half.residual)
+    state, it, _ = load_checkpoint(ck, s)
+    assert it == 3
+    resumed = s.solve(tol=0, max_iter=3, verbose=False, state=state)
+    np.testing.assert_allclose(
+        resumed.Tc_global(), full.Tc_global(), rtol=1e-12, atol=1e-15
+    )
