@@ -10,8 +10,16 @@ pick the compact scan over the ring; this script records whichever engages).
 
 Writes bench_artifacts/tet_bench.json and prints one JSON line.
 
+Memory note (measured): at the full 16x24 = 384-direction legacy quadrature
+the 24 signature groups pad to G*Km = 1128 slots (2.94x) and the scan path's
+hoisted per-group rhs/relax temporaries push peak HBM past the single chip —
+RESOURCE_EXHAUSTED. The default here is the 8x12 = 96-direction subset with
+the IDENTICAL 3.0x group padding; directions are independent (they couple
+only through the lagged Tc, outside the sweep), so per-direction throughput
+extrapolates to the full K exactly like bench.py's C++ subset baseline.
+
 Env overrides: PBTE_TET_N (default 5), PBTE_TET_ORDER (3),
-PBTE_TET_POLAR (16), PBTE_TET_AZIMUTH (24), PBTE_TET_NSPEC (20),
+PBTE_TET_POLAR (8), PBTE_TET_AZIMUTH (12), PBTE_TET_NSPEC (20),
 PBTE_TET_STEPS (5), PBTE_TET_POLICY (eigen), PBTE_TET_SWEEP (auto).
 """
 
@@ -52,8 +60,8 @@ def main() -> None:
 
     n = int(os.environ.get("PBTE_TET_N", 5))
     order = int(os.environ.get("PBTE_TET_ORDER", 3))
-    polar = int(os.environ.get("PBTE_TET_POLAR", 16))
-    azimuth = int(os.environ.get("PBTE_TET_AZIMUTH", 24))
+    polar = int(os.environ.get("PBTE_TET_POLAR", 8))
+    azimuth = int(os.environ.get("PBTE_TET_AZIMUTH", 12))
     nspec = int(os.environ.get("PBTE_TET_NSPEC", 20))
     steps = int(os.environ.get("PBTE_TET_STEPS", 5))
     policy = os.environ.get("PBTE_TET_POLICY", "eigen")
