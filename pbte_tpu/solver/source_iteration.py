@@ -450,6 +450,18 @@ class SourceIterationSolver:
                     np.swapaxes(ops.mass[reps_r], -1, -2)
                 )  # (ncls, D, D)
 
+        # scan-path rhs hoisting: precomputing the (Km, BS, D, ne) rhs base
+        # and relaxation term for all G groups costs ~2 state-sized
+        # temporaries under the vmap — the legacy 16x24-angle tet shape
+        # (24 groups x 47 slots) OOM'd a 16 GB chip. Assemble per level
+        # window instead when the hoisted bytes exceed the budget. The
+        # periodic path scatters into the hoisted base, so it forces
+        # hoisting (periodic problems are comparatively small).
+        hoist_bytes = (
+            2 * G * Km * BS * D * ne * np.dtype(np_dtype).itemsize
+        )
+        self._hoist_rhs = self.has_periodic or hoist_bytes <= 2e9
+
         # NOTE: lane-aligning W (192 -> 256) measured perf-NEUTRAL at the
         # hex-16^3 flagship (89.7 vs 90.0 ms/step) while costing 33% more
         # state memory — the ring body is compute/byte-proportional in W,
@@ -1255,28 +1267,42 @@ class SourceIterationSolver:
                         *extra):
             # u_g (Km, BS, D, ne); compact group-level-concatenated order
 
-            # ---- hoisted rhs base: everything that does not depend on the
-            # in-sweep neighbor values, computed for ALL elements in one
-            # batched pass (big MXU matmuls, no per-level overhead) ----
+            # ---- rhs base: everything that does not depend on the in-sweep
+            # neighbor values. Hoisted over all elements when the
+            # (G, Km, BS, D, ne) temporaries fit HBM (big MXU matmuls, no
+            # per-level overhead); otherwise only the BS-free pieces are
+            # hoisted and the relaxation matmul moves into the level window
+            # (the hoisted form OOM'd the legacy 16x24-angle tet shape:
+            # 24 groups x 47 slots x 2 state-sized temporaries) ----
             t_tc = jnp.einsum("ijE,jE->iE", mass_t, TcT_g)  # (D, ne)
-            t_old = jnp.einsum("ijE,kbjE->kbiE", mass_t, u_g)  # (Km,BS,D,ne)
             cin_all = jnp.minimum(fdot, 0.0)  # (Km, nf, ne)
             is_b_all = nbr_pos < 0  # (nf, ne)
             cin_bnd_all = jnp.where(is_b_all[None], cin_all, 0.0)
             bsrc = jnp.einsum(
                 "kfE,fE,fiE->kiE", cin_bnd_all, bc_T, face_int
-            )  # (Km, D, ne)
-            rhs_base = (
-                c["src_w"][None, :, None, None] * t_tc[None, None]
-                + c["relax_w"][None, :, None, None] * t_old
-                - c["vg"][None, :, None, None]
-                * c["bc_w"][None, :, None, None]
-                * bsrc[:, None]
-            )  # (Km, BS, D, ne)
+            )  # (Km, D, ne) — BS-free, cheap to keep hoisted
             if self.has_dirichlet:
                 (dvec_gl,) = extra
                 dsrc = jnp.einsum("kfE,fiE->kiE", cin_bnd_all, dvec_gl)
-                rhs_base = rhs_base - c["vg"][None, :, None, None] * dsrc[:, None]
+            else:
+                dsrc = None
+            if self._hoist_rhs:
+                t_old = jnp.einsum(
+                    "ijE,kbjE->kbiE", mass_t, u_g
+                )  # (Km, BS, D, ne)
+                rhs_base = (
+                    c["src_w"][None, :, None, None] * t_tc[None, None]
+                    + c["relax_w"][None, :, None, None] * t_old
+                    - c["vg"][None, :, None, None]
+                    * c["bc_w"][None, :, None, None]
+                    * bsrc[:, None]
+                )  # (Km, BS, D, ne)
+                if dsrc is not None:
+                    rhs_base = (
+                        rhs_base - c["vg"][None, :, None, None] * dsrc[:, None]
+                    )
+            else:
+                rhs_base = None  # assembled per level window instead
             cin_int_all = jnp.where(is_b_all[None], 0.0, cin_all)
 
             if self.has_periodic:
@@ -1310,7 +1336,28 @@ class SourceIterationSolver:
                     shift = off - offc  # slots before `shift`: levels < l
                     sl = lambda a: lax.dynamic_slice_in_dim(a, offc, Ws, axis=-1)
                     u_e = sl(u_g)  # (Km, BS, D, Ws)
-                    rhs = sl(rhs_base)
+                    if self._hoist_rhs:
+                        rhs = sl(rhs_base)
+                    else:
+                        # window-local rhs assembly (memory-tight problems:
+                        # no (Km, BS, D, ne)-sized hoisted temporaries)
+                        t_old_w = jnp.einsum(
+                            "ijw,kbjw->kbiw", sl(mass_t), u_e
+                        )
+                        rhs = (
+                            c["src_w"][None, :, None, None]
+                            * sl(t_tc)[None, None]
+                            + c["relax_w"][None, :, None, None] * t_old_w
+                            - c["vg"][None, :, None, None]
+                            * c["bc_w"][None, :, None, None]
+                            * sl(bsrc)[:, None]
+                        )
+                        if dsrc is not None:
+                            rhs = (
+                                rhs
+                                - c["vg"][None, :, None, None]
+                                * sl(dsrc)[:, None]
+                            )
                     # all faces fused: ONE neighbor gather + ONE coupling einsum
                     npos = sl(nbr_pos)  # (nf, Ws) neighbor position or -1
                     is_b = npos < 0  # boundary

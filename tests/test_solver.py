@@ -208,3 +208,32 @@ def test_setup_budget_1e5_elements():
     dt = time.process_time() - t0
     assert solver.ne == 26 * 26 * 26 * 6
     assert dt < 120.0, f"setup took {dt:.0f}s CPU at ne=105k"
+
+
+def test_scan_window_rhs_matches_hoisted():
+    """The memory-tight window-local rhs assembly (auto-selected when the
+    hoisted (Km, BS, D, ne) temporaries would blow HBM — the legacy
+    16x24-angle tet shape) must be numerically identical to the hoisted
+    form."""
+    import jax.numpy as jnp
+
+    from pbte_tpu.angular import quadrature as ang3
+
+    m = pmesh.make_cartesian_3d(3, 3, 3, "tet").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=2,
+                            face_mode="consistent")
+    quad = ang3.build(ang3.AngularOptions(dimension=3, polar_points=2,
+                                          azimuth_points=4))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    bcs = {a: (0.5 if a == 6 else -0.5) for a in range(1, 7)}
+    s1 = SourceIterationSolver(ops, quad, tables, bcs, dtype=jnp.float64,
+                               sweep_mode="scan", cache_policy="eigen")
+    assert s1._hoist_rhs
+    r1 = s1.solve(tol=0, max_iter=4, verbose=False)
+    s2 = SourceIterationSolver(ops, quad, tables, bcs, dtype=jnp.float64,
+                               sweep_mode="scan", cache_policy="eigen")
+    s2._hoist_rhs = False
+    s2._step = __import__("jax").jit(s2._step_impl)
+    r2 = s2.solve(tol=0, max_iter=4, verbose=False)
+    np.testing.assert_allclose(np.asarray(r1.Tc), np.asarray(r2.Tc),
+                               rtol=1e-13, atol=1e-16)
