@@ -939,10 +939,15 @@ class SourceIterationSolver:
             #   A^-1(vg) = V diag(1/(1 + vg lam)) (V^-1 M^-1)
             # The factors are BAND-INDEPENDENT: storage/transfer shrink ~10x
             # (2 complex D x D per (dir, elem) instead of BS real ones) and
-            # the decomposition count shrinks BS-fold. Measured eigenvector
-            # conditioning is benign (cond(V) ~ 1e2) and f64 reconstruction
-            # error ~1e-14 on flagship operators; the complex pair structure
-            # costs 4x flops on the apply, amortized by the 10x less HBM.
+            # the decomposition count shrinks BS-fold. Eigenvector
+            # conditioning is benign on hex/quad operators (cond(V) ~ 1e2,
+            # f64 reconstruction error ~1e-14) but NOT universally: p=3 tet
+            # operators measured cond(V) up to 7e8, which destroys the
+            # factor pair in f32 (divergence -> NaN around iteration 10).
+            # A conditioning guard below falls back to the on-the-fly
+            # policy when the estimate exceeds the dtype's safe bound.
+            # The complex pair structure costs 4x flops on the apply,
+            # amortized by the ~10x less HBM.
             # complex arithmetic is split into real/imaginary parts (this
             # TPU backend lacks complex einsum)
             #
@@ -970,6 +975,7 @@ class SourceIterationSolver:
                 fmass_r = ops.face_mass[reps]
                 Minv_r = np.linalg.inv(ops.mass[reps])
                 norm_r = ops.normals[reps]  # (ncls, nf, dim)
+                cond_max = 0.0
                 for g in range(G):
                     for k in range(Km):
                         dk = dirs_np[dirs_safe[g, k]]
@@ -979,7 +985,13 @@ class SourceIterationSolver:
                         )
                         C = Minv_r @ G_k  # (ncls, D, D)
                         w, V = np.linalg.eig(C)
-                        Q_c = np.linalg.inv(V) @ Minv_r
+                        Vinv = np.linalg.inv(V)
+                        # Frobenius cond estimate (upper-bound flavor)
+                        cond_max = max(cond_max, float((
+                            np.linalg.norm(V, axis=(1, 2))
+                            * np.linalg.norm(Vinv, axis=(1, 2))
+                        ).max()))
+                        Q_c = Vinv @ Minv_r
                         P[g, k, 0] = V.real.transpose(1, 2, 0)
                         P[g, k, 1] = V.imag.transpose(1, 2, 0)
                         Qm[g, k, 0] = Q_c.real.transpose(1, 2, 0)
@@ -996,6 +1008,7 @@ class SourceIterationSolver:
                 P = np.empty((G, Km, 2, D, D, ne_pad), dtype=np_dtype)
                 Qm = np.empty((G, Km, 2, D, D, ne_pad), dtype=np_dtype)
                 lam = np.empty((G, Km, 2, D, ne_pad), dtype=np_dtype)
+                cond_max = 0.0
                 for g in range(G):
                     Minv_g = np.linalg.inv(mass_g[g])  # (ne, D, D)
                     for k in range(Km):
@@ -1007,6 +1020,10 @@ class SourceIterationSolver:
                         C = Minv_g @ G_k  # (ne, D, D)
                         w, V = np.linalg.eig(C)  # batched complex
                         Vinv = np.linalg.inv(V)
+                        cond_max = max(cond_max, float((
+                            np.linalg.norm(V, axis=(1, 2))
+                            * np.linalg.norm(Vinv, axis=(1, 2))
+                        ).max()))
                         Q_c = Vinv @ Minv_g
                         P[g, k, 0] = V.real.transpose(1, 2, 0)
                         P[g, k, 1] = V.imag.transpose(1, 2, 0)
@@ -1015,7 +1032,23 @@ class SourceIterationSolver:
                         lam[g, k, 0] = w.real.T
                         lam[g, k, 1] = w.imag.T
                 mats = (jax.device_put(P), jax.device_put(Qm), jax.device_put(lam))
-        else:
+            # conditioning guard: ill-conditioned eigenvectors destroy the
+            # V / V^-1 factor pair — per-apply error ~ cond(V) * eps, which
+            # the source iteration amplifies into divergence (p=3 tet
+            # operators measured cond up to 7e8: f32 NaN'd by iteration 10).
+            cond_bound = 1e5 if np_dtype == np.float32 else 1e11
+            if cond_max > cond_bound:
+                import warnings
+
+                warnings.warn(
+                    f"cache_policy='eigen': eigenvector condition estimate "
+                    f"{cond_max:.1e} exceeds the safe bound {cond_bound:.0e} "
+                    f"for {np_dtype}; falling back to on-the-fly factors"
+                )
+                cache_policy = self.cache_policy = "on-the-fly"
+                self._cls = None
+                self.ncls = 0
+        if self.sweep_mode != "ring" and cache_policy == "on-the-fly":
             G_mat = np.empty((G, Km, D, D, ne_pad))
             for g in range(G):
                 G_g = -np.einsum(

@@ -237,3 +237,31 @@ def test_scan_window_rhs_matches_hoisted():
     r2 = s2.solve(tol=0, max_iter=4, verbose=False)
     np.testing.assert_allclose(np.asarray(r1.Tc), np.asarray(r2.Tc),
                                rtol=1e-13, atol=1e-16)
+
+
+def test_eigen_conditioning_fallback_tet_p3():
+    """p=3 tet operators have eigenvector condition numbers up to ~7e8 —
+    the eigen factor pair diverges in f32 (NaN around iteration 10). The
+    conditioning guard must fall back to on-the-fly factors and stay
+    finite/decreasing."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from pbte_tpu.angular import quadrature as ang3
+
+    m = pmesh.make_cartesian_3d(3, 3, 3, "tet").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=3,
+                            face_mode="consistent")
+    quad = ang3.build(ang3.AngularOptions(dimension=3, polar_points=2,
+                                          azimuth_points=4))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    bcs = {a: (0.5 if a == 6 else -0.5) for a in range(1, 7)}
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        s = SourceIterationSolver(ops, quad, tables, bcs, dtype=jnp.float32,
+                                  cache_policy="eigen", sweep_mode="scan")
+    assert s.cache_policy == "on-the-fly"
+    assert any("condition estimate" in str(w.message) for w in rec)
+    res = s.solve(tol=0, max_iter=12, verbose=False)
+    assert np.isfinite(res.residual) and res.residual < 0.5
