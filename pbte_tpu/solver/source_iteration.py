@@ -1074,6 +1074,20 @@ class SourceIterationSolver:
             0.0,
         )
 
+        # on-the-fly factorization working set: the batched inverse keeps
+        # (..., D, D) minor dims, which the (8, 128) tile padding inflates
+        # ~6x at D=20; across all G groups under one vmap this OOM'd the
+        # legacy tet shape. Above the budget, groups run sequentially.
+        inv_ws = (
+            3 * G * Km * BS * self.W
+            * (-(-D // 8) * 8) * 128 * np.dtype(np_dtype).itemsize
+        )
+        self._seq_groups = (
+            self.sweep_mode != "ring"
+            and cache_policy == "on-the-fly"
+            and inv_ws > 6e9
+        )
+
         self.consts = dict(
             mass_t=put(mass_t_g),  # (G, D, D, ne_pad): Mt[g,i,j,p]=mass[e_p,j,i]
             mass=put(np.moveaxis(mass_g, 1, -1)),  # (G, D, D, ne_pad)
@@ -1478,13 +1492,22 @@ class SourceIterationSolver:
         TcT_groups = jnp.moveaxis(TcT[:, c["perm"]], 1, 0)  # (G, D, ne)
 
         extra = (c["dvec"],) if self.has_dirichlet else ()
-        u = jax.vmap(sweep_group)(
+        group_args = (
             u, TcT_groups, c["mass_t"], c["face_int"], c["coupling"],
             c["nbr_pos"], c["bc_T"], c["fdot"], c["mats"], c["mass"],
             c["offsets"], c["counts"],
             c["per_face"], c["per_pos"], c["per_src"], c["per_cpl"],
             c["per_valid"], *extra,
         )
+        if self._seq_groups:
+            # memory-tight shapes: process direction groups sequentially —
+            # the vmap materializes per-group working buffers for ALL G
+            # groups at once (the on-the-fly batched inverse pads its
+            # (..., D, D) minor dims to (8, 128) tiles: 3 x 6.6 GB at the
+            # legacy 24-group tet shape)
+            u = lax.map(lambda a: sweep_group(*a), group_args)
+        else:
+            u = jax.vmap(sweep_group)(*group_args)
 
         # macroscopic closure: per-group partials in group order -> global
         partial = jnp.einsum("gkb,gkbip->gip", c["macro_w"], u)  # (G, D, ne_pad)

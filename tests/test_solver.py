@@ -265,3 +265,32 @@ def test_eigen_conditioning_fallback_tet_p3():
     assert any("condition estimate" in str(w.message) for w in rec)
     res = s.solve(tol=0, max_iter=12, verbose=False)
     assert np.isfinite(res.residual) and res.residual < 0.5
+
+
+def test_sequential_groups_matches_vmap():
+    """lax.map-over-groups (memory-tight on-the-fly shapes) must equal the
+    vmap form."""
+    import jax
+
+    import jax.numpy as jnp
+
+    from pbte_tpu.angular import quadrature as ang3
+
+    m = pmesh.make_cartesian_3d(3, 3, 3, "tet").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=2,
+                            face_mode="consistent")
+    quad = ang3.build(ang3.AngularOptions(dimension=3, polar_points=2,
+                                          azimuth_points=4))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    bcs = {a: (0.5 if a == 6 else -0.5) for a in range(1, 7)}
+    s1 = SourceIterationSolver(ops, quad, tables, bcs, dtype=jnp.float64,
+                               cache_policy="on-the-fly", sweep_mode="scan")
+    assert not s1._seq_groups
+    r1 = s1.solve(tol=0, max_iter=4, verbose=False)
+    s2 = SourceIterationSolver(ops, quad, tables, bcs, dtype=jnp.float64,
+                               cache_policy="on-the-fly", sweep_mode="scan")
+    s2._seq_groups = True
+    s2._step = jax.jit(s2._step_impl)
+    r2 = s2.solve(tol=0, max_iter=4, verbose=False)
+    np.testing.assert_allclose(np.asarray(r1.Tc), np.asarray(r2.Tc),
+                               rtol=1e-13, atol=1e-16)
