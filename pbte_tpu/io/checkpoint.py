@@ -49,7 +49,15 @@ def _expected_u_shape(solver):
         return (solver.pplan.nparts, solver.G, solver.Km, solver.BS,
                 solver.D, solver.ne_max)
     if getattr(solver, "sweep_mode", "scan") == "ring":
-        # bucketed state: a LIST of per-bucket shapes
+        # bucketed state: a LIST of per-bucket shapes; the Pallas kernel
+        # path stores band-major (BS before D) — a checkpoint written by
+        # one path fails the shape check on the other (by design: the
+        # layouts are not interchangeable without a transpose)
+        if getattr(solver, "_use_pallas_ring", False):
+            return [
+                (solver.L, len(gs), km_b, solver.BS, solver.D, solver.W)
+                for gs, km_b in solver._ring_buckets
+            ]
         return [
             (solver.L, len(gs), km_b, solver.D, solver.BS, solver.W)
             for gs, km_b in solver._ring_buckets
@@ -98,16 +106,23 @@ def load_checkpoint(path: str, solver):
             raise ValueError(
                 f"checkpoint has {n} state buckets, solver expects {len(want)}"
             )
+        bufs = []
         for i, w in enumerate(want):
-            got = tuple(data[f"u_{i}"].shape)
+            arr = data[f"u_{i}"]
+            got = tuple(arr.shape)
+            # the XLA ring path stores (..., D, BS, W), the Pallas kernel
+            # path (..., BS, D, W): convert transparently so a checkpoint
+            # written on one platform resumes on the other
+            swapped = w[:3] + (w[4], w[3]) + w[5:]
+            if got != w and got == swapped and w[3] != w[4]:
+                arr = np.swapaxes(arr, 3, 4)
+                got = tuple(arr.shape)
             if got != w:
                 raise ValueError(
                     f"checkpoint u_{i} has shape {got}, solver expects {w}"
                 )
-        u = tuple(
-            jnp.asarray(data[f"u_{i}"], dtype=solver.dtype)
-            for i in range(len(want))
-        )
+            bufs.append(arr)
+        u = tuple(jnp.asarray(a, dtype=solver.dtype) for a in bufs)
     else:
         if "u" not in data or tuple(data["u"].shape) != want:
             got = tuple(data["u"].shape) if "u" in data else None

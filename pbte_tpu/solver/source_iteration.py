@@ -195,6 +195,15 @@ class SourceIterationSolver:
         use_lattice: bool = True,  # shift-structured ring on Cartesian
         # lattice meshes (False forces the general one-hot selection; kept
         # selectable so both ring variants stay testable on every mesh)
+        use_pallas: str = "auto",  # "auto" | "on" | "off": Pallas VMEM ring
+        # kernel for the single-class lattice sweep (ops/lattice_ring.py).
+        # MEASURED SLOWER than the XLA ring at the flagship (22.9 ms/bucket
+        # ~= 45 ms/step vs 31.7 ms: Mosaic emits the 40 per-band
+        # (27,108)@(108,256) dots at ~4.8 TF/s while XLA's batched emitter
+        # reaches 27 TF/s — see ops/lattice_ring.py docstring), so "auto"
+        # resolves to OFF; "on" forces it (interpreted on CPU — slow, for
+        # tests). Ineligible problems (periodic/multi-class/f64/"highest"
+        # precision/sharded) always keep the XLA path.
     ):
         import jax
         import jax.numpy as jnp
@@ -449,6 +458,30 @@ class SourceIterationSolver:
                 self._ring_invMT_cls = np.linalg.inv(
                     np.swapaxes(ops.mass[reps_r], -1, -2)
                 )  # (ncls, D, D)
+
+        # ---- Pallas VMEM ring kernel (ops/lattice_ring.py) -----------------
+        # Eligible: single-class lattice ring, no periodic wraps, f32,
+        # default matmul precision, single device. The kernel's state layout
+        # is (L, G, Km, BS, D, W) (band-major so per-band MXU dots slice the
+        # leading axis) — chosen HERE so every state consumer agrees.
+        self._use_pallas_ring = False
+        self._pallas_interpret = False
+        if (
+            self.sweep_mode == "ring"
+            and self._ring_lattice
+            and self._ring_ccpl
+            and not self.has_periodic
+            and dir_sharding is None
+            and np_dtype == np.float32
+            and matmul_precision in (None, "default")
+        ):
+            env = os.environ.get("PBTE_PALLAS", "")
+            mode = env if env else use_pallas
+            if mode in ("1", "on"):
+                self._use_pallas_ring = True
+                self._pallas_interpret = jax.default_backend() == "cpu"
+            # "auto" resolves to OFF: measured slower than the XLA ring
+            # (Mosaic per-band dot emission, see ops/lattice_ring.py)
 
         # scan-path rhs hoisting: precomputing the (Km, BS, D, ne) rhs base
         # and relaxation term for all G groups costs ~2 state-sized
@@ -1117,6 +1150,14 @@ class SourceIterationSolver:
             **(
                 {
                     "ring_invMT": put(self._ring_invMT),  # (ne, D, D)
+                    # packed per-band weights for the Pallas ring kernel:
+                    # rows [src_w, relax_w, vg*bc_w, vg]
+                    "wvec": put(np.stack([
+                        inv_kn * heat_cap / (self.omega * self.dt_inv),
+                        1.0 - inv_kn / self.dt_inv,
+                        vg_s * heat_cap / self.omega,
+                        vg_s,
+                    ])),  # (4, BS)
                     # per-BUCKET slab constants (groups sliced, Km trimmed):
                     # see self._ring_buckets
                     "ring_b": tuple(
@@ -1223,7 +1264,21 @@ class SourceIterationSolver:
         import jax.numpy as jnp
 
         if self.sweep_mode == "ring":
-            # tuple of per-BUCKET L-MAJOR slabs, (Km_b, D, BS, W) trailing
+            # tuple of per-BUCKET L-MAJOR slabs, (Km_b, D, BS, W) trailing —
+            # or (Km_b, BS, D, W) on the Pallas-kernel path (band-major so
+            # the kernel's per-band MXU dots slice the leading axis)
+            if self._use_pallas_ring:
+                return (
+                    tuple(
+                        jnp.zeros(
+                            (self.L, len(gs), km_b, self.BS, self.D, self.W),
+                            dtype=self.dtype,
+                        )
+                        for gs, km_b in self._ring_buckets
+                    ),
+                    jnp.zeros((self.ne, self.D), dtype=self.dtype),
+                    jnp.zeros((self.ne,), dtype=self.dtype),
+                )
             if self._dir_sharding is not None:
                 u = tuple(
                     jax.device_put(
@@ -1295,6 +1350,8 @@ class SourceIterationSolver:
         from jax import lax
 
         if self.sweep_mode == "ring":
+            if self._use_pallas_ring:
+                return self._step_ring_pallas(c, u, Tc, Tv_prev)
             return self._step_ring(c, u, Tc, Tv_prev)
 
         G, W, L, nf, D = self.G, self.W, self.L, self.nf, self.D
@@ -1516,6 +1573,57 @@ class SourceIterationSolver:
         Tv_new = macroscopic.compute_tv(Tc_new, c["basis_int_glob"])
         res = macroscopic.residual(Tv_new, Tv_prev)
         return u, Tc_new, Tv_new, res
+
+    def _step_ring_pallas(self, c, u, Tc, Tv_prev):
+        """Ring sweep step through the Pallas VMEM kernel
+        (ops/lattice_ring.py): state is a tuple of per-Km-bucket arrays
+        (L, Gb, Km_b, BS, D, W) — band-major, unlike the XLA path. The
+        lagged-temperature slab, the macroscopic closure, and the residual
+        stay in XLA; the per-level sweep recurrence runs entirely in VMEM."""
+        import jax
+        import jax.numpy as jnp
+
+        from pbte_tpu.ops.lattice_ring import lattice_ring_sweep
+
+        G, W, L, D = self.G, self.W, self.L, self.D
+        TcT = Tc.T  # (D, ne)
+        tc_slab = (
+            jnp.transpose(TcT[:, c["perm"]].reshape(D, G, L, W), (2, 1, 0, 3))
+            * c["valid_slab"][:, :, None, :]
+        )  # (L, G, D, W), padded slots zeroed (exact-zero fixed points)
+        massT0 = c["mats"][0][2][0, 0]  # (D, D): single geometry class
+        ttc_all = jnp.einsum("ij,lgjw->lgiw", massT0, tc_slab)
+
+        m_parts = []
+        v_new = []
+        for bi, (gs, km_b) in enumerate(self._ring_buckets):
+            cb = c["ring_b"][bi]
+            ys, ms = lattice_ring_sweep(
+                u[bi], ttc_all[:, gs], cb["bsrc0"],
+                jnp.transpose(cb["cin"], (0, 1, 3, 2, 4)),
+                c["mats"][bi][4], cb["macro_w"], c["wvec"],
+                shifts=self._ring_shift_vals,
+                dsrc=cb.get("dsrc0"),
+                cast_bf16=not self._pallas_interpret,
+                interpret=self._pallas_interpret,
+            )
+            v_new.append(ys)
+            m_parts.append(ms.sum(axis=1))  # (Gb, L, D, W)
+
+        # macroscopic closure (identical to the XLA ring path)
+        order = np.concatenate([gs for gs, _ in self._ring_buckets])
+        inv_order = np.empty(G, dtype=np.int32)
+        inv_order[order] = np.arange(G)
+        m_cat = jnp.concatenate(m_parts, axis=0)[inv_order]  # (G, L, D, W)
+        partial = jnp.transpose(m_cat, (0, 2, 1, 3)).reshape(
+            G, D, self.ne_pad
+        )
+        pos = c["pos_of_elem"]  # (G, ne)
+        Tc_v = jax.vmap(lambda pg, po: pg[:, po])(partial, pos).sum(0).T
+        Tc_new = jnp.einsum("eij,ej->ei", c["ring_invMT"], Tc_v)
+        Tv_new = macroscopic.compute_tv(Tc_new, c["basis_int_glob"])
+        res = macroscopic.residual(Tv_new, Tv_prev)
+        return tuple(v_new), Tc_new, Tv_new, res
 
     def _step_ring(self, c, u, Tc, Tv_prev):
         """Ring sweep step on the bucketed slab-major state: u is a tuple of
@@ -1816,10 +1924,16 @@ class SourceIterationSolver:
             dtype=np.asarray(u[0]).dtype,
         )
         for bi, (gs, km_b) in enumerate(self._ring_buckets):
-            ub = np.asarray(u[bi])  # (L, Gb, Km_b, D, BS, W)
-            ub = ub.transpose(1, 2, 4, 3, 0, 5).reshape(
-                len(gs), km_b, self.BS, self.D, self.ne_pad
-            )
+            if self._use_pallas_ring:
+                ub = np.asarray(u[bi])  # (L, Gb, Km_b, BS, D, W)
+                ub = ub.transpose(1, 2, 3, 4, 0, 5).reshape(
+                    len(gs), km_b, self.BS, self.D, self.ne_pad
+                )
+            else:
+                ub = np.asarray(u[bi])  # (L, Gb, Km_b, D, BS, W)
+                ub = ub.transpose(1, 2, 4, 3, 0, 5).reshape(
+                    len(gs), km_b, self.BS, self.D, self.ne_pad
+                )
             out[gs, :km_b] = ub
         return out
 
