@@ -218,14 +218,9 @@ def main(argv=None) -> int:
                   f"{solver.a0}, W={solver.W} L={solver.L} "
                   f"({time.time()-t0:.1f}s)")
         except NotImplementedError as e:
-            if rc.dirichlet_bcs:
-                raise SystemExit(
-                    "[pbte_tpu] Dirichlet BCs with --parallel need a "
-                    f"lattice mesh (slab solver unavailable: {e})"
-                )
             solver = SpatialShardedSolver(
                 ops, quad, tables, rc.bc_temps, device_mesh=dmesh, topo=topo,
-                dtype=dtype,
+                dtype=dtype, dirichlet_bcs=rc.dirichlet_bcs or None,
             )
             print(f"[pbte_tpu] parallel solver (general mesh: {e}): "
                   f"mesh (dir={n_dir}, space={n_space}), "

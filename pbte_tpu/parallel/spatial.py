@@ -49,6 +49,7 @@ class SpatialShardedSolver:
         partition_method: str = "rcb",
         topo=None,  # MeshTopology (for the partitioner); required
         require_bcs: bool = True,
+        dirichlet_bcs: dict | None = None,
         halo_mode: str = "ppermute",  # "ppermute" (neighbor-to-neighbor,
         # O(interface) traffic) | "psum" (legacy all-reduce, O(P*interface))
     ):
@@ -80,14 +81,21 @@ class SpatialShardedSolver:
         self.dt_inv = float(inv_kn.max())
         vg_s = vg / self.dt_inv
 
-        if ops.periodic.any():
-            raise NotImplementedError(
-                "SpatialShardedSolver does not support periodic meshes yet; "
-                "use SourceIterationSolver (its lagged periodic coupling "
-                "composes with dir_sharding)"
-            )
+        # periodic faces: the partner element's value is read LAGGED (the
+        # previous outer iterate) whether it lives on this partition or
+        # another — the same semantics the single-device solver and the
+        # sequential oracle use (cross-partition partners arrive through the
+        # already-lagged halo; local partners are gathered from the pre-sweep
+        # state). Periodic edges are masked from the local levelization so
+        # they cannot close upwind cycles.
+        self.has_periodic = bool(ops.periodic.any())
+        dirichlet_bcs = dirichlet_bcs or {}
+        self.has_dirichlet = bool(dirichlet_bcs)
         bdry_attrs = set(int(a) for a in np.unique(ops.face_attr[ops.neighbor < 0]))
-        missing = bdry_attrs - set(int(k) for k in bc_temps)
+        missing = (
+            bdry_attrs - set(int(k) for k in bc_temps)
+            - set(int(k) for k in dirichlet_bcs)
+        )
         if missing and require_bcs:
             raise ValueError(
                 f"boundary attributes without isothermal BC: {sorted(missing)}"
@@ -95,9 +103,20 @@ class SpatialShardedSolver:
         bc_T_glob = np.zeros((self.ne, nf))
         for attr, T in bc_temps.items():
             bc_T_glob[ops.face_attr == int(attr)] = float(T)
+        # Dirichlet (legacy type 7): prescribed incoming intensity g —
+        # a static per-face source g * int_F phi (ref: reference Project
+        # PolyFem/PolyIntegral.hpp Dirichlet branch; mirrors oracle.py:49-52)
+        dvec_glob = np.zeros((self.ne, nf, D))
+        for attr, gval in dirichlet_bcs.items():
+            sel = ops.face_attr == int(attr)
+            dvec_glob[sel] = float(gval) * ops.face_int[sel]
 
         # ---- global direction grouping (slot layout shared by all devices) --
-        plan = planner.build_plan(ops.neighbor, ops.normals, quad.directions)
+        # (periodic-masked neighbor table: lagged couplings must not close
+        # upwind cycles, same as the single-device solver)
+        plan = planner.build_plan(
+            ops.sweep_neighbor, ops.normals, quad.directions
+        )
         self.plan = plan
         G = plan.num_groups
         Km = max(len(d) for d in plan.dirs_of_group)
@@ -129,6 +148,9 @@ class SpatialShardedSolver:
             elems = le[p][le[p] >= 0]
             nloc = len(elems)
             loc_nbr = pplan.nbr_local[p, :nloc]  # (nloc, nf) local ids or -1
+            if self.has_periodic:
+                # lagged couplings don't constrain the sweep order
+                loc_nbr = np.where(ops.periodic[elems], -1, loc_nbr)
             loc_norms = ops.normals[elems]  # (nloc, nf, dim)
             levels = planner.compute_levels(loc_nbr, loc_norms, rep_dirs)  # (G, nloc)
             loc_levels_all.append(levels)
@@ -289,6 +311,23 @@ class SpatialShardedSolver:
             nbr_local=puts(np.swapaxes(pplan.nbr_local, 1, 2), (S,), np.int32),
             nbr_iface=puts(np.swapaxes(pplan.nbr_iface, 1, 2), (S,), np.int32),
             bc_T=puts(np.swapaxes(bc_T_glob[le_safe] * le_valid[..., None], 1, 2), (S,)),
+            **(
+                {"dvec": puts(
+                    np.transpose(
+                        dvec_glob[le_safe] * le_valid[..., None, None],
+                        (0, 2, 3, 1),
+                    ), (S,)
+                )}  # (P, nf, D, ne_max)
+                if self.has_dirichlet else {}
+            ),
+            **(
+                {"per_loc": puts(
+                    np.swapaxes(
+                        ops.periodic[le_safe] & le_valid[..., None], 1, 2
+                    ), (S,), np.bool_
+                )}  # (P, nf, ne_max)
+                if self.has_periodic else {}
+            ),
             basis_int=puts(ops.basis_int[le_safe] * le_valid[..., None], (S,)),
             elem_valid=puts(le_valid, (S,), np.bool_),
             vg=puts(np.broadcast_to(vg_s, (1, BS)).copy(), ()),
@@ -365,6 +404,8 @@ class SpatialShardedSolver:
                 macro_w=P(None, None, DIR), levels=P(S),
                 fdot=P(S, None, DIR), iface_src=P(S),
                 halo_send=P(S), halo_recv=P(S),
+                **({"dvec": P(S)} if self.has_dirichlet else {}),
+                **({"per_loc": P(S)} if self.has_periodic else {}),
                 **(
                     {"a_cls": P(None, None, DIR), "cls_loc": P(S)}
                     if self._spatial_cls is not None
@@ -403,6 +444,10 @@ class SpatialShardedSolver:
             src_w = cl["src_w"][0]
             relax_w = cl["relax_w"][0]
             bc_w = cl["bc_w"][0]
+            dvec = cl["dvec"][0] if self.has_dirichlet else None
+            per_loc = cl["per_loc"][0] if self.has_periodic else None
+            # pre-sweep snapshot: lagged source for local periodic partners
+            u_prev = u_l if self.has_periodic else None
 
             # ---- halo exchange: lagged interface coefficients ----
             if self.halo_mode == "psum":
@@ -452,7 +497,15 @@ class SpatialShardedSolver:
                         is_b = (nl < 0) & (nif < 0)
                         fd = fdot_g[:, f, es]
                         cin = jnp.minimum(fd, 0.0)
-                        u_loc = u_g[:, :, :, jnp.where(nl >= 0, nl, 0)]
+                        nl_s = jnp.where(nl >= 0, nl, 0)
+                        u_loc = u_g[:, :, :, nl_s]
+                        if self.has_periodic:
+                            # local periodic partner: previous outer iterate
+                            u_loc = jnp.where(
+                                per_loc[f, es][None, None, None, :],
+                                u_prev_g[:, :, :, nl_s],
+                                u_loc,
+                            )
                         u_rem = halo_g[:, :, :, jnp.where(nif >= 0, nif, 0)]
                         u_nbr = jnp.where((nl >= 0)[None, None, None, :], u_loc, u_rem)
                         cu = jnp.einsum(
@@ -463,6 +516,10 @@ class SpatialShardedSolver:
                             * bc_T[f, es][None, None, None, :]
                             * face_int[f][:, es][None, None, :, :]
                         )
+                        if self.has_dirichlet:
+                            # prescribed-intensity source (no heat_cap/omega
+                            # closure factor — matches oracle.py:89)
+                            bterm = bterm + dvec[f][:, es][None, None]
                         term = jnp.where(is_b[None, None, None, :], bterm, cu)
                         rhs = rhs - vg[None, :, None, None] * cin[:, None, None, :] * term
                     if self._spatial_cls is not None:
@@ -482,6 +539,7 @@ class SpatialShardedSolver:
             outs = []
             for g in range(self.G):
                 halo_g = halo[g]
+                u_prev_g = u_prev[g] if self.has_periodic else None
                 outs.append(sweep_group(u_l[g], levels[g], fdot[g], a_inv[g]))
             u_l = jnp.stack(outs)
 

@@ -222,3 +222,55 @@ def test_greedy_assigns_every_element_balanced():
         counts = np.bincount(part, minlength=nparts)
         ne = topo.elem_neighbor.shape[0]
         assert counts.max() <= -(-ne // nparts) + 1
+
+
+@pytest.mark.parametrize("flavor", ["cross", "local"])
+def test_spatial_sharded_periodic_dirichlet_oracle(flavor):
+    """Periodic wrap + Dirichlet faces on the unstructured DD path
+    (VERDICT r2 item 7): periodic partners are read lagged whether
+    cross-partition (halo buffer) or partition-local (pre-sweep snapshot),
+    Dirichlet is a static source — iterate-exact against the sequential
+    lagged oracle. The two flavors pick partitions that route the wrap
+    through each path."""
+    from pbte_tpu.parallel.spatial import SpatialShardedSolver
+
+    if flavor == "cross":
+        # 4 parts of a square mesh: RCB splits x, every x-wrap pair crosses
+        m = pmesh.make_cartesian_2d(4, 4, pmesh.GEOM_TRIANGLE).scaled(1e-6)
+        n_space = 4
+    else:
+        # 2 parts of a tall mesh: RCB splits y, every x-wrap pair is local
+        m = pmesh.make_cartesian_2d(4, 8, pmesh.GEOM_TRIANGLE).scaled(1e-6)
+        n_space = 2
+    m = pmesh.make_periodic(m, [0])  # wrap x: attrs 2/4 disappear
+    topo = pmesh.connect(m)
+    ops = assembly.assemble(topo, order=1)
+    quad = ang.build(ang.AngularOptions(dimension=2, azimuth_points=8))
+    tables = mat.build_tables(mat.SILICON, num_spectral=3)
+    attrs = sorted(int(a) for a in np.unique(ops.face_attr[ops.neighbor < 0]))
+    top = max(attrs)
+    bcs = {a: -0.5 for a in attrs if a != top}
+
+    mesh = _device_mesh(2, n_space)
+    solver = SpatialShardedSolver(
+        ops, quad, tables, bcs, device_mesh=mesh, topo=topo,
+        dirichlet_bcs={top: 0.25},
+    )
+    assert solver.has_periodic and solver.has_dirichlet
+    per_e, per_f = np.nonzero(ops.periodic)
+    cross = solver.pplan.part[per_e] != solver.pplan.part[
+        ops.neighbor[per_e, per_f]
+    ]
+    assert cross.all() if flavor == "cross" else not cross.any()
+
+    uo, Tco, *_ = solve_oracle(
+        ops, quad, tables, bcs, tol=0, max_iter=4,
+        part=solver.pplan.part, dirichlet={top: 0.25},
+    )
+    u, Tc, Tv = solver.initial_state()
+    prev = Tv
+    for _ in range(4):
+        u, Tc_new, Tv_new, r = solver.step(u, Tc, prev)
+        prev, Tc = Tv_new, Tc_new
+    np.testing.assert_allclose(solver.gather_Tc(Tc), Tco, rtol=1e-10,
+                               atol=1e-14)
