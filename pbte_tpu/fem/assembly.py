@@ -99,6 +99,13 @@ class ElementOps:
     def faces_per_elem(self) -> int:
         return self.face_mass.shape[1]
 
+    @property
+    def face_valid(self) -> np.ndarray:
+        """(ne, nf) bool — False on the padded face slots of mixed-geometry
+        meshes (zero normals, -1 neighbor, zero operators: no-ops in sweep
+        and rhs). Single-geometry meshes are all-True."""
+        return np.abs(self.normals).sum(axis=-1) > 0.0
+
 
 def _map_jacobian(geom: str, Xv: np.ndarray, pts: np.ndarray) -> np.ndarray:
     """J[..., d, k] = d x_d / d r_k at ref points. Xv (E, nv, dim),
@@ -182,6 +189,15 @@ def assemble(
         raise ValueError(f"unknown face_mode: {face_mode}")
     if volume_mode not in ("quadrature", "exact"):
         raise ValueError(f"unknown volume_mode: {volume_mode}")
+    if topo.mesh.geom == mesh_core.GEOM_MIXED:
+        if volume_mode == "exact":
+            raise ValueError(
+                "volume_mode='exact' is affine-simplex only; mixed meshes "
+                "contain quads"
+            )
+        return _assemble_mixed(
+            topo, order, volume_degree, face_degree, chunk, face_mode
+        )
     mesh = topo.mesh
     geom = mesh.geom
     dim = mesh.dim
@@ -279,6 +295,174 @@ def assemble(
 
     return ElementOps(
         geom=geom,
+        order=order,
+        dim=dim,
+        basis_int=basis_int,
+        mass=mass,
+        stiff=stiff,
+        face_mass=face_mass,
+        face_int=face_int,
+        coupling=coupling,
+        normals=topo.normals.copy(),
+        neighbor=topo.elem_neighbor.copy(),
+        face_attr=topo.elem_face_attr.copy(),
+        periodic=topo.elem_face_periodic.copy(),
+    )
+
+
+def _assemble_mixed(
+    topo: mesh_core.MeshTopology,
+    order: int,
+    volume_degree: int | None,
+    face_degree: int | None,
+    chunk: int,
+    face_mode: str,
+) -> ElementOps:
+    """assemble() for 2D mixed triangle+quad meshes (mesh.geom == "mixed").
+
+    Operators are assembled per geometry group and right-padded to
+    Dmax = max ndof over member geometries and nf_max face slots:
+    - padded DOF rows/cols are zero in every operator EXCEPT mass, which
+      gets 1.0 on the padded diagonal so per-element transport matrices
+      stay invertible; padded dofs receive zero rhs everywhere (basis_int,
+      face_int, coupling rows are zero) and therefore remain exactly 0
+      through the solve and the macroscopic mass-solves.
+    - padded face slots (a triangle's 4th) carry zero normals, -1 neighbor,
+      attr 0 and zero face operators — no-ops in sweep and rhs alike.
+    Cross-geometry interior faces integrate the self basis against the
+    NEIGHBOR's own-geometry basis on the shared segment, so upwind coupling
+    is exact across the tri/quad interface. The reference's MFEM tree gets
+    mixed meshes for free from mfem::FiniteElementSpace; the legacy tree is
+    single-geometry (ref: Reference Project/include/SpatialMesh/
+    SpatialMesh.hpp element templates).
+    """
+    mesh = topo.mesh
+    dim = mesh.dim
+    ne = mesh.num_elements
+    nf = topo.faces_per_elem
+    egeom = mesh.elem_geom
+    codes = [int(c) for c in np.unique(egeom)]
+    geoms = {c: mesh_core.MFEM_GEOM_CODES[c] for c in codes}
+    bases = {c: ref.basis(g, order) for c, g in geoms.items()}
+    Dmax = max(b.ndof for b in bases.values())
+    origin_c = {c: bases[c].eval(np.zeros((1, dim)))[0] for c in codes}
+
+    vdeg = volume_degree if volume_degree is not None else 2 * order + 1
+    fdeg = face_degree if face_degree is not None else 2 * order + 1
+    # 2D: every face is a segment; tri and quad share the same face rule
+    fpts, fw = quad.face_rule(geoms[codes[0]], fdeg)
+    face_nv = topo.face_verts.shape[1]
+    fbary = _face_bary(face_nv, fpts)
+
+    basis_int = np.zeros((ne, Dmax))
+    mass = np.zeros((ne, Dmax, Dmax))
+    stiff = np.zeros((ne, dim, Dmax, Dmax))
+    face_mass = np.zeros((ne, nf, Dmax, Dmax))
+    face_int = np.zeros((ne, nf, Dmax))
+    coupling = np.zeros((ne, nf, Dmax, Dmax))
+
+    verts = mesh.vertices
+    ev = mesh.elem_verts
+    nbr_all = topo.elem_neighbor
+    nbr_code = np.where(nbr_all >= 0, egeom[np.maximum(nbr_all, 0)], -1)
+    first_of_code = {c: int(np.flatnonzero(egeom == c)[0]) for c in codes}
+
+    for c in codes:
+        g = geoms[c]
+        b = bases[c]
+        D = b.ndof
+        nv = mesh_core.GEOM_NV[g]
+        nfg = mesh_core.GEOM_NF[g]
+        es = np.flatnonzero(egeom == c)
+        rD = np.arange(D)
+        rF = np.arange(nfg)
+        vpts, vw = quad.volume_rule(g, vdeg)
+        S = b.eval(vpts)  # (Q, D)
+        Gref = b.eval_grad(vpts)  # (Q, D, dim)
+
+        for start in range(0, len(es), chunk):
+            sel = es[start : start + chunk]
+            E = len(sel)
+            Xv = verts[ev[sel][:, :nv]]  # (E, nv, dim)
+
+            J = _map_jacobian(g, Xv, vpts)
+            detJ = np.linalg.det(J)
+            Jinv = np.linalg.inv(J)
+            wdet = vw[None, :] * detJ  # (E, Q)
+
+            basis_int[sel[:, None], rD] = np.einsum("eq,qi->ei", wdet, S)
+            mass[np.ix_(sel, rD, rD)] = np.einsum(
+                "eq,qi,qj->eij", wdet, S, S
+            )
+            gphys = np.einsum("qik,eqkd->eqid", Gref, Jinv)
+            stiff[np.ix_(sel, np.arange(dim), rD, rD)] = np.einsum(
+                "eq,eqid,qj->edij", wdet, gphys, S
+            )
+
+            # --- faces: slots 0..nfg-1 are the real ones (connect() sorts
+            # -1 padding to the end) ---
+            fids = topo.elem_face[sel][:, :nfg]  # (E, nfg), all valid
+            fverts = topo.face_verts[fids]
+            Xf = verts[fverts]  # (E, nfg, nv_f, dim)
+            Xq = np.einsum("qv,efvd->efqd", fbary, Xf)
+            meas = _face_measure(
+                Xf.reshape(E * nfg, face_nv, dim), face_nv, fpts
+            ).reshape(E, nfg, -1)
+            wf = fw[None, None, :] * meas  # (E, nfg, Qf)
+
+            nbr = nbr_all[sel][:, :nfg]
+            has_nbr = nbr >= 0
+            ncode = nbr_code[sel][:, :nfg]
+
+            if face_mode == "mfem-parity":
+                cself = origin_c[c]
+                measure = wf.sum(axis=-1)  # (E, nfg)
+                face_int[np.ix_(sel, rF, rD)] = measure[..., None] * cself
+                face_mass[np.ix_(sel, rF, rD, rD)] = measure[
+                    ..., None, None
+                ] * np.outer(cself, cself)
+                cn = np.zeros((E, nfg, Dmax))
+                for cc in codes:
+                    mk = ncode == cc
+                    cn[mk, : bases[cc].ndof] = origin_c[cc]
+                cpl = np.einsum("ef,i,efj->efij", measure, cself, cn)
+            else:
+                Xv_rep = np.broadcast_to(
+                    Xv[:, None], (E, nfg) + Xv.shape[1:]
+                )
+                r_self = inverse_map(g, Xv_rep, Xq)
+                S_self = b.eval(r_self)  # (E, nfg, Qf, D)
+                face_int[np.ix_(sel, rF, rD)] = np.einsum(
+                    "efq,efqi->efi", wf, S_self
+                )
+                face_mass[np.ix_(sel, rF, rD, rD)] = np.einsum(
+                    "efq,efqi,efqj->efij", wf, S_self, S_self
+                )
+                Xq_nbr = Xq + topo.periodic_offset[sel][:, :nfg, None, :]
+                cpl = np.zeros((E, nfg, D, Dmax))
+                for cc in codes:
+                    mk = ncode == cc
+                    if not mk.any():
+                        continue
+                    gn, bn = geoms[cc], bases[cc]
+                    nvn, Dn = mesh_core.GEOM_NV[gn], bn.ndof
+                    nbr_eval = np.where(mk, nbr, first_of_code[cc])
+                    Xv_nbr = verts[ev[nbr_eval][:, :, :nvn]]
+                    r_nbr = inverse_map(gn, Xv_nbr, Xq_nbr)
+                    S_nbr = bn.eval(r_nbr)  # (E, nfg, Qf, Dn)
+                    cpl_cc = np.einsum(
+                        "efq,efqi,efqj->efij", wf, S_self, S_nbr
+                    )
+                    cpl[mk, :, :Dn] = cpl_cc[mk]
+            cpl = np.where(has_nbr[..., None, None], cpl, 0.0)
+            coupling[np.ix_(sel, rF, rD, np.arange(Dmax))] = cpl
+
+        # identity-pad the mass diagonal (invertibility; see docstring)
+        for d in range(D, Dmax):
+            mass[es, d, d] = 1.0
+
+    return ElementOps(
+        geom=mesh_core.GEOM_MIXED,
         order=order,
         dim=dim,
         basis_int=basis_int,

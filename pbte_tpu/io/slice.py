@@ -33,12 +33,19 @@ def locate_points(mesh: mesh_core.MeshData, pts: np.ndarray, tol: float = 1e-10)
     ne = mesh.num_elements
     n = len(pts)
     dim = mesh.dim
-    Xv = mesh.vertices[mesh.elem_verts]  # (ne, nv, dim)
-    lo = Xv.min(axis=1)  # (ne, dim)
-    hi = Xv.max(axis=1)
+    ev = mesh.elem_verts
+    vmask = ev >= 0  # mixed meshes right-pad with -1
+    Xv = mesh.vertices[np.where(vmask, ev, 0)]  # (ne, nv, dim)
+    lo = np.where(vmask[..., None], Xv, np.inf).min(axis=1)  # (ne, dim)
+    hi = np.where(vmask[..., None], Xv, -np.inf).max(axis=1)
     # slack generously covers the ref-coord tolerance mapped to physical space
     slack = (hi - lo) * 1e-6 + tol * np.maximum((hi - lo).max(), 1.0)
-    simplex = mesh.geom in (mesh_core.GEOM_TRIANGLE, mesh_core.GEOM_TET)
+
+    def geom_of(e):
+        if mesh.geom == mesh_core.GEOM_MIXED:
+            return mesh_core.MFEM_GEOM_CODES[int(mesh.elem_geom[e])]
+        return mesh.geom
+
     elem = np.full(n, -1, dtype=np.int64)
     ref = np.zeros((n, dim))
     remaining = np.arange(n)
@@ -52,8 +59,10 @@ def locate_points(mesh: mesh_core.MeshData, pts: np.ndarray, tol: float = 1e-10)
         if not cand.any():
             continue
         idx = remaining[cand]
-        r = fem_assembly.inverse_map(mesh.geom, Xv[e][None], pts[idx][None])[0]
-        if simplex:
+        g = geom_of(e)
+        nv = mesh_core.GEOM_NV[g]
+        r = fem_assembly.inverse_map(g, Xv[e, :nv][None], pts[idx][None])[0]
+        if g in (mesh_core.GEOM_TRIANGLE, mesh_core.GEOM_TET):
             inside = np.all(r >= -tol, axis=-1) & (r.sum(-1) <= 1.0 + tol)
         else:
             inside = np.all((r >= -tol) & (r <= 1.0 + tol), axis=-1)
@@ -70,9 +79,24 @@ def sample_field(mesh: mesh_core.MeshData, order: int, coeffs: np.ndarray,
                  pts: np.ndarray, tol: float = 1e-10):
     """Evaluate a DG field (coeffs (ne, D)) at points; NaN where not found."""
     elem, ref = locate_points(mesh, pts, tol)
-    b = fem_ref.basis(mesh.geom, order)
-    shape = b.eval(ref)  # (n, D)
-    vals = np.einsum("ni,ni->n", coeffs[np.where(elem >= 0, elem, 0)], shape)
+    esafe = np.where(elem >= 0, elem, 0)
+    if mesh.geom == mesh_core.GEOM_MIXED:
+        vals = np.zeros(len(pts))
+        egeom = mesh.elem_geom
+        for code in np.unique(egeom):
+            g = mesh_core.MFEM_GEOM_CODES[int(code)]
+            b = fem_ref.basis(g, order)
+            mask = (elem >= 0) & (egeom[esafe] == code)
+            if not mask.any():
+                continue
+            shape = b.eval(ref[mask])  # (nm, Dg)
+            vals[mask] = np.einsum(
+                "ni,ni->n", coeffs[elem[mask]][:, : b.ndof], shape
+            )
+    else:
+        b = fem_ref.basis(mesh.geom, order)
+        shape = b.eval(ref)  # (n, D)
+        vals = np.einsum("ni,ni->n", coeffs[esafe], shape)
     return np.where(elem >= 0, vals, np.nan)
 
 

@@ -75,28 +75,58 @@ def write_vtu(mesh, order, scalar_fields=None, vector_fields=None,
     ne = mesh.num_elements
     dim = mesh.dim
 
-    b = fref.basis(mesh.geom, order)
-    ref_pts, sub_conn = _ref_lattice(mesh.geom, lod)
-    P = len(ref_pts)  # sample points per element
-    C = len(sub_conn)  # sub-cells per element
-    shape = b.eval(ref_pts)  # (P, D) DG basis at sample points
-    vshape = fref.vertex_shape(mesh.geom, ref_pts)  # (P, nv_e) geometry map
+    # Geometry groups: one for single-geometry meshes, one per member
+    # geometry for mixed (cells may interleave freely in VTU; only the
+    # point/connectivity bookkeeping must stay consistent).
+    if mesh.geom == mesh_core.GEOM_MIXED:
+        groups = [
+            (mesh_core.MFEM_GEOM_CODES[int(c)],
+             np.flatnonzero(mesh.elem_geom == c))
+            for c in np.unique(mesh.elem_geom)
+        ]
+    else:
+        groups = [(mesh.geom, np.arange(ne))]
 
-    # physical sample points per element: (ne, P, dim) -> flat
-    Xv = mesh.vertices[mesh.elem_verts]  # (ne, nv_e, dim)
-    pts = np.einsum("pv,evd->epd", vshape, Xv).reshape(ne * P, dim)
+    pts_blocks, conn_rows, ctype_blocks, eval_plan = [], [], [], []
+    base = 0
+    for g, es in groups:
+        b = fref.basis(g, order)
+        ref_pts, sub_conn = _ref_lattice(g, lod)
+        P = len(ref_pts)  # sample points per element
+        C = len(sub_conn)  # sub-cells per element
+        shape = b.eval(ref_pts)  # (P, Dg) DG basis at sample points
+        vshape = fref.vertex_shape(g, ref_pts)  # (P, nv_e) geometry map
+        nv = mesh_core.GEOM_NV[g]
+        Xv = mesh.vertices[mesh.elem_verts[es][:, :nv]]
+        pts_blocks.append(
+            np.einsum("pv,evd->epd", vshape, Xv).reshape(len(es) * P, dim)
+        )
+        conn = (
+            sub_conn[None, :, :]
+            + base
+            + P * np.arange(len(es))[:, None, None]
+        ).reshape(len(es) * C, -1)
+        conn_rows.extend(conn)
+        ctype_blocks.append(np.full(len(es) * C, _VTK_CELL[g]))
+        eval_plan.append((es, shape))
+        base += len(es) * P
+
+    pts = np.vstack(pts_blocks)
     if dim == 2:
         pts = np.hstack([pts, np.zeros((len(pts), 1))])
-
-    conn = (sub_conn[None, :, :] + P * np.arange(ne)[:, None, None]).reshape(
-        ne * C, -1
-    )
-    nv_cell = conn.shape[1]
-    offsets = (np.arange(ne * C) + 1) * nv_cell
-    ctype = np.full(ne * C, _VTK_CELL[mesh.geom])
+    npts = base
+    ncells = len(conn_rows)
+    offsets = np.cumsum([len(r) for r in conn_rows])
+    ctype = np.concatenate(ctype_blocks)
 
     def eval_at_pts(coeffs):
-        return np.einsum("ei,pi->ep", np.asarray(coeffs), shape).reshape(-1)
+        coeffs = np.asarray(coeffs)
+        return np.concatenate([
+            np.einsum(
+                "ei,pi->ep", coeffs[es][:, : shape.shape[1]], shape
+            ).reshape(-1)
+            for es, shape in eval_plan
+        ])
 
     path = prefix + ".vtu"
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -105,7 +135,7 @@ def write_vtu(mesh, order, scalar_fields=None, vector_fields=None,
         f.write('<VTKFile type="UnstructuredGrid" version="0.1" '
                 'byte_order="LittleEndian">\n')
         f.write("  <UnstructuredGrid>\n")
-        f.write(f'    <Piece NumberOfPoints="{ne * P}" NumberOfCells="{ne * C}">\n')
+        f.write(f'    <Piece NumberOfPoints="{npts}" NumberOfCells="{ncells}">\n')
         f.write("      <Points>\n")
         f.write('        <DataArray type="Float64" NumberOfComponents="3" '
                 'format="ascii">\n')
@@ -114,7 +144,7 @@ def write_vtu(mesh, order, scalar_fields=None, vector_fields=None,
         f.write("        </DataArray>\n      </Points>\n")
         f.write("      <Cells>\n")
         f.write('        <DataArray type="Int64" Name="connectivity" format="ascii">\n')
-        for row in conn:
+        for row in conn_rows:
             f.write("          " + " ".join(map(str, row)) + "\n")
         f.write("        </DataArray>\n")
         f.write('        <DataArray type="Int64" Name="offsets" format="ascii">\n')

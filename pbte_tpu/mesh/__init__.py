@@ -7,6 +7,7 @@ and the legacy SpatialMesh<dim> object graph. Meshes are flat numpy arrays
 
 from pbte_tpu.mesh.core import (  # noqa: F401
     GEOM_HEX,
+    GEOM_MIXED,
     GEOM_QUAD,
     GEOM_TET,
     GEOM_TRIANGLE,
@@ -16,7 +17,12 @@ from pbte_tpu.mesh.core import (  # noqa: F401
     make_periodic,
     finalize,
 )
-from pbte_tpu.mesh.builtins import load_builtin, make_cartesian_2d, make_cartesian_3d  # noqa: F401
+from pbte_tpu.mesh.builtins import (  # noqa: F401
+    load_builtin,
+    make_cartesian_2d,
+    make_cartesian_3d,
+    make_mixed_2d,
+)
 from pbte_tpu.mesh.mfem_io import load_mfem_mesh, parse_mfem_mesh, write_mfem_mesh  # noqa: F401
 from pbte_tpu.mesh.refine import uniform_refine  # noqa: F401
 

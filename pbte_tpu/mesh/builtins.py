@@ -71,6 +71,64 @@ def make_cartesian_2d(
     return core.finalize(mesh)
 
 
+def make_mixed_2d(
+    nx: int, ny: int, sx: float = 1.0, sy: float = 1.0
+) -> core.MeshData:
+    """Mixed 2D mesh: quads on the left half of the grid (i < nx // 2),
+    each right-half cell split into two triangles — a conforming
+    triangle/quad interface along the mid-line. Boundary attributes follow
+    the Cartesian convention (bottom=1, right=2, top=3, left=4)."""
+    xs = np.linspace(0.0, sx, nx + 1)
+    ys = np.linspace(0.0, sy, ny + 1)
+    X, Y = np.meshgrid(xs, ys, indexing="xy")
+    vertices = np.stack([X.reshape(-1), Y.reshape(-1)], axis=-1)
+
+    def vid(i, j):
+        return j * (nx + 1) + i
+
+    elems, geoms = [], []
+    tri = core.MFEM_CODE_OF_GEOM[core.GEOM_TRIANGLE]
+    qd = core.MFEM_CODE_OF_GEOM[core.GEOM_QUAD]
+    for j in range(ny):
+        for i in range(nx):
+            v0, v1, v2, v3 = (
+                vid(i, j), vid(i + 1, j), vid(i + 1, j + 1), vid(i, j + 1)
+            )
+            if i < nx // 2:
+                elems.append([v0, v1, v2, v3])
+                geoms.append(qd)
+            else:
+                elems.append([v0, v1, v2, -1])
+                geoms.append(tri)
+                elems.append([v0, v2, v3, -1])
+                geoms.append(tri)
+
+    bdry, battr = [], []
+    for i in range(nx):  # bottom=1, top=3
+        bdry.append([vid(i, 0), vid(i + 1, 0)])
+        battr.append(1)
+        bdry.append([vid(i + 1, ny), vid(i, ny)])
+        battr.append(3)
+    for j in range(ny):  # right=2, left=4
+        bdry.append([vid(nx, j), vid(nx, j + 1)])
+        battr.append(2)
+        bdry.append([vid(0, j + 1), vid(0, j)])
+        battr.append(4)
+
+    mesh = core.MeshData(
+        dim=2,
+        geom=core.GEOM_MIXED,
+        vertices=vertices,
+        elem_verts=np.asarray(elems, dtype=np.int32),
+        elem_attr=np.ones(len(elems), dtype=np.int32),
+        bdry_verts=np.asarray(bdry, dtype=np.int32),
+        bdry_attr=np.asarray(battr, dtype=np.int32),
+        source=f"builtin-mixed2d-{nx}x{ny}",
+        elem_geom=np.asarray(geoms, dtype=np.int32),
+    )
+    return core.finalize(mesh)
+
+
 # The 6-tet split of a cube used by MFEM's Make3D — matches the committed
 # unit-cube-tet-iso.mesh asset exactly (tets over local corners 0..7).
 _SIX_TET_SPLIT = (
@@ -168,4 +226,6 @@ def load_builtin(name: str) -> core.MeshData:
         return make_cartesian_3d(DEFAULT_N3D, DEFAULT_N3D, DEFAULT_N3D, core.GEOM_TET)
     if name == "unit-cube-hex":
         return make_cartesian_3d(DEFAULT_N3D, DEFAULT_N3D, DEFAULT_N3D, core.GEOM_HEX)
+    if name == "unit-square-mixed":  # this repo only: tri+quad interface demo
+        return make_mixed_2d(DEFAULT_N2D, DEFAULT_N2D)
     raise ValueError(f"unrecognized built-in mesh name: {name}")

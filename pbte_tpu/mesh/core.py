@@ -72,6 +72,13 @@ LOCAL_EDGES = {
 
 GEOM_DIM = {GEOM_TRIANGLE: 2, GEOM_QUAD: 2, GEOM_TET: 3, GEOM_HEX: 3}
 GEOM_NV = {GEOM_TRIANGLE: 3, GEOM_QUAD: 4, GEOM_TET: 4, GEOM_HEX: 8}
+GEOM_NF = {GEOM_TRIANGLE: 3, GEOM_QUAD: 4, GEOM_TET: 4, GEOM_HEX: 6}
+
+# Mixed-geometry meshes (2D triangle+quad only: in 3D a conforming tet/hex
+# interface needs prism/pyramid elements, which the reference lacks too).
+# `MeshData.geom == GEOM_MIXED`, per-element geometry in `elem_geom` (MFEM
+# codes), `elem_verts` right-padded with -1 to the widest geometry.
+GEOM_MIXED = "mixed"
 
 
 @dataclasses.dataclass
@@ -91,6 +98,9 @@ class MeshData:
     # Survives scaled()/replace(); NOT preserved by uniform_refine (new
     # midpoint vertices) — call make_periodic after refining instead.
     periodic_node_maps: list = None
+    # geom == GEOM_MIXED only: per-element MFEM geometry code (ne,) int32;
+    # elem_verts is right-padded with -1 to the widest member geometry
+    elem_geom: np.ndarray = None
 
     @property
     def num_elements(self) -> int:
@@ -220,6 +230,12 @@ def finalize(mesh: MeshData) -> MeshData:
     if mesh.geom == GEOM_TET:
         ev = _mark_tets(mesh.elem_verts, mesh.vertices)
         return dataclasses.replace(mesh, elem_verts=ev)
+    if mesh.geom == GEOM_MIXED:
+        tri = mesh.elem_geom == MFEM_CODE_OF_GEOM[GEOM_TRIANGLE]
+        if tri.any():
+            ev = mesh.elem_verts.copy()
+            ev[tri, :3] = _rotate_triangles(ev[tri, :3], mesh.vertices)
+            return dataclasses.replace(mesh, elem_verts=ev)
     return mesh
 
 
@@ -253,6 +269,8 @@ def connect(mesh: MeshData) -> MeshTopology:
     MFEM GetElementToFaceTable): ~O(ne log ne) host setup instead of a
     Python loop, ~100x faster at ne=1e5 (see tests/test_mesh.py cross-check
     against the retained dict implementation)."""
+    if mesh.geom == GEOM_MIXED:
+        return _connect_mixed(mesh)
     geom = mesh.geom
     local_faces = LOCAL_FACES[geom]
     nf = len(local_faces)
@@ -334,6 +352,123 @@ def connect(mesh: MeshData) -> MeshTopology:
     if not node_maps:
         merged = getattr(mesh, "periodic_node_pairs", None)
         node_maps = [merged] if merged else None
+    if node_maps:
+        _wire_periodic(topo, node_maps)
+    return topo
+
+
+def _connect_mixed(mesh: MeshData) -> MeshTopology:
+    """connect() for 2D mixed triangle+quad meshes.
+
+    Per-element face slots are right-padded to nf_max = 4: padded slots get
+    elem_face/elem_neighbor = -1, attr 0, and ZERO normals — every consumer
+    treats them as no-ops (upwind inflow n.s = 0, zero face operators).
+    Face numbering stays FIRST-SEEN over the (element, local-face) scan
+    with each element contributing its own geometry's faces, so the MFEM
+    conventions (module docstring) carry over unchanged. All faces are
+    2-vertex segments (dim 2), so cross-geometry face matching is exact."""
+    if mesh.dim != 2:
+        raise ValueError(
+            "mixed-geometry meshes are supported in 2D only (a conforming "
+            "3D tet/hex interface would need prism/pyramid elements)"
+        )
+    ne = mesh.num_elements
+    dim = 2
+    egeom = mesh.elem_geom
+    if egeom is None:
+        raise ValueError("geom='mixed' requires MeshData.elem_geom")
+    ev = mesh.elem_verts  # (ne, nv_max), -1 padded
+    nf_max = max(
+        GEOM_NF[MFEM_GEOM_CODES[int(c)]] for c in np.unique(egeom)
+    )
+
+    # (ne, nf_max, 2) face-vertex lists in scan order, -1 on padded slots
+    all_fv = np.full((ne, nf_max, 2), -1, dtype=np.int64)
+    for code in np.unique(egeom):
+        g = MFEM_GEOM_CODES[int(code)]
+        lf = np.asarray(LOCAL_FACES[g])  # (nf_g, 2)
+        es = np.flatnonzero(egeom == code)
+        all_fv[es, : len(lf)] = ev[np.ix_(es, lf.ravel())].reshape(
+            len(es), len(lf), 2
+        )
+    valid = all_fv[..., 0] >= 0  # (ne, nf_max)
+    flat_valid = valid.reshape(-1)
+    fv_v = all_fv.reshape(-1, 2)[flat_valid]  # valid slots, scan order
+
+    keys = _face_keys(fv_v)
+    uniq, first_slot, inv, counts = np.unique(
+        keys, return_index=True, return_inverse=True, return_counts=True
+    )
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[np.argsort(first_slot, kind="stable")] = np.arange(len(uniq))
+    fid_v = rank[inv]
+    nfaces = len(uniq)
+    first_seen = np.empty(nfaces, dtype=np.int64)
+    first_seen[rank] = first_slot
+    face_verts = fv_v[first_seen].astype(np.int32)
+
+    # valid scan slot -> owning element
+    slot_elem = np.repeat(np.arange(ne), nf_max)[flat_valid]
+    grouped = np.argsort(fid_v, kind="stable")
+    starts = np.searchsorted(fid_v[grouped], np.arange(nfaces))
+    cnt = np.empty(nfaces, dtype=np.int64)
+    cnt[rank] = counts
+    face_elems = np.full((nfaces, 2), -1, dtype=np.int32)
+    face_elems[:, 0] = slot_elem[grouped[starts]]
+    two = cnt >= 2
+    face_elems[two, 1] = slot_elem[grouped[starts[two] + 1]]
+
+    elem_face = np.full((ne, nf_max), -1, dtype=np.int32)
+    elem_face.reshape(-1)[flat_valid] = fid_v
+
+    face_attr = np.zeros(nfaces, dtype=np.int32)
+    if len(mesh.bdry_verts):
+        bkeys = _face_keys(mesh.bdry_verts)
+        pos = np.searchsorted(uniq, bkeys)
+        pos_c = np.minimum(pos, len(uniq) - 1)
+        hit = uniq[pos_c] == bkeys
+        face_attr[rank[pos_c[hit]]] = mesh.bdry_attr[hit]
+
+    # per-element sort by global face id, -1 padding pushed last
+    sort_key = np.where(elem_face >= 0, elem_face, np.iinfo(np.int32).max)
+    order = np.argsort(sort_key, axis=1, kind="stable")
+    elem_face = np.take_along_axis(elem_face, order, axis=1)
+    fvalid = elem_face >= 0
+    ef_safe = np.where(fvalid, elem_face, 0)
+
+    e1 = face_elems[ef_safe, 0]
+    e2 = face_elems[ef_safe, 1]
+    own = np.arange(ne, dtype=np.int32)[:, None]
+    elem_neighbor = np.where(
+        fvalid, np.where(e1 == own, e2, e1), -1
+    ).astype(np.int32)
+    elem_face_attr = np.where(fvalid, face_attr[ef_safe], 0)
+    elem_face_attr = np.where(elem_neighbor < 0, elem_face_attr, 0)
+
+    base_normals = _face_normal_from_verts(face_verts, mesh.vertices, dim)
+    # vertex centroid over each element's REAL vertices
+    nv_e = (ev >= 0).sum(axis=1)
+    centroids = (
+        mesh.vertices[np.where(ev >= 0, ev, 0)] * (ev >= 0)[..., None]
+    ).sum(axis=1) / nv_e[:, None]
+    face_centroids = mesh.vertices[face_verts].mean(axis=1)
+    n = base_normals[ef_safe]
+    to_face = face_centroids[ef_safe] - centroids[:, None, :]
+    flip = np.sum(n * to_face, axis=-1) < 0.0
+    normals = np.where(flip[..., None], -n, n) * fvalid[..., None]
+
+    topo = MeshTopology(
+        mesh=mesh,
+        face_verts=face_verts,
+        face_elems=face_elems,
+        face_attr=face_attr,
+        elem_face=elem_face,
+        elem_neighbor=elem_neighbor,
+        elem_face_attr=elem_face_attr,
+        normals=normals,
+        centroids=centroids,
+    )
+    node_maps = mesh.periodic_node_maps
     if node_maps:
         _wire_periodic(topo, node_maps)
     return topo

@@ -90,12 +90,32 @@ def parse_gmsh_mesh(text: str, source: str = "") -> core.MeshData:
     if not vol_elems:
         raise ValueError("gmsh file contains no volume elements")
     geom_codes = {e[0] for e in vol_elems}
+    elem_geom = None
     if len(geom_codes) > 1:
-        raise ValueError("mixed-geometry gmsh meshes are not supported")
-    gcode = geom_codes.pop()
-    geom = _GMSH_GEOM[gcode]
-    dim = core.GEOM_DIM[geom]
-    face_nv = 2 if dim == 2 else (3 if geom == core.GEOM_TET else 4)
+        if {_GMSH_GEOM[c] for c in geom_codes} != {
+            core.GEOM_TRIANGLE, core.GEOM_QUAD
+        }:
+            raise ValueError(
+                "mixed-geometry gmsh meshes are supported for 2D "
+                "triangle+quad only"
+            )
+        geom = core.GEOM_MIXED
+        dim = 2
+        face_nv = 2
+        elem_geom = np.asarray(
+            [core.MFEM_CODE_OF_GEOM[_GMSH_GEOM[e[0]]] for e in vol_elems],
+            dtype=np.int32,
+        )
+        nv_max = max(len(e[2]) for e in vol_elems)
+        vol_elems = [
+            (et, tag, v + [-1] * (nv_max - len(v)))
+            for (et, tag, v) in vol_elems
+        ]
+    else:
+        gcode = geom_codes.pop()
+        geom = _GMSH_GEOM[gcode]
+        dim = core.GEOM_DIM[geom]
+        face_nv = 2 if dim == 2 else (3 if geom == core.GEOM_TET else 4)
 
     # boundary entities of codim 1 only
     bdry = [(t, v) for (t, v) in bdry if len(v) == face_nv]
@@ -117,6 +137,7 @@ def parse_gmsh_mesh(text: str, source: str = "") -> core.MeshData:
         bdry_attr=np.asarray([t for t, _ in bdry], dtype=np.int32),
         source=source,
         periodic_node_maps=periodic_node_maps or None,
+        elem_geom=elem_geom,
     )
     mesh = core.finalize(mesh)
     # stash gmsh extras for consumers (periodic BCs, physical names)

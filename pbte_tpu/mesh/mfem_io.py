@@ -1,9 +1,12 @@
 """Parser/writer for the "MFEM mesh v1.0" ASCII format.
 
 Replaces the reference's use of mfem::Mesh(file) for files like
-config/mesh/unit-square-iso.mesh (ref: src/SpatialMesh.cpp:66-81). Only
-single-geometry meshes (all elements the same type) are supported — all
-reference assets and the solver's batched assembly assume this.
+config/mesh/unit-square-iso.mesh (ref: src/SpatialMesh.cpp:66-81).
+Single-geometry meshes of any supported type load directly; 2D mixed
+triangle+quad meshes load as geom="mixed" with per-element geometry codes
+(mesh/core.py GEOM_MIXED) — matching mfem::Mesh, which accepts any
+conforming mix. 3D mixes are rejected (a conforming tet/hex interface
+needs prism/pyramid elements, which the reference lacks too).
 """
 
 from __future__ import annotations
@@ -44,11 +47,27 @@ def parse_mfem_mesh(text: str, source: str = "") -> core.MeshData:
         return attrs, geoms, conn
 
     e_attrs, e_geoms, e_conn = read_entities(idx["elements"])
-    if len(set(e_geoms)) != 1:
-        raise ValueError("mixed-geometry meshes are not supported")
-    geom = core.MFEM_GEOM_CODES.get(e_geoms[0])
-    if geom not in (core.GEOM_TRIANGLE, core.GEOM_QUAD, core.GEOM_TET, core.GEOM_HEX):
-        raise ValueError(f"unsupported element geometry code {e_geoms[0]}")
+    codes = sorted(set(e_geoms))
+    for c in codes:
+        if core.MFEM_GEOM_CODES.get(c) not in (
+            core.GEOM_TRIANGLE, core.GEOM_QUAD, core.GEOM_TET, core.GEOM_HEX
+        ):
+            raise ValueError(f"unsupported element geometry code {c}")
+    elem_geom = None
+    if len(codes) == 1:
+        geom = core.MFEM_GEOM_CODES[codes[0]]
+    else:
+        if {core.MFEM_GEOM_CODES[c] for c in codes} != {
+            core.GEOM_TRIANGLE, core.GEOM_QUAD
+        }:
+            raise ValueError(
+                "mixed-geometry meshes are supported for 2D triangle+quad "
+                "only (a conforming 3D tet/hex mix needs prisms/pyramids)"
+            )
+        geom = core.GEOM_MIXED
+        elem_geom = np.asarray(e_geoms, dtype=np.int32)
+        nv_max = max(len(c) for c in e_conn)
+        e_conn = [c + [-1] * (nv_max - len(c)) for c in e_conn]
 
     if "boundary" in idx:
         b_attrs, b_geoms, b_conn = read_entities(idx["boundary"])
@@ -74,6 +93,7 @@ def parse_mfem_mesh(text: str, source: str = "") -> core.MeshData:
         bdry_verts=np.asarray(b_conn, dtype=np.int32).reshape(len(b_conn), -1),
         bdry_attr=np.asarray(b_attrs, dtype=np.int32),
         source=source,
+        elem_geom=elem_geom,
     )
     return core.finalize(mesh)
 
@@ -87,15 +107,22 @@ def write_mfem_mesh(mesh: core.MeshData, path: str) -> None:
     import os
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    code = core.MFEM_CODE_OF_GEOM[mesh.geom]
-    bcode = {2: 1, 3: 2}[mesh.dim]  # segment in 2D, triangle in 3D
-    if mesh.geom == core.GEOM_HEX:
-        bcode = 3
+    if mesh.geom == core.GEOM_MIXED:
+        codes = mesh.elem_geom
+        bcode = 1
+    else:
+        codes = np.full(
+            mesh.num_elements, core.MFEM_CODE_OF_GEOM[mesh.geom]
+        )
+        bcode = {2: 1, 3: 2}[mesh.dim]  # segment in 2D, triangle in 3D
+        if mesh.geom == core.GEOM_HEX:
+            bcode = 3
     with open(path, "w") as f:
         f.write("MFEM mesh v1.0\n\ndimension\n%d\n\n" % mesh.dim)
         f.write("elements\n%d\n" % mesh.num_elements)
-        for attr, verts in zip(mesh.elem_attr, mesh.elem_verts):
-            f.write(f"{attr} {code} " + " ".join(str(int(v)) for v in verts) + "\n")
+        for attr, code, verts in zip(mesh.elem_attr, codes, mesh.elem_verts):
+            vs = [int(v) for v in verts if v >= 0]
+            f.write(f"{attr} {int(code)} " + " ".join(map(str, vs)) + "\n")
         f.write("\nboundary\n%d\n" % len(mesh.bdry_verts))
         for attr, verts in zip(mesh.bdry_attr, mesh.bdry_verts):
             f.write(f"{attr} {bcode} " + " ".join(str(int(v)) for v in verts) + "\n")

@@ -46,6 +46,8 @@ def uniform_refine(mesh: core.MeshData, levels: int = 1) -> core.MeshData:
 
 def _refine_once(mesh: core.MeshData) -> core.MeshData:
     geom = mesh.geom
+    if geom == core.GEOM_MIXED:
+        return _refine_once_mixed(mesh)
     ev = mesh.elem_verts
     ne = mesh.num_elements
     nv = mesh.num_vertices
@@ -184,4 +186,87 @@ def _refine_once(mesh: core.MeshData) -> core.MeshData:
         ),
         bdry_attr=np.asarray(new_battr, dtype=np.int32),
         source=mesh.source,
+    )
+
+
+def _refine_once_mixed(mesh: core.MeshData) -> core.MeshData:
+    """Red refinement of a 2D mixed triangle+quad mesh: tri -> 4 tris,
+    quad -> 4 quads. Edge midpoints are shared through the global
+    sorted-vertex-pair table, so the tri/quad interface stays conforming.
+    Vertex layout follows the single-geometry convention: originals, then
+    edge midpoints (first-seen over each element's OWN local edges), then
+    quad centers in element order."""
+    ev = mesh.elem_verts
+    ne = mesh.num_elements
+    nv = mesh.num_vertices
+    verts = mesh.vertices
+    egeom = mesh.elem_geom
+    tri_code = core.MFEM_CODE_OF_GEOM[core.GEOM_TRIANGLE]
+    quad_code = core.MFEM_CODE_OF_GEOM[core.GEOM_QUAD]
+
+    index: dict = {}
+    ordered: list = []
+    for e in range(ne):
+        g = core.GEOM_TRIANGLE if egeom[e] == tri_code else core.GEOM_QUAD
+        for loc in core.LOCAL_EDGES[g]:
+            vv = tuple(int(ev[e][i]) for i in loc)
+            key = tuple(sorted(vv))
+            if key not in index:
+                index[key] = len(ordered)
+                ordered.append(vv)
+    new_coords = [verts[list(p)].mean(axis=0) for p in ordered]
+    oedge = nv
+
+    def emid(a: int, b: int) -> int:
+        return oedge + index[tuple(sorted((int(a), int(b))))]
+
+    ofa = oedge + len(ordered)
+    quad_ids = [e for e in range(ne) if egeom[e] == quad_code]
+    center_of = {e: ofa + i for i, e in enumerate(quad_ids)}
+    new_coords += [
+        verts[[int(x) for x in ev[e][:4]]].mean(axis=0) for e in quad_ids
+    ]
+
+    new_elems, new_geoms, new_attrs = [], [], []
+    for e in range(ne):
+        a = int(mesh.elem_attr[e])
+        if egeom[e] == tri_code:
+            v0, v1, v2 = (int(x) for x in ev[e][:3])
+            m0, m1, m2 = emid(v0, v1), emid(v1, v2), emid(v2, v0)
+            kids = [
+                [v0, m0, m2, -1], [m0, m1, m2, -1],
+                [m0, v1, m1, -1], [m2, m1, v2, -1],
+            ]
+            gcode = tri_code
+        else:
+            v0, v1, v2, v3 = (int(x) for x in ev[e][:4])
+            m0, m1 = emid(v0, v1), emid(v1, v2)
+            m2, m3 = emid(v2, v3), emid(v3, v0)
+            c = center_of[e]
+            kids = [
+                [v0, m0, c, m3], [m0, v1, m1, c],
+                [c, m1, v2, m2], [m3, c, m2, v3],
+            ]
+            gcode = quad_code
+        new_elems.extend(kids)
+        new_geoms.extend([gcode] * 4)
+        new_attrs.extend([a] * 4)
+
+    new_bdry, new_battr = [], []
+    for bv, attr in zip(mesh.bdry_verts, mesh.bdry_attr):
+        b0, b1 = int(bv[0]), int(bv[1])
+        m = emid(b0, b1)
+        new_bdry += [[b0, m], [m, b1]]
+        new_battr += [int(attr), int(attr)]
+
+    return core.MeshData(
+        dim=2,
+        geom=core.GEOM_MIXED,
+        vertices=np.vstack([verts, np.asarray(new_coords)]),
+        elem_verts=np.asarray(new_elems, dtype=np.int32),
+        elem_attr=np.asarray(new_attrs, dtype=np.int32),
+        bdry_verts=np.asarray(new_bdry, dtype=np.int32).reshape(-1, 2),
+        bdry_attr=np.asarray(new_battr, dtype=np.int32),
+        source=mesh.source,
+        elem_geom=np.asarray(new_geoms, dtype=np.int32),
     )

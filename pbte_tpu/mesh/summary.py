@@ -10,6 +10,7 @@ _GEOM_NAMES = {
     core.GEOM_QUAD: "Square",
     core.GEOM_TET: "Tetrahedron",
     core.GEOM_HEX: "Cube",
+    core.GEOM_MIXED: "Mixed(Triangle+Square)",
 }
 
 
@@ -37,11 +38,15 @@ def make_summary(topo: core.MeshTopology, order: int, ndofs: int) -> str:
         out.append(f"  elem {e}")
         parts = []
         for v in mesh.elem_verts[e]:
+            if v < 0:  # mixed-mesh padding
+                continue
             coords = ",".join(_fmt(x) for x in mesh.vertices[v])
             parts.append(f"v{v}({coords})")
         out.append("    vertices: " + " ".join(parts))
         for lf in range(topo.faces_per_elem):
             fid = topo.elem_face[e, lf]
+            if fid < 0:  # mixed-mesh padding
+                continue
             nbr = topo.elem_neighbor[e, lf]
             if nbr < 0:
                 out.append(

@@ -91,7 +91,9 @@ class SpatialShardedSolver:
         self.has_periodic = bool(ops.periodic.any())
         dirichlet_bcs = dirichlet_bcs or {}
         self.has_dirichlet = bool(dirichlet_bcs)
-        bdry_attrs = set(int(a) for a in np.unique(ops.face_attr[ops.neighbor < 0]))
+        bdry_attrs = set(int(a) for a in np.unique(
+            ops.face_attr[(ops.neighbor < 0) & ops.face_valid]
+        ))
         missing = (
             bdry_attrs - set(int(k) for k in bc_temps)
             - set(int(k) for k in dirichlet_bcs)

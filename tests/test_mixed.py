@@ -1,0 +1,301 @@
+"""Mixed-geometry (2D triangle+quad) meshes: connectivity, assembly, solve.
+
+The reference's MFEM tree inherits mixed-element support from
+mfem::Mesh/FiniteElementSpace (any conforming mix loads and assembles); the
+legacy tree is single-geometry. Here mixed meshes are flat SoA like
+everything else: per-element geometry codes, -1-padded vertex/face slots,
+operators padded to the widest member basis (fem/assembly.py
+_assemble_mixed docstring).
+
+Oracle strategy: (a) an all-one-geometry "mixed" mesh must reproduce the
+plain single-geometry pipeline ARRAY-EXACTLY (both paths use the same
+first-seen face numbering and per-element face-id sort); (b) on genuinely
+mixed meshes the DG identities (divergence, coupling transpose-symmetry)
+pin the cross-geometry face integrals; (c) the batched solver must match
+the sequential numpy oracle element-wise.
+"""
+
+import dataclasses
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from pbte_tpu import mesh as pmesh
+from pbte_tpu.angular import quadrature as ang
+from pbte_tpu.fem import assembly
+from pbte_tpu.material import nongray_smrt as mat
+from pbte_tpu.mesh import core as mesh_core
+from pbte_tpu.solver.source_iteration import SourceIterationSolver
+from pbte_tpu.validation.oracle import solve_oracle
+
+BCS = {1: -0.5, 2: 0.5, 3: 0.25, 4: -0.25}
+
+
+def test_mixed_connect_invariants():
+    m = pmesh.make_mixed_2d(4, 3)
+    assert m.geom == mesh_core.GEOM_MIXED
+    # 2 quad columns * 3 rows + 2 tri columns * 3 rows * 2
+    assert m.num_elements == 6 + 12
+    topo = pmesh.connect(m)
+    ef, nbr = topo.elem_face, topo.elem_neighbor
+    valid = ef >= 0
+    # padded slots: no face, no neighbor, no attr, zero normal
+    assert (nbr[~valid] == -1).all()
+    assert (topo.elem_face_attr[~valid] == 0).all()
+    assert np.allclose(topo.normals[~valid], 0.0)
+    # real slots: unit outward normals
+    assert np.allclose(
+        np.linalg.norm(topo.normals[valid], axis=-1), 1.0
+    )
+    # neighbor symmetry through shared global face ids
+    for e in range(m.num_elements):
+        for f in range(ef.shape[1]):
+            n2 = nbr[e, f]
+            if n2 >= 0:
+                slot = np.flatnonzero(ef[n2] == ef[e, f])
+                assert len(slot) == 1 and nbr[n2, slot[0]] == e
+    # triangles occupy 3 slots, quads 4
+    tri = m.elem_geom == mesh_core.MFEM_CODE_OF_GEOM[mesh_core.GEOM_TRIANGLE]
+    assert (valid.sum(axis=1) == np.where(tri, 3, 4)).all()
+    # every boundary side is attributed
+    assert sorted(set(topo.elem_face_attr[topo.elem_face_attr > 0])) == [
+        1, 2, 3, 4,
+    ]
+
+
+def _as_mixed(m):
+    """Re-tag a single-geometry 2D mesh as geom='mixed' (same elements)."""
+    code = mesh_core.MFEM_CODE_OF_GEOM[m.geom]
+    return dataclasses.replace(
+        m,
+        geom=mesh_core.GEOM_MIXED,
+        elem_geom=np.full(m.num_elements, code, dtype=np.int32),
+    )
+
+
+@pytest.mark.parametrize("geom", ["triangle", "quad"])
+@pytest.mark.parametrize("face_mode", ["mfem-parity", "consistent"])
+def test_all_one_geometry_mixed_matches_plain(geom, face_mode):
+    m = pmesh.make_cartesian_2d(3, 2, geom)
+    topo_plain = pmesh.connect(m)
+    topo_mixed = pmesh.connect(_as_mixed(m))
+    np.testing.assert_array_equal(topo_plain.elem_face, topo_mixed.elem_face)
+    np.testing.assert_array_equal(
+        topo_plain.elem_neighbor, topo_mixed.elem_neighbor
+    )
+    np.testing.assert_allclose(topo_plain.normals, topo_mixed.normals)
+    a = assembly.assemble(topo_plain, order=2, face_mode=face_mode)
+    b = assembly.assemble(topo_mixed, order=2, face_mode=face_mode)
+    for name in (
+        "basis_int", "mass", "stiff", "face_mass", "face_int", "coupling"
+    ):
+        np.testing.assert_allclose(
+            getattr(a, name), getattr(b, name), atol=1e-14,
+            err_msg=name,
+        )
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_mixed_divergence_identity(order):
+    """stiff[d] + stiff[d]^T = sum_f n_{f,d} face_mass_f on every element —
+    holds per element for the consistent face mode (padded dof rows are zero
+    on both sides; the identity-padded mass is not involved)."""
+    m = pmesh.make_mixed_2d(4, 3, sx=1.3, sy=0.7)
+    ops = assembly.assemble(pmesh.connect(m), order=order,
+                            face_mode="consistent")
+    for d in range(2):
+        lhs = ops.stiff[:, d] + np.swapaxes(ops.stiff[:, d], -1, -2)
+        rhs = np.einsum("ef,efij->eij", ops.normals[:, :, d], ops.face_mass)
+        np.testing.assert_allclose(lhs, rhs, atol=1e-12)
+
+
+def test_mixed_coupling_transpose_symmetry():
+    """coupling[e,f]_{ij} = int phi_i^e phi_j^nbr must equal
+    coupling[nbr,f']^T on the shared face — including tri<->quad faces,
+    where it pins the cross-geometry neighbor-basis integration."""
+    m = pmesh.make_mixed_2d(4, 2)
+    topo = pmesh.connect(m)
+    ops = assembly.assemble(topo, order=2, face_mode="consistent")
+    egeom = m.elem_geom
+    cross_checked = 0
+    for e in range(m.num_elements):
+        for f in range(ops.faces_per_elem):
+            n2 = ops.neighbor[e, f]
+            if n2 < 0:
+                continue
+            f2 = int(np.flatnonzero(topo.elem_face[n2] == topo.elem_face[e, f])[0])
+            np.testing.assert_allclose(
+                ops.coupling[e, f],
+                ops.coupling[n2, f2].T,
+                atol=1e-13,
+            )
+            if egeom[e] != egeom[n2]:
+                cross_checked += 1
+    assert cross_checked > 0  # the tri/quad interface was actually exercised
+
+
+def _total_area(m):
+    topo = pmesh.connect(m)
+    ops = assembly.assemble(topo, order=0 + 1, face_mode="consistent")
+    return ops.basis_int.sum()  # p>=1 basis partitions unity per element
+
+
+def test_mixed_mfem_roundtrip(tmp_path):
+    m = pmesh.make_mixed_2d(4, 3)
+    path = str(tmp_path / "mixed.mesh")
+    pmesh.write_mfem_mesh(m, path)
+    m2 = pmesh.load_mfem_mesh(path)
+    assert m2.geom == mesh_core.GEOM_MIXED
+    np.testing.assert_array_equal(m.elem_geom, m2.elem_geom)
+    np.testing.assert_array_equal(m.elem_verts, m2.elem_verts)
+    np.testing.assert_allclose(m.vertices, m2.vertices)
+    np.testing.assert_array_equal(m.bdry_attr, m2.bdry_attr)
+
+
+def test_mixed_gmsh_parse(tmp_path):
+    """Hand-written 2-element gmsh v2 file: one quad + one triangle
+    sharing an edge (gmsh types 3 and 2)."""
+    text = """$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$Nodes
+5
+1 0 0 0
+2 1 0 0
+3 1 1 0
+4 0 1 0
+5 2 0.5 0
+$EndNodes
+$Elements
+6
+1 3 2 1 1 1 2 3 4
+2 2 2 1 1 2 5 3
+3 1 2 7 1 1 2
+4 1 2 7 1 2 5
+5 1 2 8 1 5 3
+6 1 2 8 1 3 4
+$EndElements
+"""
+    p = tmp_path / "mix.msh"
+    p.write_text(text)
+    from pbte_tpu.mesh.gmsh_io import load_gmsh_mesh
+
+    m = load_gmsh_mesh(str(p))
+    assert m.geom == mesh_core.GEOM_MIXED
+    assert m.num_elements == 2
+    topo = pmesh.connect(m)
+    # the shared edge (2,3) is interior
+    assert (topo.elem_neighbor >= 0).sum() == 2
+    ops = assembly.assemble(topo, order=1, face_mode="consistent")
+    np.testing.assert_allclose(ops.basis_int.sum(), 1.5, rtol=1e-12)
+
+
+def test_mixed_uniform_refine():
+    m = pmesh.make_mixed_2d(2, 2, sx=1.5)
+    r = pmesh.uniform_refine(m, 1)
+    assert r.geom == mesh_core.GEOM_MIXED
+    assert r.num_elements == 4 * m.num_elements
+    np.testing.assert_array_equal(r.elem_geom, np.repeat(m.elem_geom, 4))
+    # conforming: connect succeeds, interior faces shared, area preserved
+    topo = pmesh.connect(r)
+    assert (topo.elem_neighbor >= 0).any()
+    np.testing.assert_allclose(_total_area(r), 1.5, rtol=1e-12)
+    # child areas sum to 1.5 and the refined mesh still solves
+    ops = assembly.assemble(topo, order=1, face_mode="consistent")
+    for d in range(2):
+        lhs = ops.stiff[:, d] + np.swapaxes(ops.stiff[:, d], -1, -2)
+        rhs = np.einsum("ef,efij->eij", ops.normals[:, :, d], ops.face_mass)
+        np.testing.assert_allclose(lhs, rhs, atol=1e-12)
+
+
+def test_mixed_sample_and_vtu(tmp_path):
+    """Point sampling and VTU subdivision output on a mixed solve."""
+    from pbte_tpu.fem import reference as fem_ref
+    from pbte_tpu.io.slice import sample_field
+    from pbte_tpu.io.vtu import write_vtu
+
+    m = pmesh.make_mixed_2d(4, 3).scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=2,
+                            face_mode="consistent")
+    quad = ang.build(
+        ang.AngularOptions(dimension=2, polar_points=24, azimuth_points=8)
+    )
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    solver = SourceIterationSolver(ops, quad, tables, BCS)
+    res = solver.solve(tol=0, max_iter=5, verbose=False)
+    Tc = np.asarray(res.Tc)
+
+    # sample at element centroids; oracle = direct own-basis evaluation
+    topo = pmesh.connect(m)
+    vals = sample_field(m, 2, Tc, topo.centroids)
+    assert not np.isnan(vals).any()
+    for e in [0, m.num_elements - 1]:  # one quad, one triangle
+        g = mesh_core.MFEM_GEOM_CODES[int(m.elem_geom[e])]
+        b = fem_ref.basis(g, 2)
+        Xv = m.vertices[[v for v in m.elem_verts[e] if v >= 0]]
+        r = assembly.inverse_map(g, Xv[None], topo.centroids[e][None, None])[0]
+        direct = float(b.eval(r)[0] @ Tc[e, : b.ndof])
+        np.testing.assert_allclose(vals[e], direct, rtol=1e-12)
+
+    path = write_vtu(m, 2, {"T": Tc}, prefix=str(tmp_path / "mix"), lod=1)
+    text = open(path).read()
+    tri = (m.elem_geom == mesh_core.MFEM_CODE_OF_GEOM[
+        mesh_core.GEOM_TRIANGLE]).sum()
+    nquad = m.num_elements - tri
+    # lod=1: each tri -> 4 tri subcells (type 5), quad -> 4 quad (type 9)
+    ncells = 4 * m.num_elements
+    assert f'NumberOfCells="{ncells}"' in text
+    types = text.split('Name="types"')[1].split("\n")[1].split()
+    import collections
+
+    cnt = collections.Counter(types)
+    assert cnt["5"] == 4 * tri and cnt["9"] == 4 * nquad
+
+
+@pytest.mark.slow
+def test_cli_mixed_builtin(tmp_path):
+    """End-to-end CLI run on the mixed builtin mesh."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-m", "pbte_tpu.cli", "--platform", "cpu",
+         "-m", "unit-square-mixed", "-o", "2", "--face-mode", "consistent",
+         "--max-iter", "4", "--tol", "0", "--vtu"],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=480,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert (tmp_path / "output/log/Tc_all.txt").exists()
+    assert (tmp_path / "output/2D/results/T_slice.txt").exists()
+    T = np.loadtxt(tmp_path / "output/2D/results/T_slice.txt", skiprows=2)
+    assert not np.isnan(T[:, 2]).any()
+
+
+def test_mixed_padded_dofs_stay_zero_and_solver_matches_oracle():
+    m = pmesh.make_mixed_2d(4, 3).scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=2,
+                            face_mode="consistent")
+    quad = ang.build(
+        ang.AngularOptions(dimension=2, polar_points=24, azimuth_points=8)
+    )
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    uo, Tco, _, _, _ = solve_oracle(ops, quad, tables, BCS, tol=0, max_iter=4)
+
+    solver = SourceIterationSolver(ops, quad, tables, BCS)
+    u, Tc, Tv = solver.initial_state()
+    prev = Tv
+    for _ in range(4):
+        u, Tc, prev, _ = solver.step(u, Tc, prev)
+
+    ub = solver.u_by_direction(u)
+    np.testing.assert_allclose(ub, uo, rtol=1e-10, atol=1e-22)
+    np.testing.assert_allclose(np.asarray(Tc), Tco, rtol=1e-10, atol=1e-14)
+    # triangle padded dofs (beyond ndof=6 at p=2) are exactly zero
+    tri = m.elem_geom == mesh_core.MFEM_CODE_OF_GEOM[mesh_core.GEOM_TRIANGLE]
+    assert np.all(ub[:, :, tri, 6:] == 0.0)
+    assert np.all(np.asarray(Tc)[tri, 6:] == 0.0)
+    assert not np.all(ub[:, :, tri, :6] == 0.0)
