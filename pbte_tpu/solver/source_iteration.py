@@ -550,12 +550,13 @@ class SourceIterationSolver:
             self.segments = _pick_level_segments(counts)
 
         # ---- geometry classes (translation-invariant meshes) ----------------
-        # detected on the global element set; used by the eigen cache below
+        # detected on the global element set; used by the eigen and full
+        # factor caches below
         from pbte_tpu.fem import assembly as _assembly
 
         self._cls = None
         self.ncls = 0
-        if cache_policy == "eigen" and not self.padded:
+        if cache_policy in ("eigen", "full") and not self.padded:
             cls = (
                 self._cls_cache if self._cls_cache is not None
                 else _assembly.element_classes(ops)
@@ -837,6 +838,42 @@ class SourceIterationSolver:
                     pos_valid[..., None, None], mass_g, np.eye(D)
                 )
 
+        def _class_full_mats():
+            # Class-batched FULL factors for the SCAN path: A^-1 stored per
+            # geometry class — (G, Km, BS, D, D, ncls) plus a (G, ncls,
+            # ne_pad) one-hot — the exact-inverse analog of the eigen class
+            # mode below. Two hazards it avoids: (a) the eigen factor pair's
+            # cond(V) error amplification (p=3 tet operators measured up to
+            # ~1e11), (b) the scan-mode on-the-fly policy's in-body batched
+            # jnp.linalg.inv, which faults this TPU runtime at the legacy
+            # 16x24-angle tet shape. Memory is ne_pad/ncls below the
+            # per-element full cache (legacy tet 5^3: 13.8 GB -> 110 MB).
+            ncls = self.ncls
+            reps = self._cls_reps
+            cls_pos = np.where(pos_valid, self._cls[perm_safe], 0)
+            onehot = np.zeros((G, ncls, ne_pad), dtype=np_dtype)
+            for g in range(G):
+                onehot[g, cls_pos[g], np.arange(ne_pad)] = 1.0
+            stiff_r = ops.stiff[reps]  # (ncls, dim, D, D)
+            fmass_r = ops.face_mass[reps]  # (ncls, nf, D, D)
+            mass_r = ops.mass[reps]  # (ncls, D, D)
+            norm_r = ops.normals[reps]  # (ncls, nf, dim)
+            a_cls = np.empty((G, Km, BS, D, D, ncls), dtype=np_dtype)
+            for g in range(G):
+                dk = dirs_np[dirs_safe[g]]  # (Km, dim)
+                fd = np.einsum("cfd,kd->kcf", norm_r, dk)
+                G_k = -np.einsum("kd,cdij->kcij", dk, stiff_r) + np.einsum(
+                    "kcf,cfij->kcij", np.maximum(fd, 0.0), fmass_r
+                )  # (Km, ncls, D, D)
+                A_g = (
+                    mass_r[None, None]
+                    + vg_s[None, :, None, None, None] * G_k[:, None]
+                )  # (Km, BS, ncls, D, D)
+                a_cls[g] = np.moveaxis(
+                    np.linalg.inv(A_g), 2, -1
+                ).astype(np_dtype)
+            return (jax.device_put(a_cls), jax.device_put(onehot))
+
         if self.sweep_mode == "ring":
             # Class-batched FULL factors: A^-1 per (group, class, slot, band),
             # (G, ncls, Km, BS, D, D) — a few dense 27x27 inverses instead of
@@ -953,6 +990,8 @@ class SourceIterationSolver:
                 )
                 for gs, km_b in self._ring_buckets
             )
+        elif cache_policy == "full" and self._cls is not None:
+            mats = _class_full_mats()
         elif cache_policy == "full":
             a_inv = np.empty((G, Km, BS, D, D, ne_pad), dtype=np_dtype)
             for g in range(G):
@@ -1075,14 +1114,19 @@ class SourceIterationSolver:
             if cond_max > cond_bound:
                 import warnings
 
+                fb = "class-batched full" if self._cls is not None \
+                    else "on-the-fly"
                 warnings.warn(
                     f"cache_policy='eigen': eigenvector condition estimate "
                     f"{cond_max:.1e} exceeds the safe bound {cond_bound:.0e} "
-                    f"for {np_dtype}; falling back to on-the-fly factors"
+                    f"for {np_dtype}; falling back to {fb} factors"
                 )
-                cache_policy = self.cache_policy = "on-the-fly"
-                self._cls = None
-                self.ncls = 0
+                if self._cls is not None:
+                    cache_policy = self.cache_policy = "full"
+                    mats = _class_full_mats()
+                else:
+                    cache_policy = self.cache_policy = "on-the-fly"
+                    self.ncls = 0
         if self.sweep_mode != "ring" and cache_policy == "on-the-fly":
             G_mat = np.empty((G, Km, D, D, ne_pad))
             for g in range(G):
@@ -1524,7 +1568,17 @@ class SourceIterationSolver:
                         mine = (iota >= shift) & (iota < shift + count)
                         sol = jnp.where(mine[None, None, None, :], sol, u_e)
                         return _write(u_g, sol, offc), None
-                    if self.cache_policy == "full":
+                    if self.cache_policy == "full" and isinstance(mats, tuple):
+                        # class mode: rebuild the window inverses from the
+                        # per-class cache with a tiny one-hot matmul (HIGHEST
+                        # so the selection does not truncate the stored f32
+                        # factors to bf16; the matmul is ncls x Ws — free)
+                        ohw = lax.dynamic_slice_in_dim(
+                            mats[1], offc, Ws, axis=-1)  # (ncls, Ws)
+                        a_inv_l = jnp.einsum(
+                            "kbijc,cw->kbijw", mats[0], ohw,
+                            precision=jax.lax.Precision.HIGHEST)
+                    elif self.cache_policy == "full":
                         a_inv_l = lax.dynamic_slice_in_dim(mats, offc, Ws, axis=-1)
                     else:
                         a_inv_l = self._level_a_inv(

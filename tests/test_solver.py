@@ -241,9 +241,11 @@ def test_scan_window_rhs_matches_hoisted():
 
 def test_eigen_conditioning_fallback_tet_p3():
     """p=3 tet operators have eigenvector condition numbers up to ~7e8 —
-    the eigen factor pair diverges in f32 (NaN around iteration 10). The
-    conditioning guard must fall back to on-the-fly factors and stay
-    finite/decreasing."""
+    the eigen factor pair diverges in f32 (NaN around iteration 10). On a
+    translation-invariant mesh the conditioning guard must fall back to the
+    class-batched FULL factors (exact inverses: no cond(V) hazard AND no
+    in-scan batched linalg.inv, which faults the TPU runtime at the legacy
+    tet shape) and stay finite/decreasing."""
     import warnings
 
     import jax.numpy as jnp
@@ -261,10 +263,75 @@ def test_eigen_conditioning_fallback_tet_p3():
         warnings.simplefilter("always")
         s = SourceIterationSolver(ops, quad, tables, bcs, dtype=jnp.float32,
                                   cache_policy="eigen", sweep_mode="scan")
-    assert s.cache_policy == "on-the-fly"
-    assert any("condition estimate" in str(w.message) for w in rec)
+    assert s.cache_policy == "full"
+    assert isinstance(s.consts["mats"], tuple) and len(s.consts["mats"]) == 2
+    assert any("class-batched full" in str(w.message) for w in rec)
     res = s.solve(tol=0, max_iter=12, verbose=False)
     assert np.isfinite(res.residual) and res.residual < 0.5
+
+
+def test_eigen_conditioning_fallback_no_classes(monkeypatch):
+    """On meshes with no repeated geometry classes the conditioning guard
+    falls back to the on-the-fly factors (the class-batched full cache
+    needs translation invariance to stay small)."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    import pbte_tpu.fem.assembly as fasm
+    from pbte_tpu.angular import quadrature as ang3
+
+    m = pmesh.make_cartesian_3d(3, 3, 3, "tet").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=3,
+                            face_mode="consistent")
+    quad = ang3.build(ang3.AngularOptions(dimension=3, polar_points=2,
+                                          azimuth_points=4))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    bcs = {a: (0.5 if a == 6 else -0.5) for a in range(1, 7)}
+    monkeypatch.setattr(
+        fasm, "element_classes",
+        lambda ops_: np.arange(ops_.mass.shape[0], dtype=np.int64),
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        s = SourceIterationSolver(ops, quad, tables, bcs, dtype=jnp.float32,
+                                  cache_policy="eigen", sweep_mode="scan")
+    assert s.cache_policy == "on-the-fly"
+    assert any("on-the-fly" in str(w.message) for w in rec)
+    res = s.solve(tol=0, max_iter=12, verbose=False)
+    assert np.isfinite(res.residual) and res.residual < 0.5
+
+
+def test_class_full_policy_matches_per_element_full(monkeypatch):
+    """Class-batched full factors (translation-invariant meshes) must equal
+    the per-element full cache bit-for-bit in f64 math (same inverses,
+    different storage)."""
+    import jax.numpy as jnp
+
+    import pbte_tpu.fem.assembly as fasm
+    from pbte_tpu.angular import quadrature as ang3
+
+    m = pmesh.make_cartesian_3d(3, 3, 3, "tet").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=2,
+                            face_mode="consistent")
+    quad = ang3.build(ang3.AngularOptions(dimension=3, polar_points=2,
+                                          azimuth_points=4))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    bcs = {a: (0.5 if a == 6 else -0.5) for a in range(1, 7)}
+    s_cls = SourceIterationSolver(ops, quad, tables, bcs, dtype=jnp.float64,
+                                  cache_policy="full", sweep_mode="scan")
+    assert isinstance(s_cls.consts["mats"], tuple), "class mode should engage"
+    r_cls = s_cls.solve(tol=0, max_iter=4, verbose=False)
+    monkeypatch.setattr(
+        fasm, "element_classes",
+        lambda ops_: np.arange(ops_.mass.shape[0], dtype=np.int64),
+    )
+    s_per = SourceIterationSolver(ops, quad, tables, bcs, dtype=jnp.float64,
+                                  cache_policy="full", sweep_mode="scan")
+    assert not isinstance(s_per.consts["mats"], tuple)
+    r_per = s_per.solve(tol=0, max_iter=4, verbose=False)
+    np.testing.assert_allclose(np.asarray(r_cls.Tc), np.asarray(r_per.Tc),
+                               rtol=1e-12, atol=1e-15)
 
 
 def test_sequential_groups_matches_vmap():
