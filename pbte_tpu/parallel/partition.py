@@ -160,6 +160,194 @@ def refine_fm(
     return part
 
 
+def _graph_from_neighbor(neighbor: np.ndarray):
+    """(ne, nf) face-neighbor table -> CSR dual graph with unit weights."""
+    ne, nf = neighbor.shape
+    deg = (neighbor >= 0).sum(axis=1)
+    xadj = np.zeros(ne + 1, dtype=np.int64)
+    np.cumsum(deg, out=xadj[1:])
+    adjncy = neighbor[neighbor >= 0].astype(np.int64)
+    adjwgt = np.ones(len(adjncy), dtype=np.int64)
+    vwgt = np.ones(ne, dtype=np.int64)
+    return xadj, adjncy, adjwgt, vwgt
+
+
+def _coarsen_shem(xadj, adjncy, adjwgt, vwgt, rng):
+    """One Sorted-Heavy-Edge-Matching coarsening level (the METIS SHEM
+    scheme, ref: Reference Project/include/SpatialMesh/SpatialMesh.hpp:673-682
+    picks METIS defaults, whose coarsening is SHEM): vertices are visited in
+    ascending-degree order (randomly tie-broken) and matched to the
+    unmatched neighbor with the heaviest connecting edge. Returns
+    (coarse graph..., cmap) or None when matching stalls (<10% shrink)."""
+    n = len(vwgt)
+    order = np.lexsort((rng.random(n), xadj[1:] - xadj[:-1]))
+    match = np.full(n, -1, dtype=np.int64)
+    for v in order:
+        if match[v] >= 0:
+            continue
+        best_w, best_u = 0, v  # unmatched singleton maps to itself
+        for j in range(xadj[v], xadj[v + 1]):
+            u = adjncy[j]
+            if match[u] < 0 and u != v and adjwgt[j] > best_w:
+                best_w, best_u = adjwgt[j], u
+        match[v] = best_u
+        match[best_u] = v
+    # coarse ids: one per matched pair / singleton
+    cmap = np.full(n, -1, dtype=np.int64)
+    nc = 0
+    for v in range(n):
+        if cmap[v] >= 0:
+            continue
+        cmap[v] = nc
+        cmap[match[v]] = nc  # singleton: match[v] == v
+        nc += 1
+    if nc > 0.9 * n:
+        return None
+    cvwgt = np.zeros(nc, dtype=np.int64)
+    np.add.at(cvwgt, cmap, vwgt)
+    # coarse edges: re-bucket (cu, cv) pairs, summing weights, dropping loops
+    cu = cmap[np.repeat(np.arange(n), np.diff(xadj))]
+    cv = cmap[adjncy]
+    keep = cu != cv
+    key = cu[keep] * nc + cv[keep]
+    uniq, inv = np.unique(key, return_inverse=True)
+    w = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(w, inv, adjwgt[keep])
+    cxadj = np.zeros(nc + 1, dtype=np.int64)
+    cu_u = (uniq // nc).astype(np.int64)
+    np.add.at(cxadj[1:], cu_u, 1)
+    np.cumsum(cxadj[1:], out=cxadj[1:])
+    cadjncy = (uniq % nc).astype(np.int64)  # uniq is sorted by (cu, cv)
+    return cxadj, cadjncy, w, cvwgt, cmap
+
+
+def _greedy_partition_graph(xadj, adjncy, adjwgt, vwgt, nparts, rng):
+    """Weighted greedy graph-growing on the coarsest graph: grow each part
+    from a random unassigned seed, absorbing the frontier vertex with the
+    strongest connection to the part, until the part reaches its share of
+    the total vertex weight."""
+    n = len(vwgt)
+    total = int(vwgt.sum())
+    target = total / nparts
+    part = np.full(n, -1, dtype=np.int64)
+    unassigned = set(range(n))
+    for p in range(nparts - 1):
+        if not unassigned:
+            break
+        seed = int(rng.choice(sorted(unassigned)))
+        part[seed] = p
+        unassigned.discard(seed)
+        wsum = int(vwgt[seed])
+        # frontier: vertex -> connection weight to part p
+        conn: dict = {}
+        for j in range(xadj[seed], xadj[seed + 1]):
+            u = int(adjncy[j])
+            if part[u] < 0:
+                conn[u] = conn.get(u, 0) + int(adjwgt[j])
+        while wsum < target and conn:
+            u = max(conn, key=conn.get)
+            del conn[u]
+            if part[u] >= 0:
+                continue
+            part[u] = p
+            unassigned.discard(u)
+            wsum += int(vwgt[u])
+            for j in range(xadj[u], xadj[u + 1]):
+                v2 = int(adjncy[j])
+                if part[v2] < 0:
+                    conn[v2] = conn.get(v2, 0) + int(adjwgt[j])
+    for v in unassigned:
+        part[v] = nparts - 1
+    return part
+
+
+def _refine_fm_graph(
+    xadj, adjncy, adjwgt, vwgt, part, nparts,
+    max_ratio: float = 1.03, passes: int = 8,
+):
+    """Weighted boundary FM refinement on a CSR graph (the per-level
+    refinement of the multilevel scheme; the unweighted neighbor-table
+    variant above is kept for direct use on meshes)."""
+    n = len(vwgt)
+    part = part.astype(np.int64).copy()
+    wsizes = np.zeros(nparts, dtype=np.int64)
+    np.add.at(wsizes, part, vwgt)
+    cap = int(np.ceil(vwgt.sum() / nparts * max_ratio))
+    for _ in range(passes):
+        moved = 0
+        # boundary vertices (recomputed per pass; moves within the pass
+        # consult the live `part`)
+        bnd = [
+            v for v in range(n)
+            if any(
+                part[adjncy[j]] != part[v]
+                for j in range(xadj[v], xadj[v + 1])
+            )
+        ]
+        for v in bnd:
+            pv = int(part[v])
+            if wsizes[pv] - vwgt[v] <= 0:
+                continue
+            conn: dict = {}
+            for j in range(xadj[v], xadj[v + 1]):
+                conn[int(part[adjncy[j]])] = (
+                    conn.get(int(part[adjncy[j]]), 0) + int(adjwgt[j])
+                )
+            internal = conn.get(pv, 0)
+            best_gain, best_t = 0, -1
+            for t, w in conn.items():
+                if t == pv or wsizes[t] + vwgt[v] > cap:
+                    continue
+                gain = w - internal
+                if gain > best_gain:
+                    best_gain, best_t = gain, t
+                elif (
+                    best_t < 0 and gain == 0
+                    and wsizes[pv] > wsizes[t] + vwgt[v]
+                ):
+                    best_t = t
+            if best_t >= 0:
+                part[v] = best_t
+                wsizes[pv] -= vwgt[v]
+                wsizes[best_t] += vwgt[v]
+                moved += 1
+        if moved == 0:
+            break
+    return part
+
+
+def partition_multilevel(
+    neighbor: np.ndarray,
+    nparts: int,
+    seed: int = 0,
+    coarse_target_per_part: int = 30,
+    max_ratio: float = 1.03,
+) -> np.ndarray:
+    """Multilevel k-way partitioning — the METIS recipe the reference calls
+    (ref: Reference Project/include/SpatialMesh/SpatialMesh.hpp:638-709,
+    METIS_PartMeshDual with CUT objective / SHEM coarsening / FM refinement,
+    options at :673-682): SHEM coarsening until ~coarse_target_per_part
+    vertices per part remain, weighted greedy growing on the coarsest
+    graph, then uncoarsening with weighted boundary-FM refinement at every
+    level. Pure numpy; deterministic for a given seed."""
+    rng = np.random.default_rng(seed)
+    levels = []
+    g = _graph_from_neighbor(neighbor)
+    while len(g[3]) > max(coarse_target_per_part * nparts, 64):
+        res = _coarsen_shem(*g, rng)
+        if res is None:
+            break
+        cxadj, cadjncy, cadjwgt, cvwgt, cmap = res
+        levels.append((g, cmap))
+        g = (cxadj, cadjncy, cadjwgt, cvwgt)
+    part = _greedy_partition_graph(*g, nparts, rng)
+    part = _refine_fm_graph(*g, part, nparts, max_ratio=max_ratio)
+    for (gf, cmap) in reversed(levels):
+        part = part[cmap]  # project to the finer graph
+        part = _refine_fm_graph(*gf, part, nparts, max_ratio=max_ratio)
+    return part.astype(np.int32)
+
+
 @dataclasses.dataclass
 class PartitionPlan:
     """Derived decomposition tables (host, numpy)."""
@@ -210,6 +398,8 @@ def build_plan(topo, nparts: int, method: str = "rcb") -> PartitionPlan:
     elif method == "greedy-fm":
         part = partition_greedy_graph(topo.elem_neighbor, nparts)
         part = refine_fm(topo.elem_neighbor, part, nparts)
+    elif method in ("multilevel", "metis"):
+        part = partition_multilevel(topo.elem_neighbor, nparts)
     else:
         raise ValueError(f"unknown partition method: {method}")
 

@@ -211,6 +211,59 @@ def test_fm_refinement_reduces_edge_cut_unstructured_tet():
     assert cuts["rcb-fm"] < 1296  # sanity: far below total faces
 
 
+@pytest.mark.parametrize("nparts", [2, 4])
+def test_partition_invariants_multilevel(problem, nparts):
+    """Multilevel (SHEM + FM, the METIS recipe) plans must satisfy all 7
+    partition invariants with bounded imbalance."""
+    _, topo, *_ = problem
+    plan = part_mod.build_plan(topo, nparts, method="multilevel")
+    result = validate(plan, topo)
+    assert result.ok, result.errors
+    assert plan.load_balance() <= 1.1
+
+
+def test_multilevel_beats_or_matches_rcb_fm_edge_cut():
+    """The multilevel partitioner (SHEM coarsening + per-level weighted FM —
+    the METIS k-way recipe the reference calls, SpatialMesh.hpp:638-709)
+    must produce an edge cut no worse than single-level RCB+FM on a refined
+    unstructured tet mesh, with balance <= 1.05 (METIS ufactor=30 flavor)."""
+    m = pmesh.make_cartesian_3d(3, 3, 3, "tet")
+    m = pmesh.uniform_refine(m)  # 1296 tets
+    topo = pmesh.connect(m)
+    cuts = {}
+    for method in ("rcb", "rcb-fm", "multilevel"):
+        plan = part_mod.build_plan(topo, 4, method=method)
+        assert validate(plan, topo).ok
+        cuts[method] = plan.edge_cut()
+    plan_ml = part_mod.build_plan(topo, 4, method="multilevel")
+    assert plan_ml.load_balance() <= 1.05
+    assert cuts["multilevel"] <= cuts["rcb-fm"] <= cuts["rcb"]
+
+
+def test_multilevel_coarsening_preserves_totals():
+    """SHEM coarsening must conserve total vertex weight and total edge
+    weight across levels (no lost or duplicated faces)."""
+    m = pmesh.make_cartesian_3d(4, 4, 4, "tet")
+    topo = pmesh.connect(m)
+    g = part_mod._graph_from_neighbor(topo.elem_neighbor)
+    rng = np.random.default_rng(0)
+    vtot, etot = int(g[3].sum()), int(g[2].sum())
+    for _ in range(4):
+        res = part_mod._coarsen_shem(*g, rng)
+        if res is None:
+            break
+        cxadj, cadjncy, cadjwgt, cvwgt, cmap = res
+        assert int(cvwgt.sum()) == vtot
+        # coarse edge weight + weight collapsed into matched pairs == total
+        fine_internal = etot - int(cadjwgt.sum())
+        assert fine_internal >= 0
+        assert len(cvwgt) < len(g[3])
+        assert (cxadj[1:] >= cxadj[:-1]).all()
+        assert (cmap >= 0).all() and cmap.max() == len(cvwgt) - 1
+        g = (cxadj, cadjncy, cadjwgt, cvwgt)
+        etot = int(cadjwgt.sum())
+
+
 def test_greedy_assigns_every_element_balanced():
     """The greedy partitioner must not dump BFS leftovers into one part
     (round-2 weak #5): every element assigned, balance bounded."""
