@@ -485,6 +485,27 @@ class SourceIterationSolver:
             # "auto" resolves to OFF: measured slower than the XLA ring
             # (Mosaic per-band dot emission, see ops/lattice_ring.py)
 
+        # ---- bf16 operand staging for the lattice ring (opt-in) ------------
+        # At default matmul precision the MXU truncates BOTH einsum operands
+        # to bf16 anyway, so materializing the per-level xcat staging buffer
+        # (and the ring carry it is built from) in bf16 is numerically free —
+        # the only extra rounding is one bf16 cast of the carried neighbor
+        # values. MEASURED PERF-NEUTRAL at the flagship (module 29.07 vs
+        # 28.79 ms/step): the profile shows the staging producers'
+        # pad_multiply fusions simply become multiply_convert fusions of the
+        # same cost, and the dot fusions absorb a bitcast_convert — the step
+        # is not limited by the staged bytes alone. Kept as an opt-in
+        # (PBTE_RING_BF16=1) for future hardware/compiler revisions.
+        self._ring_stage_bf16 = (
+            self.sweep_mode == "ring"
+            and self._ring_lattice
+            and self._ring_ccpl
+            and not self._use_pallas_ring
+            and np_dtype == np.float32
+            and matmul_precision in (None, "default")
+            and os.environ.get("PBTE_RING_BF16", "") == "1"
+        )
+
         # scan-path rhs hoisting: precomputing the (Km, BS, D, ne) rhs base
         # and relaxation term for all G groups costs ~2 state-sized
         # temporaries under the vmap — the legacy 16x24-angle tet shape
@@ -982,9 +1003,14 @@ class SourceIterationSolver:
                     else ()
                 )
                 + (
-                    (jax.device_put(
-                        np.ascontiguousarray(bcv_G[gs][:, :km_b])
-                    ),)
+                    # bf16 staging stores the folded factor stationary in
+                    # bf16 too (pure-bf16 dot + f32 accumulation == the
+                    # default-precision f32 einsum the MXU runs anyway)
+                    (jax.device_put(jnp.asarray(
+                        np.ascontiguousarray(bcv_G[gs][:, :km_b]),
+                        dtype=jnp.bfloat16 if self._ring_stage_bf16
+                        else np_dtype,
+                    )),)
                     if bcv_G is not None
                     else ()
                 )
@@ -1769,8 +1795,19 @@ class SourceIterationSolver:
                     # EmitInputBatchInLanes at only ~2 TF (round-3 profile);
                     # large contractions are what kept the one-hot path's
                     # coupling einsum (nf*D = 81) fast in round 2.
+                    #
+                    # bf16 STAGING (self._ring_stage_bf16): the carry and the
+                    # xcat buffer are stored bf16 — numerically free at
+                    # default precision (the MXU truncates operands to bf16
+                    # inside the dot regardless) and it halves the dominant
+                    # HBM traffic (xcat write+read + 3 shifted carry reads).
+                    # Products are computed in f32 (bf16 carry upcast in
+                    # registers) and rounded once on store.
                     bcat = mats_g[4]  # (Km, BS, D, (1+nf_act)*D)
-                    parts = [rhs]
+                    st = (
+                        jnp.bfloat16 if self._ring_stage_bf16 else None
+                    )
+                    parts = [rhs.astype(st) if st else rhs]
                     for fi, s in enumerate(self._ring_shift_vals):
                         yf = ring
                         if s:
@@ -1778,18 +1815,24 @@ class SourceIterationSolver:
                                 yf[..., :-s],
                                 ((0, 0), (0, 0), (0, 0), (s, 0)),
                             )
-                        parts.append(yf * cin_l[fi][:, None, None, :])
+                        unf = yf * cin_l[fi][:, None, None, :]
+                        parts.append(unf.astype(st) if st else unf)
                     xcat = jnp.concatenate(parts, axis=1)
-                    # (pre-casting xcat to bf16 measured perf-neutral: the
-                    # default-precision MXU already truncates operands)
-                    sol = jnp.einsum("kbiJ,kJbw->kibw", bcat, xcat)
+                    if st:
+                        sol = jnp.einsum(
+                            "kbiJ,kJbw->kibw", bcat, xcat,
+                            preferred_element_type=jnp.float32,
+                        )
+                    else:
+                        sol = jnp.einsum("kbiJ,kJbw->kibw", bcat, xcat)
                     # fused macroscopic partial: read sol while it is hot
                     m_l = jnp.einsum("kb,kibw->iw", macro_w_g, sol)
+                    sol_c = sol.astype(st) if st else sol
                     if Hn == 1:
-                        ring = sol
+                        ring = sol_c
                     else:
                         ring = lax.dynamic_update_slice_in_dim(
-                            ring, sol, off, axis=-1
+                            ring, sol_c, off, axis=-1
                         )
                     return ring, (sol, m_l)
                 if self._ring_lattice:
@@ -1840,7 +1883,10 @@ class SourceIterationSolver:
                 return ring, (sol, m_l)
 
             Km_b = v_g.shape[1]
-            ring0 = jnp.zeros((Km_b, D, BS, Hn * W), v_g.dtype)
+            ring0 = jnp.zeros(
+                (Km_b, D, BS, Hn * W),
+                jnp.bfloat16 if self._ring_stage_bf16 else v_g.dtype,
+            )
             xs = (
                 v_g, t_tc, bsrc0_g, oh_g, cin_g, cls_oh, slot_off, cpl_slab,
                 rhs_extra if rhs_extra is not None

@@ -21,7 +21,53 @@ from collections import defaultdict
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def parse_only(logdir: str, steps: int) -> None:
+    """Parse an existing trace dir: per (process, thread-line) totals and
+    top ops — thread lines in the xplane->perfetto conversion separate
+    'XLA Modules' / 'XLA Ops' / etc., which NEST (summing across lines
+    double-counts)."""
+    traces = sorted(
+        glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
+                  recursive=True),
+        key=os.path.getmtime,
+    )
+    if not traces:
+        print("[prof] no trace.json.gz under", logdir)
+        return
+    with gzip.open(traces[-1], "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    pid_names, tid_names = {}, {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e.get("pid")] = e.get("args", {}).get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_names[(e.get("pid"), e.get("tid"))] = (
+                e.get("args", {}).get("name", "")
+            )
+    lines = defaultdict(lambda: defaultdict(float))
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        key = (e.get("pid"), e.get("tid"))
+        lines[key][e.get("name", "?")] += e["dur"]
+    for key, by_name in sorted(
+        lines.items(), key=lambda kv: -sum(kv[1].values())
+    ):
+        total = sum(by_name.values())
+        pname = pid_names.get(key[0], key[0])
+        tname = tid_names.get(key, key[1])
+        if "TPU" not in str(pname) and "tpu" not in str(pname).lower():
+            continue
+        print(f"--- {pname} / {tname}: {total/1e3/steps:.2f} ms/step")
+        for name, us in sorted(by_name.items(), key=lambda kv: -kv[1])[:25]:
+            print(f"  {us/1e3/steps:9.3f} ms/step  {name[:110]}")
+
+
 def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--parse":
+        parse_only(sys.argv[2], int(os.environ.get("PBTE_PROF_STEPS", 3)))
+        return
     import jax
 
     jax.config.update(

@@ -219,3 +219,39 @@ def test_ring_stretched_lattice_multiclass_oracle():
     uo, Tco, *_ = solve_oracle(ops, quad, tables, BCS3, tol=0, max_iter=4)
     np.testing.assert_allclose(np.asarray(res.Tc), Tco, rtol=1e-12,
                                atol=1e-14 * np.abs(Tco).max())
+
+
+def test_ring_bf16_staging_close_to_f32():
+    """bf16 operand staging (PBTE_RING_BF16=1): carry + xcat stored bf16.
+    On TPU this is numerically free (the default-precision MXU truncates
+    operands to bf16 inside the dot anyway); on CPU, where the f32 einsum
+    is exact, it introduces exactly one extra bf16 rounding of the carried
+    neighbor values — the field must stay within that noise class of the
+    unstaged f32 ring."""
+    import os
+
+    m = pmesh.make_cartesian_3d(8, 8, 8, "hex").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1,
+                            face_mode="consistent")
+    quad = ang.build(
+        ang.AngularOptions(dimension=3, polar_points=2, azimuth_points=4))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+
+    def run(env_val):
+        os.environ["PBTE_RING_BF16"] = env_val
+        try:
+            s = SourceIterationSolver(ops, quad, tables, BCS3,
+                                      dtype=jnp.float32, sweep_mode="ring")
+        finally:
+            del os.environ["PBTE_RING_BF16"]
+        assert s._ring_lattice
+        assert s._ring_stage_bf16 == (env_val == "1")
+        return np.asarray(s.solve(tol=0, max_iter=5, verbose=False).Tc)
+
+    Tc_bf16 = run("1")
+    Tc_f32 = run("0")
+    assert np.isfinite(Tc_bf16).all()
+    scale = np.abs(Tc_f32).max()
+    err = np.abs(Tc_bf16 - Tc_f32).max() / scale
+    assert err < 3e-2, f"bf16 staging error {err:.2e} out of noise class"
+    assert err > 0  # the staged path must actually run in bf16
