@@ -38,6 +38,11 @@ def _fingerprint(solver) -> dict:
         # the ring carries the mass-transformed state v = M^T u — a
         # checkpoint of one kind must not silently load into the other
         fp["state_kind"] = 1
+    if getattr(solver, "_ring_windowed", False):
+        # hull-windowed state is a nested (bucket, segment) tuple with
+        # per-segment widths; only added when engaged, so full-slab
+        # checkpoints keep their round-3 fingerprint layout
+        fp["ring_windowed"] = 1
     return fp
 
 
@@ -58,6 +63,15 @@ def _expected_u_shape(solver):
                 (solver.L, len(gs), km_b, solver.BS, solver.D, solver.W)
                 for gs, km_b in solver._ring_buckets
             ]
+        if getattr(solver, "_ring_windowed", False):
+            # nested: per bucket, per hull-window segment
+            return [
+                [
+                    (l1 - l0, len(gs), km_b, solver.D, solver.BS, Ws)
+                    for (l0, l1, _, _, Ws) in solver._ring_segs
+                ]
+                for gs, km_b in solver._ring_buckets
+            ]
         return [
             (solver.L, len(gs), km_b, solver.D, solver.BS, solver.W)
             for gs, km_b in solver._ring_buckets
@@ -69,7 +83,17 @@ def save_checkpoint(path: str, solver, u, Tc, Tv, iteration: int, residual: floa
     import os
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    if isinstance(u, (tuple, list)):  # bucketed ring state
+    if isinstance(u, (tuple, list)) and len(u) and isinstance(
+        u[0], (tuple, list)
+    ):  # hull-windowed ring state: (bucket, segment) nesting
+        u_fields = {
+            f"u_{i}_{s}": np.asarray(seg)
+            for i, b in enumerate(u)
+            for s, seg in enumerate(b)
+        }
+        u_fields["u_nbuckets"] = len(u)
+        u_fields["u_nsegs"] = len(u[0])
+    elif isinstance(u, (tuple, list)):  # bucketed ring state
         u_fields = {f"u_{i}": np.asarray(b) for i, b in enumerate(u)}
         u_fields["u_nbuckets"] = len(u)
     else:

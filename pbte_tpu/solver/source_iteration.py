@@ -168,6 +168,65 @@ def _pick_level_segments(counts, max_segments=6):
     return segs
 
 
+def _fit_ring_window(lo, hi, i, j, W, lane=128):
+    """Fit a LANE-ALIGNED static window [o0, o0+Ws) over levels [i, j):
+    o0 and Ws multiples of `lane` (Ws capped at W-o0), covering every
+    level's valid hull [lo_l, hi_l] AND (for i > 0) hull(i-1) — the first
+    level of a segment reads its upwind values from the previous segment's
+    final slab REWINDOWED into this frame, so carry coverage is a
+    correctness requirement, not an optimization. Alignment is a TPU
+    constraint, not a nicety: W is the LANE axis of every ring operand, so
+    only whole 128-lane tiles are ever saved, and unaligned window slices
+    force per-level lane relayouts — an unquantized affine-window variant
+    measured 2x SLOWER than no windowing at all (flagship 67.3 vs 31.7
+    ms/step, r3). Returns (o0, d=0, Ws); (0, 0, W) is the always-feasible
+    full-width fallback (the d slot is kept so downstream code matches the
+    historical affine form)."""
+    lo_all = int(np.min(lo[max(i - 1, 0):j]))
+    hi_all = int(np.max(hi[max(i - 1, 0):j]))
+    o0 = (lo_all // lane) * lane
+    Ws = -((o0 - 1 - hi_all) // lane) * lane  # ceil((hi_all+1-o0)/lane)*lane
+    if o0 + Ws > W:
+        Ws = W - o0  # still covers the hull: hi_all <= W-1
+    return (o0, 0, Ws)
+
+
+def _pick_ring_windows(lo, hi, W, max_segments=8):
+    """Partition the level axis into <= max_segments contiguous segments,
+    each with a lane-aligned hull window from _fit_ring_window, minimizing
+    the total slot count sum(len(seg) * Ws). Exact DP over cut points (L is
+    at most a few hundred); the carry-coverage constraint is inside the
+    per-segment fit, so the DP naturally places cuts where consecutive
+    hulls clear a 128-lane tile boundary. Returns
+    [(l0, l1, o0, d, Ws), ...]."""
+    L = len(lo)
+    INF = 1 << 60
+    fit = {}
+    for i2 in range(L):
+        for j2 in range(i2 + 1, L + 1):
+            fit[(i2, j2)] = _fit_ring_window(lo, hi, i2, j2, W)
+    best = np.full((max_segments + 1, L + 1), INF, dtype=np.int64)
+    cut = np.zeros((max_segments + 1, L + 1), dtype=np.int64)
+    best[0, 0] = 0
+    for m in range(1, max_segments + 1):
+        for j2 in range(1, L + 1):
+            for i2 in range(j2 - 1, -1, -1):
+                cand = best[m - 1, i2] + (j2 - i2) * fit[(i2, j2)][2]
+                if cand < best[m, j2]:
+                    best[m, j2] = cand
+                    cut[m, j2] = i2
+    m = int(np.argmin(best[:, L]))
+    segs = []
+    j2 = L
+    for mm in range(m, 0, -1):
+        i2 = int(cut[mm, j2])
+        o0, d, Ws = fit[(i2, j2)]
+        segs.append((i2, j2, o0, d, Ws))
+        j2 = i2
+    segs.reverse()
+    return segs
+
+
 class SourceIterationSolver:
     """Build once per (mesh, angles, material, bcs) problem; jitted step."""
 
@@ -505,6 +564,42 @@ class SourceIterationSolver:
             and matmul_precision in (None, "default")
             and os.environ.get("PBTE_RING_BF16", "") == "1"
         )
+
+        # ---- hull-windowed lattice ring -------------------------------------
+        # The lattice slab pads every level to the full plane (W = n1*n2);
+        # the diagonal wavefront's valid hull is much narrower near the
+        # sweep's entry/exit corners (flagship 16^3: 4096 valid slots of
+        # L*W = 11776, 2.9x padding). Since EVERY per-level cost is
+        # slot-proportional (r3 profile: dots 10.4 ms, shift staging 7.0,
+        # ys writes 5.2, const slicing 4.4 of the 28.8 ms step), windowing
+        # levels to per-segment LANE-ALIGNED hull windows (128-lane tiles,
+        # see _fit_ring_window — unaligned windows relayout and lose) cuts
+        # the step nearly proportionally to whole tiles saved (flagship:
+        # 9856 slots = 16% off). Restricted to the single-class lattice
+        # path (H=1, no periodic wraps, XLA ring); PBTE_RING_WINDOWS=0
+        # disables for A/B.
+        self._ring_windowed = False
+        self._ring_segs = None
+        if (
+            self.sweep_mode == "ring"
+            and self._ring_lattice
+            and self._ring_ccpl
+            and self._ring_H == 1
+            and not self.has_periodic
+            and not self._use_pallas_ring
+            and os.environ.get("PBTE_RING_WINDOWS", "") != "0"
+        ):
+            vmask_all = self._lat_tables >= 0  # (G, L, W)
+            # union hull across groups (groups of a box lattice share the
+            # same hull by symmetry; the union stays correct regardless)
+            vm = vmask_all.any(axis=0)
+            win_lo = np.argmax(vm, axis=1)
+            win_hi = vm.shape[1] - 1 - np.argmax(vm[:, ::-1], axis=1)
+            segs_w = _pick_ring_windows(win_lo, win_hi, self.W)
+            slot_tot = sum((l1 - l0) * Ws for l0, l1, _, _, Ws in segs_w)
+            if slot_tot < 0.95 * L * self.W:
+                self._ring_windowed = True
+                self._ring_segs = segs_w
 
         # scan-path rhs hoisting: precomputing the (Km, BS, D, ne) rhs base
         # and relaxation term for all G groups costs ~2 state-sized
@@ -1193,6 +1288,42 @@ class SourceIterationSolver:
             and inv_ws > 6e9
         )
 
+        def _win_slices(a, l_axis=0):
+            """(L, ..., W) numpy -> tuple over ring segments of contiguous
+            (L_s, ..., Ws) hull windows (see self._ring_segs)."""
+            out = []
+            for (l0, l1, o0, dlt, Ws) in self._ring_segs:
+                rows = [
+                    a[l][..., o0 + dlt * (l - l0): o0 + dlt * (l - l0) + Ws]
+                    for l in range(l0, l1)
+                ]
+                out.append(np.ascontiguousarray(np.stack(rows)))
+            return tuple(out)
+
+        ring_pos_win = None
+        if self._ring_windowed:
+            # per-segment seg-local flat position of each element (or -1):
+            # slot l*W + w  ->  (l - l0) * Ws + (w - off_l)
+            lvl_of = pos_of_elem // self.W  # (G, ne)
+            w_of = pos_of_elem % self.W
+            ring_pos_win = []
+            covered = np.zeros_like(pos_of_elem, dtype=bool)
+            for (l0, l1, o0, dlt, Ws) in self._ring_segs:
+                inseg = (lvl_of >= l0) & (lvl_of < l1)
+                off_l = o0 + dlt * (lvl_of - l0)
+                wrel = w_of - off_l
+                ok = inseg & (wrel >= 0) & (wrel < Ws)
+                assert bool((ok == inseg).all()), (
+                    "ring window does not cover a valid slot"
+                )
+                ring_pos_win.append(
+                    np.where(ok, (lvl_of - l0) * Ws + wrel, -1).astype(
+                        np.int32
+                    )
+                )
+                covered |= ok
+            assert bool(covered.all()), "element missing from all windows"
+
         self.consts = dict(
             mass_t=put(mass_t_g),  # (G, D, D, ne_pad): Mt[g,i,j,p]=mass[e_p,j,i]
             mass=put(np.moveaxis(mass_g, 1, -1)),  # (G, D, D, ne_pad)
@@ -1239,8 +1370,61 @@ class SourceIterationSolver:
                                 if ring_oh is not None
                                 else {}
                             ),
-                            "cin": put(ring_cin[:, gs][:, :, :, :km_b]),
-                            "bsrc0": put(ring_bsrc0[:, gs, :km_b]),
+                            **(
+                                {
+                                    # hull-windowed per-segment consts; the
+                                    # full-W slabs are not shipped at all
+                                    "segs": tuple(
+                                        {
+                                            "cin": put(cw),
+                                            "bsrc0": put(bw),
+                                            "pwin": iput(pw),
+                                            "vwin": put(vw),
+                                            **(
+                                                {"dsrc0": put(dw)}
+                                                if dw is not None
+                                                else {}
+                                            ),
+                                        }
+                                        for cw, bw, pw, vw, dw in zip(
+                                            _win_slices(
+                                                ring_cin[:, gs][
+                                                    :, :, :, :km_b]
+                                            ),
+                                            _win_slices(
+                                                ring_bsrc0[:, gs, :km_b]
+                                            ),
+                                            _win_slices(
+                                                np.moveaxis(
+                                                    perm_safe.reshape(
+                                                        G, L, self.W
+                                                    )[gs], 0, 1
+                                                ).astype(np.int32)
+                                            ),
+                                            _win_slices(
+                                                np.moveaxis(
+                                                    pos_valid.reshape(
+                                                        G, L, self.W
+                                                    )[gs], 0, 1
+                                                ).astype(np_dtype)
+                                            ),
+                                            _win_slices(
+                                                ring_dsrc0[:, gs, :km_b]
+                                            )
+                                            if ring_dsrc0 is not None
+                                            else (None,)
+                                            * len(self._ring_segs),
+                                        )
+                                    )
+                                }
+                                if self._ring_windowed
+                                else {
+                                    "cin": put(
+                                        ring_cin[:, gs][:, :, :, :km_b]
+                                    ),
+                                    "bsrc0": put(ring_bsrc0[:, gs, :km_b]),
+                                }
+                            ),
                             "macro_w": put(mw_slots[gs, :km_b]),
                             "per_cpl": put(per_cpl[gs]),
                             "per_cin": put(per_cin[gs][:, :km_b]),
@@ -1256,10 +1440,22 @@ class SourceIterationSolver:
                             **(
                                 {"dsrc0": put(ring_dsrc0[:, gs, :km_b])}
                                 if ring_dsrc0 is not None
+                                and not self._ring_windowed
                                 else {}
                             ),
                         }
                         for gs, km_b in self._ring_buckets
+                    ),
+                    **(
+                        {
+                            # seg-local flat position of each element for
+                            # the windowed macroscopic closure
+                            "ring_pos_win": tuple(
+                                iput(pw) for pw in ring_pos_win
+                            )
+                        }
+                        if self._ring_windowed
+                        else {}
                     ),
                     # inert padding: zero the lagged-temperature source on
                     # padded slots so they stay EXACTLY zero through every
@@ -1306,9 +1502,14 @@ class SourceIterationSolver:
         elif os.environ.get("PBTE_RING_DONATE", "") == "1":
             donate_ring = True
         else:
+            slot_tot = (
+                sum((l1 - l0) * Ws for l0, l1, _, _, Ws in self._ring_segs)
+                if self._ring_windowed
+                else L * self.W
+            )
             state_b = (
                 sum(sizes) + G
-            ) * BS * D * L * self.W * np.dtype(np_dtype).itemsize
+            ) * BS * D * slot_tot * np.dtype(np_dtype).itemsize
             donate_ring = state_b > 5.5e9
         self._step = _jit(
             self._step_impl,
@@ -1351,30 +1552,31 @@ class SourceIterationSolver:
                     jnp.zeros((self.ne, self.D), dtype=self.dtype),
                     jnp.zeros((self.ne,), dtype=self.dtype),
                 )
-            if self._dir_sharding is not None:
-                u = tuple(
-                    jax.device_put(
-                        jnp.zeros(
-                            (self.L, len(gs), km_b, self.D, self.BS, self.W),
-                            dtype=self.dtype,
-                        ),
+            def _zeros(shape):
+                z = jnp.zeros(shape, dtype=self.dtype)
+                if self._dir_sharding is not None:
+                    z = jax.device_put(
+                        z,
                         self._slot_sharding(
-                            np.empty(
-                                (self.L, len(gs), km_b, self.D, self.BS,
-                                 self.W)
-                            ),
-                            km_axis=2,
-                            band_axis=4,
+                            np.empty(shape), km_axis=2, band_axis=4
                         ),
+                    )
+                return z
+
+            if self._ring_windowed:
+                # per-bucket TUPLE over hull-window segments
+                u = tuple(
+                    tuple(
+                        _zeros(
+                            (l1 - l0, len(gs), km_b, self.D, self.BS, Ws)
+                        )
+                        for (l0, l1, _, _, Ws) in self._ring_segs
                     )
                     for gs, km_b in self._ring_buckets
                 )
             else:
                 u = tuple(
-                    jnp.zeros(
-                        (self.L, len(gs), km_b, self.D, self.BS, self.W),
-                        dtype=self.dtype,
-                    )
+                    _zeros((self.L, len(gs), km_b, self.D, self.BS, self.W))
                     for gs, km_b in self._ring_buckets
                 )
             Tc = jnp.zeros((self.ne, self.D), dtype=self.dtype)
@@ -1424,6 +1626,8 @@ class SourceIterationSolver:
         if self.sweep_mode == "ring":
             if self._use_pallas_ring:
                 return self._step_ring_pallas(c, u, Tc, Tv_prev)
+            if self._ring_windowed:
+                return self._step_ring_win(c, u, Tc, Tv_prev)
             return self._step_ring(c, u, Tc, Tv_prev)
 
         G, W, L, nf, D = self.G, self.W, self.L, self.nf, self.D
@@ -1702,6 +1906,182 @@ class SourceIterationSolver:
         )
         pos = c["pos_of_elem"]  # (G, ne)
         Tc_v = jax.vmap(lambda pg, po: pg[:, po])(partial, pos).sum(0).T
+        Tc_new = jnp.einsum("eij,ej->ei", c["ring_invMT"], Tc_v)
+        Tv_new = macroscopic.compute_tv(Tc_new, c["basis_int_glob"])
+        res = macroscopic.residual(Tv_new, Tv_prev)
+        return tuple(v_new), Tc_new, Tv_new, res
+
+    def _step_ring_win(self, c, u, Tc, Tv_prev):
+        """Hull-windowed lattice ring sweep: like the lattice branch of
+        _step_ring, but every level processes only its LANE-ALIGNED hull
+        window (self._ring_segs: per-segment static offset o0 and width Ws,
+        both 128-lane multiples) instead of the full W = n1*n2 plane — at
+        the hex-16^3 flagship that is 9.9k slots instead of 11.8k, and
+        every per-level cost (dot, shift staging, ys write, const slicing)
+        is slot-proportional in whole lane tiles.
+
+        State u: tuple over Km buckets of tuples over segments of
+        (L_s, G_b, Km_b, D, BS, Ws) slabs. Within a segment the upwind
+        neighbor sits at the STATIC relative shift s_f (d = 0 for aligned
+        windows); across segment boundaries the carry slab is re-windowed
+        (tile-aligned static slice + zero pad) into the next segment's
+        entry frame, whose hull coverage _fit_ring_window guarantees.
+        Single-class lattice only (H = 1, no periodic wraps)."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        G, D, BS = self.G, self.D, self.BS
+        segs = self._ring_segs
+        st = jnp.bfloat16 if self._ring_stage_bf16 else None
+        TcT = Tc.T  # (D, ne)
+
+        def _shift(x, s):
+            """y[w] = x[w - s] along the last axis, zero-filled."""
+            if s == 0:
+                return x
+            Wl = x.shape[-1]
+            if abs(s) >= Wl:
+                return jnp.zeros_like(x)
+            pads = [(0, 0)] * (x.ndim - 1)
+            if s > 0:
+                return jnp.pad(x[..., :-s], pads + [(s, 0)])
+            return jnp.pad(x[..., -s:], pads + [(0, -s)])
+
+        def _rewin(x, start, width):
+            """x[..., start:start+width] with zero fill out of range."""
+            Wl = x.shape[-1]
+            lo2, hi2 = max(start, 0), min(start + width, Wl)
+            if lo2 >= hi2:
+                return jnp.zeros(x.shape[:-1] + (width,), x.dtype)
+            pads = [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(
+                x[..., lo2:hi2],
+                pads + [(lo2 - start, start + width - hi2)],
+            )
+
+        def win_group(v_segs, cin_segs, bsrc_segs, pwin_segs, vwin_segs,
+                      mats_g, macro_w_g, *extra):
+            massT0 = mats_g[2][0]  # (D, D): single geometry class
+            bcat = mats_g[4]  # (Km_b, BS, D, (1+nf_act)*D)
+            km_b = bcat.shape[0]
+            dsrc_segs = extra[0] if extra else None
+
+            carry = None
+            prev_off_last = 0
+            ys_out, ms_out = [], []
+            for si, (l0, l1, o0, dlt, Ws) in enumerate(segs):
+                rel = tuple(int(s) - dlt for s in self._ring_shift_vals)
+                tc_s = (
+                    jnp.transpose(TcT[:, pwin_segs[si]], (1, 0, 2))
+                    * vwin_segs[si][:, None, :]
+                )  # (L_s, D, Ws); padded slots zeroed (exact-zero fixed pts)
+                ttc = jnp.einsum("ij,ljw->liw", massT0, tc_s)
+                if carry is None:
+                    carry = jnp.zeros(
+                        (km_b, D, BS, Ws), st or v_segs[si].dtype
+                    )
+                else:
+                    carry = _rewin(carry, (o0 - dlt) - prev_off_last, Ws)
+
+                def make_body(rel):
+                    def body(ring, xs):
+                        v_l, ttc_l, bsrc_l, cin_l, dsrc_l = xs
+                        rhs = (
+                            c["src_w"][None, None, :, None]
+                            * ttc_l[None, :, None]
+                            + c["relax_w"][None, None, :, None] * v_l
+                            - (c["vg"] * c["bc_w"])[None, None, :, None]
+                            * bsrc_l[:, :, None]
+                        )
+                        if dsrc_l is not None:
+                            rhs = (
+                                rhs
+                                - c["vg"][None, None, :, None]
+                                * dsrc_l[:, :, None]
+                            )
+                        parts = [rhs.astype(st) if st else rhs]
+                        for fi, s in enumerate(rel):
+                            unf = (
+                                _shift(ring, s)
+                                * cin_l[fi][:, None, None, :]
+                            )
+                            parts.append(unf.astype(st) if st else unf)
+                        xcat = jnp.concatenate(parts, axis=1)
+                        if st:
+                            sol = jnp.einsum(
+                                "kbiJ,kJbw->kibw", bcat, xcat,
+                                preferred_element_type=jnp.float32,
+                            )
+                        else:
+                            sol = jnp.einsum("kbiJ,kJbw->kibw", bcat, xcat)
+                        m_l = jnp.einsum("kb,kibw->iw", macro_w_g, sol)
+                        return (sol.astype(st) if st else sol), (sol, m_l)
+
+                    return body
+
+                xs = (
+                    v_segs[si], ttc, bsrc_segs[si], cin_segs[si],
+                    dsrc_segs[si] if dsrc_segs is not None else None,
+                )
+                carry, (ys, ms) = lax.scan(
+                    make_body(rel), carry, xs, unroll=self.scan_unroll
+                )
+                prev_off_last = o0 + dlt * (l1 - 1 - l0)
+                ys_out.append(ys)
+                ms_out.append(ms)
+            return tuple(ys_out), tuple(ms_out)
+
+        m_parts = []
+        v_new = []
+        for bi, (gs, km_b) in enumerate(self._ring_buckets):
+            cb = c["ring_b"][bi]
+            mats_b = c["mats"][bi]
+            sd = cb["segs"]
+            args = (
+                u[bi],
+                tuple(s["cin"] for s in sd),
+                tuple(s["bsrc0"] for s in sd),
+                tuple(s["pwin"] for s in sd),
+                tuple(s["vwin"] for s in sd),
+                mats_b,
+                cb["macro_w"],
+            )
+            extra = (
+                (tuple(s["dsrc0"] for s in sd),)
+                if self.has_dirichlet
+                else ()
+            )
+            mats_axes = tuple(
+                1 if i == 1 else 0 for i in range(len(mats_b))
+            )
+            vb, mb = jax.vmap(
+                win_group,
+                in_axes=(1, 1, 1, 1, 1, mats_axes, 0)
+                + ((1,) if self.has_dirichlet else ()),
+                out_axes=(1, 0),
+            )(*args, *extra)
+            v_new.append(vb)
+            m_parts.append(mb)
+
+        # macroscopic closure per segment (each element lives in exactly
+        # one segment; the masked gathers sum disjoint contributions)
+        order = np.concatenate([gs for gs, _ in self._ring_buckets])
+        inv_order = np.empty(G, dtype=np.int32)
+        inv_order[order] = np.arange(G)
+        Tc_v = jnp.zeros((self.ne, D), dtype=Tc.dtype)
+        for si in range(len(segs)):
+            m_cat = jnp.concatenate(
+                [m_parts[bi][si] for bi in range(len(m_parts))], axis=0
+            )[inv_order]  # (G, L_s, D, Ws)
+            part = jnp.transpose(m_cat, (0, 2, 1, 3)).reshape(G, D, -1)
+            po = c["ring_pos_win"][si]  # (G, ne), -1 outside this segment
+            got = jax.vmap(
+                lambda pg, po_: jnp.where(
+                    po_ >= 0, pg[:, jnp.clip(po_, 0)], 0.0
+                )
+            )(part, po)
+            Tc_v = Tc_v + got.sum(0).T
         Tc_new = jnp.einsum("eij,ej->ei", c["ring_invMT"], Tc_v)
         Tv_new = macroscopic.compute_tv(Tc_new, c["basis_int_glob"])
         res = macroscopic.residual(Tv_new, Tv_prev)
@@ -2021,11 +2401,30 @@ class SourceIterationSolver:
 
     def _ring_u_standard(self, u):
         """Bucketed ring state -> standard (G, Km, BS, D, ne_pad) numpy."""
+        u0 = u[0][0] if self._ring_windowed else u[0]
         out = np.zeros(
             (self.G, self.Km, self.BS, self.D, self.ne_pad),
-            dtype=np.asarray(u[0]).dtype,
+            dtype=np.asarray(u0).dtype,
         )
         for bi, (gs, km_b) in enumerate(self._ring_buckets):
+            if self._ring_windowed:
+                # paste each segment's hull windows back into the (L, W)
+                # rectangle (outside-window slots are exact zeros)
+                ub = np.zeros(
+                    (len(gs), km_b, self.BS, self.D, self.L, self.W),
+                    dtype=np.asarray(u[bi][0]).dtype,
+                )
+                for si, (l0, l1, o0, dlt, Ws) in enumerate(self._ring_segs):
+                    us = np.asarray(u[bi][si])  # (L_s, Gb, Km_b, D, BS, Ws)
+                    for li in range(l1 - l0):
+                        off = o0 + dlt * li
+                        ub[:, :, :, :, l0 + li, off:off + Ws] = (
+                            us[li].transpose(0, 1, 3, 2, 4)
+                        )
+                out[gs, :km_b] = ub.reshape(
+                    len(gs), km_b, self.BS, self.D, self.ne_pad
+                )
+                continue
             if self._use_pallas_ring:
                 ub = np.asarray(u[bi])  # (L, Gb, Km_b, BS, D, W)
                 ub = ub.transpose(1, 2, 3, 4, 0, 5).reshape(

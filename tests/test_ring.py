@@ -187,12 +187,13 @@ def test_ring_lattice_padded_slots_stay_zero():
                               sweep_mode="ring")
     assert s._ring_lattice
     res = s.solve(tol=0, max_iter=8, verbose=False)
-    for bi, (gs, km_b) in enumerate(s._ring_buckets):
-        ub = np.asarray(res.u[bi])  # (L, Gb, Km_b, D, BS, W)
-        pv = s._pos_valid[gs].reshape(len(gs), s.L, s.W)  # (Gb, L, W)
-        pad = ~np.transpose(pv, (1, 0, 2))  # (L, Gb, W)
-        vals = np.moveaxis(ub, (0, 1, 5), (0, 1, 2))[pad]
-        assert vals.size and np.all(vals == 0.0)
+    # layout-agnostic check via the standard slot view (windowed mode pastes
+    # hull windows into a zeroed rectangle; in-window padded slots must have
+    # stayed exactly zero through the iterations)
+    us = s._ring_u_standard(res.u)  # (G, Km, BS, D, ne_pad)
+    pad = ~s._pos_valid  # (G, ne_pad)
+    vals = np.moveaxis(us, (0, 4), (0, 1))[pad]
+    assert vals.size and np.all(vals == 0.0)
 
 
 def test_ring_stretched_lattice_multiclass_oracle():
@@ -255,3 +256,50 @@ def test_ring_bf16_staging_close_to_f32():
     err = np.abs(Tc_bf16 - Tc_f32).max() / scale
     assert err < 3e-2, f"bf16 staging error {err:.2e} out of noise class"
     assert err > 0  # the staged path must actually run in bf16
+
+
+def test_ring_windowed_matches_full_slab():
+    """Hull-windowed lattice ring (per-segment lane-aligned windows +
+    rewindowed carry) must equal the full-W slab ring bit-for-bit in f64 —
+    windows only skip slots that are provably invalid (outside the
+    wavefront hull), and the segment-entry carry frame must cover the
+    previous level's hull (the _fit_ring_window correctness constraint).
+    The mesh must have a >128-lane plane (16x16 = 256) or aligned windows
+    cannot engage at all."""
+    import os
+
+    m = pmesh.make_cartesian_3d(16, 16, 16, "hex").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1,
+                            face_mode="consistent")
+    quad = ang.build(
+        ang.AngularOptions(dimension=3, polar_points=2, azimuth_points=4))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+
+    def run(env_val):
+        os.environ["PBTE_RING_WINDOWS"] = env_val
+        try:
+            s = SourceIterationSolver(ops, quad, tables, BCS3,
+                                      dtype=jnp.float64, sweep_mode="ring")
+        finally:
+            del os.environ["PBTE_RING_WINDOWS"]
+        assert s._ring_lattice
+        assert s._ring_windowed == (env_val != "0")
+        res = s.solve(tol=0, max_iter=3, verbose=False)
+        return s, res
+
+    s_w, r_w = run("1")
+    slot_tot = sum((l1 - l0) * Ws for l0, l1, _, _, Ws in s_w._ring_segs)
+    assert slot_tot < s_w.L * s_w.W  # windows actually shrink the slab
+    for (_, _, o0, d, Ws) in s_w._ring_segs:
+        assert d == 0 and o0 % 128 == 0  # lane-aligned or not at all
+        assert Ws % 128 == 0 or o0 + Ws == s_w.W
+    s_f, r_f = run("0")
+    # identical up to float summation ORDER: the windowed closure sums
+    # per-segment partials (measured <= 3e-14 relative)
+    np.testing.assert_allclose(
+        np.asarray(r_w.Tc), np.asarray(r_f.Tc), rtol=1e-12, atol=1e-15
+    )
+    np.testing.assert_allclose(
+        s_w._ring_u_standard(r_w.u), s_f._ring_u_standard(r_f.u),
+        rtol=1e-12, atol=1e-15,
+    )
