@@ -544,17 +544,19 @@ class SourceIterationSolver:
             # "auto" resolves to OFF: measured slower than the XLA ring
             # (Mosaic per-band dot emission, see ops/lattice_ring.py)
 
-        # ---- bf16 operand staging for the lattice ring (opt-in) ------------
+        # ---- bf16 operand staging for the lattice ring (default ON) --------
         # At default matmul precision the MXU truncates BOTH einsum operands
         # to bf16 anyway, so materializing the per-level xcat staging buffer
         # (and the ring carry it is built from) in bf16 is numerically free —
         # the only extra rounding is one bf16 cast of the carried neighbor
-        # values. MEASURED PERF-NEUTRAL at the flagship (module 29.07 vs
-        # 28.79 ms/step): the profile shows the staging producers'
-        # pad_multiply fusions simply become multiply_convert fusions of the
-        # same cost, and the dot fusions absorb a bitcast_convert — the step
-        # is not limited by the staged bytes alone. Kept as an opt-in
-        # (PBTE_RING_BF16=1) for future hardware/compiler revisions.
+        # values (same error class as the MXU's own operand truncation; the
+        # iteration stays deterministic, so residual convergence is
+        # unaffected). Measured neutral on the FULL-W slab (29.07 vs 28.79
+        # ms/step — staging producers' pad_multiply fusions just became
+        # multiply_convert fusions), but a clear win once hull windowing
+        # shrank the slab: flagship 29.5 -> 26.1 ms/step (the step becomes
+        # staging-bandwidth-limited at the smaller slot count). Default ON
+        # whenever it is numerically free; PBTE_RING_BF16=0 disables.
         self._ring_stage_bf16 = (
             self.sweep_mode == "ring"
             and self._ring_lattice
@@ -562,7 +564,7 @@ class SourceIterationSolver:
             and not self._use_pallas_ring
             and np_dtype == np.float32
             and matmul_precision in (None, "default")
-            and os.environ.get("PBTE_RING_BF16", "") == "1"
+            and os.environ.get("PBTE_RING_BF16", "") != "0"
         )
 
         # ---- hull-windowed lattice ring -------------------------------------

@@ -246,7 +246,7 @@ def test_ring_bf16_staging_close_to_f32():
         finally:
             del os.environ["PBTE_RING_BF16"]
         assert s._ring_lattice
-        assert s._ring_stage_bf16 == (env_val == "1")
+        assert s._ring_stage_bf16 == (env_val != "0")  # default ON
         return np.asarray(s.solve(tol=0, max_iter=5, verbose=False).Tc)
 
     Tc_bf16 = run("1")
