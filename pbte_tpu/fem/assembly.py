@@ -121,8 +121,17 @@ def inverse_map(geom: str, Xv: np.ndarray, X: np.ndarray, iters: int = 8) -> np.
     (the leading batch dims of both must match). Exact in one step for affine
     simplices; Newton otherwise."""
     Xb = np.broadcast_to(Xv[..., None, :, :], X.shape[:-1] + Xv.shape[-2:])
-    r = np.full(X.shape, 1.0 / 3.0 if geom == mesh_core.GEOM_TRIANGLE else
-                (0.25 if geom == mesh_core.GEOM_TET else 0.5))
+    init = {
+        mesh_core.GEOM_TRIANGLE: (1.0 / 3.0,) * 2,
+        mesh_core.GEOM_TET: (0.25,) * 3,
+        # strictly inside their reference cells (the prism's triangle
+        # cross-section needs x+y<1; the pyramid needs x,y < 1-z and its
+        # rational map is singular at the apex)
+        mesh_core.GEOM_PRISM: (1.0 / 3.0, 1.0 / 3.0, 0.5),
+        mesh_core.GEOM_PYRAMID: (0.35, 0.35, 0.25),
+    }.get(geom, (0.5,) * 3)
+    r = np.empty(X.shape)
+    r[...] = np.asarray(init[: X.shape[-1]])
     n_iter = 1 if geom in (mesh_core.GEOM_TRIANGLE, mesh_core.GEOM_TET) else iters
     for _ in range(n_iter):
         sh = ref.vertex_shape(geom, r)  # (..., Q, nv)
@@ -130,6 +139,15 @@ def inverse_map(geom: str, Xv: np.ndarray, X: np.ndarray, iters: int = 8) -> np.
         vg = ref.vertex_shape_grad(geom, r)  # (..., Q, nv, dim)
         J = np.einsum("...vd,...vk->...dk", Xb, vg)
         r = r - np.linalg.solve(J, F[..., None])[..., 0]
+        if n_iter > 1:
+            # safeguard the Newton iterates: every true preimage lies in
+            # the reference cell, so clamping overshoots keeps the
+            # Jacobians finite (the pyramid's rational map is singular at
+            # z=1 — an unclamped overshoot past the apex makes J
+            # inf/singular and poisons the whole batch)
+            r = np.clip(r, -1.0, 2.0)
+            if geom == mesh_core.GEOM_PYRAMID:
+                r[..., 2] = np.minimum(r[..., 2], 1.0 - 1e-6)
     return r
 
 
@@ -349,10 +367,6 @@ def _assemble_mixed(
 
     vdeg = volume_degree if volume_degree is not None else 2 * order + 1
     fdeg = face_degree if face_degree is not None else 2 * order + 1
-    # 2D: every face is a segment; tri and quad share the same face rule
-    fpts, fw = quad.face_rule(geoms[codes[0]], fdeg)
-    face_nv = topo.face_verts.shape[1]
-    fbary = _face_bary(face_nv, fpts)
 
     basis_int = np.zeros((ne, Dmax))
     mass = np.zeros((ne, Dmax, Dmax))
@@ -400,62 +414,73 @@ def _assemble_mixed(
             )
 
             # --- faces: slots 0..nfg-1 are the real ones (connect() sorts
-            # -1 padding to the end) ---
+            # -1 padding to the end). Face SHAPES can differ per slot (3D
+            # prism: 2 triangles + 3 quads; and the global-face-id sort
+            # makes slot -> shape element-dependent), so faces are
+            # processed FLAT per vertex-count with that shape's own rule.
             fids = topo.elem_face[sel][:, :nfg]  # (E, nfg), all valid
-            fverts = topo.face_verts[fids]
-            Xf = verts[fverts]  # (E, nfg, nv_f, dim)
-            Xq = np.einsum("qv,efvd->efqd", fbary, Xf)
-            meas = _face_measure(
-                Xf.reshape(E * nfg, face_nv, dim), face_nv, fpts
-            ).reshape(E, nfg, -1)
-            wf = fw[None, None, :] * meas  # (E, nfg, Qf)
-
+            fverts = topo.face_verts[fids]  # (E, nfg, fw_max), -1 padded
+            ftype = (fverts >= 0).sum(axis=-1)  # (E, nfg) in {2, 3, 4}
             nbr = nbr_all[sel][:, :nfg]
-            has_nbr = nbr >= 0
             ncode = nbr_code[sel][:, :nfg]
 
-            if face_mode == "mfem-parity":
-                cself = origin_c[c]
-                measure = wf.sum(axis=-1)  # (E, nfg)
-                face_int[np.ix_(sel, rF, rD)] = measure[..., None] * cself
-                face_mass[np.ix_(sel, rF, rD, rD)] = measure[
-                    ..., None, None
-                ] * np.outer(cself, cself)
-                cn = np.zeros((E, nfg, Dmax))
-                for cc in codes:
-                    mk = ncode == cc
-                    cn[mk, : bases[cc].ndof] = origin_c[cc]
-                cpl = np.einsum("ef,i,efj->efij", measure, cself, cn)
-            else:
-                Xv_rep = np.broadcast_to(
-                    Xv[:, None], (E, nfg) + Xv.shape[1:]
-                )
-                r_self = inverse_map(g, Xv_rep, Xq)
-                S_self = b.eval(r_self)  # (E, nfg, Qf, D)
-                face_int[np.ix_(sel, rF, rD)] = np.einsum(
-                    "efq,efqi->efi", wf, S_self
-                )
-                face_mass[np.ix_(sel, rF, rD, rD)] = np.einsum(
-                    "efq,efqi,efqj->efij", wf, S_self, S_self
-                )
-                Xq_nbr = Xq + topo.periodic_offset[sel][:, :nfg, None, :]
-                cpl = np.zeros((E, nfg, D, Dmax))
-                for cc in codes:
-                    mk = ncode == cc
-                    if not mk.any():
-                        continue
-                    gn, bn = geoms[cc], bases[cc]
-                    nvn, Dn = mesh_core.GEOM_NV[gn], bn.ndof
-                    nbr_eval = np.where(mk, nbr, first_of_code[cc])
-                    Xv_nbr = verts[ev[nbr_eval][:, :, :nvn]]
-                    r_nbr = inverse_map(gn, Xv_nbr, Xq_nbr)
-                    S_nbr = bn.eval(r_nbr)  # (E, nfg, Qf, Dn)
-                    cpl_cc = np.einsum(
-                        "efq,efqi,efqj->efij", wf, S_self, S_nbr
+            for t in np.unique(ftype):
+                t = int(t)
+                el, fl = np.nonzero(ftype == t)  # local rows (R,)
+                ge = sel[el]  # global element ids
+                R = len(el)
+                fpts, fw_r = quad.face_rule_nv(t, fdeg)
+                fbary = _face_bary(t, fpts)  # (Qf, t)
+                Xf = verts[fverts[el, fl][:, :t]]  # (R, t, dim)
+                Xq = np.einsum("qv,rvd->rqd", fbary, Xf)  # (R, Qf, dim)
+                meas = _face_measure(Xf, t, fpts)  # (R, Qf)
+                wf = fw_r[None, :] * meas  # (R, Qf)
+                rnbr = nbr[el, fl]
+                rhas = rnbr >= 0
+                rcode = ncode[el, fl]
+
+                if face_mode == "mfem-parity":
+                    cself = origin_c[c]
+                    measure = wf.sum(axis=-1)  # (R,)
+                    face_int[ge, fl, :D] = measure[:, None] * cself
+                    face_mass[ge, fl, :D, :D] = measure[
+                        :, None, None
+                    ] * np.outer(cself, cself)
+                    cn = np.zeros((R, Dmax))
+                    for cc in codes:
+                        mk = rcode == cc
+                        cn[mk, : bases[cc].ndof] = origin_c[cc]
+                    cpl = np.einsum("r,i,rj->rij", measure, cself, cn)
+                else:
+                    Xv_r = Xv[el]  # (R, nv, dim)
+                    r_self = inverse_map(g, Xv_r, Xq)  # (R, Qf, dim)
+                    S_self = b.eval(r_self)  # (R, Qf, D)
+                    face_int[ge, fl, :D] = np.einsum(
+                        "rq,rqi->ri", wf, S_self
                     )
-                    cpl[mk, :, :Dn] = cpl_cc[mk]
-            cpl = np.where(has_nbr[..., None, None], cpl, 0.0)
-            coupling[np.ix_(sel, rF, rD, np.arange(Dmax))] = cpl
+                    face_mass[ge, fl, :D, :D] = np.einsum(
+                        "rq,rqi,rqj->rij", wf, S_self, S_self
+                    )
+                    Xq_nbr = (
+                        Xq + topo.periodic_offset[ge, fl][:, None, :]
+                    )
+                    cpl = np.zeros((R, D, Dmax))
+                    for cc in codes:
+                        mk = rcode == cc
+                        if not mk.any():
+                            continue
+                        gn, bn = geoms[cc], bases[cc]
+                        nvn, Dn = mesh_core.GEOM_NV[gn], bn.ndof
+                        nbr_eval = np.where(mk, rnbr, first_of_code[cc])
+                        Xv_nbr = verts[ev[nbr_eval][:, :nvn]]
+                        r_nbr = inverse_map(gn, Xv_nbr, Xq_nbr)
+                        S_nbr = bn.eval(r_nbr)  # (R, Qf, Dn)
+                        cpl_cc = np.einsum(
+                            "rq,rqi,rqj->rij", wf, S_self, S_nbr
+                        )
+                        cpl[mk, :, :Dn] = cpl_cc[mk]
+                cpl = np.where(rhas[:, None, None], cpl, 0.0)
+                coupling[ge, fl, :D, :] = cpl
 
         # identity-pad the mass diagonal (invertibility; see docstring)
         for d in range(D, Dmax):

@@ -87,12 +87,50 @@ def hex_rule(degree: int):
     return pts, (WX * WY * WZ).reshape(-1)
 
 
+@lru_cache(maxsize=None)
+def prism_rule(degree: int):
+    """Triangle x segment tensor rule on the reference wedge: total 1/2."""
+    tpts, tw = triangle_rule(degree)
+    n = max(1, (degree + 2) // 2)
+    zpts, zw = _gauss01(n)
+    pts = np.concatenate(
+        [
+            np.repeat(tpts, len(zpts), axis=0),
+            np.tile(zpts, len(tpts))[:, None],
+        ],
+        axis=-1,
+    )
+    return pts, (tw[:, None] * zw[None, :]).reshape(-1)
+
+
+@lru_cache(maxsize=None)
+def pyramid_rule(degree: int):
+    """Collapsed rule on the reference pyramid (base unit square, apex at
+    (0,0,1)): map (u,v,w) in [0,1]^3 to (u(1-w), v(1-w), w) with Jacobian
+    (1-w)^2, absorbed EXACTLY by a Gauss-Jacobi alpha=2 rule in w — so any
+    polynomial of total degree <= `degree` integrates exactly (the same
+    Duffy idea as the tet rule). Total weight 1/3."""
+    n = max(1, (degree + 2) // 2)
+    u, wu = _gauss01(n)
+    v, wv = _gauss01(n)
+    t, wt = _gauss_jacobi01(n, 2)
+    U, V, T = np.meshgrid(u, v, t, indexing="ij")
+    WU, WV, WT = np.meshgrid(wu, wv, wt, indexing="ij")
+    x = U * (1.0 - T)
+    y = V * (1.0 - T)
+    z = T
+    pts = np.stack([x.reshape(-1), y.reshape(-1), z.reshape(-1)], axis=-1)
+    return pts, (WU * WV * WT).reshape(-1)
+
+
 def volume_rule(geom: str, degree: int):
     return {
         mesh_core.GEOM_TRIANGLE: triangle_rule,
         mesh_core.GEOM_QUAD: quad_rule,
         mesh_core.GEOM_TET: tet_rule,
         mesh_core.GEOM_HEX: hex_rule,
+        mesh_core.GEOM_PRISM: prism_rule,
+        mesh_core.GEOM_PYRAMID: pyramid_rule,
     }[geom](degree)
 
 
@@ -100,9 +138,20 @@ def face_rule(geom: str, degree: int):
     """Rule on the reference *face* (segment for 2D, tri/quad for 3D).
 
     Points are barycentric-style parameters: (s,) for segments, (s, t) for
-    2D faces; weights integrate over the unit face (total 1, 1/2, 1)."""
+    2D faces; weights integrate over the unit face (total 1, 1/2, 1).
+    Only valid for uniform-face geometries; prism/pyramid faces mix types —
+    use face_rule_nv with the actual face's vertex count."""
     if geom in (mesh_core.GEOM_TRIANGLE, mesh_core.GEOM_QUAD):
         return segment_rule(degree)
     if geom == mesh_core.GEOM_TET:
         return triangle_rule(degree)
+    if geom in (mesh_core.GEOM_PRISM, mesh_core.GEOM_PYRAMID):
+        raise ValueError(f"{geom} faces mix types; use face_rule_nv")
     return quad_rule(degree)
+
+
+def face_rule_nv(face_nv: int, degree: int):
+    """Face rule by the face's vertex count: 2 = segment, 3 = triangle,
+    4 = (bilinear) quad. The mixed-geometry assembly path uses this, since
+    an element's faces can mix shapes (prism: 2 triangles + 3 quads)."""
+    return {2: segment_rule, 3: triangle_rule, 4: quad_rule}[face_nv](degree)

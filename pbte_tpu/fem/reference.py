@@ -39,6 +39,18 @@ REF_VERTS = {
             [0.0, 0.0, 1.0], [1.0, 0.0, 1.0], [1.0, 1.0, 1.0], [0.0, 1.0, 1.0],
         ]
     ),
+    mesh_core.GEOM_PRISM: np.array(
+        [
+            [0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0],
+            [0.0, 0.0, 1.0], [1.0, 0.0, 1.0], [0.0, 1.0, 1.0],
+        ]
+    ),
+    mesh_core.GEOM_PYRAMID: np.array(
+        [
+            [0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [1.0, 1.0, 0.0], [0.0, 1.0, 0.0],
+            [0.0, 0.0, 1.0],
+        ]
+    ),
 }
 
 
@@ -101,13 +113,47 @@ def nodes(geom: str, p: int) -> np.ndarray:
                 for i in range(p + 1)
             ]
         )
+    if geom == mesh_core.GEOM_PRISM:
+        # tensor triangle(p) x open-GL segment(p): k (height) outer, the
+        # triangle's (j, i) inner — matching the hex's z-outer convention.
+        # The reference has no wedge coefficient goldens (its committed
+        # meshes are tri/quad/tet/hex only), so this ordering is this
+        # framework's own convention, documented here.
+        pts = []
+        for k in range(p + 1):
+            for j in range(p + 1):
+                for i in range(p + 1 - j):
+                    w = op[i] + op[j] + op[p - i - j]
+                    pts.append((op[i] / w, op[j] / w, op[k]))
+        return np.array(pts)
+    if geom == mesh_core.GEOM_PYRAMID:
+        # P_p (total-degree) local space with the TET's open-GL lattice as
+        # the nodal set: those nodes lie inside the pyramid (x+z<=1 and
+        # y+z<=1 follow from x+y+z<=1) and are unisolvent for P_p. DG-L2
+        # needs only a linearly-independent local space with exact
+        # integrals — the conforming pyramid's rational (Fuentes-style)
+        # basis is unnecessary here, and P_p keeps the tet's approximation
+        # order. No reference golden exists for pyramids (same note as the
+        # prism above).
+        return nodes(mesh_core.GEOM_TET, p)
     raise ValueError(f"unsupported geometry: {geom}")
 
 
 def exponents(geom: str, p: int) -> np.ndarray:
     dim = mesh_core.GEOM_DIM[geom]
-    if geom in (mesh_core.GEOM_TRIANGLE, mesh_core.GEOM_TET):
+    if geom in (mesh_core.GEOM_TRIANGLE, mesh_core.GEOM_TET,
+                mesh_core.GEOM_PYRAMID):
         return _simplex_exponents(p, dim)
+    if geom == mesh_core.GEOM_PRISM:
+        # {x^a y^b z^c : a+b <= p, c <= p} — triangle total-degree in the
+        # cross-section, tensor in the extrusion axis (dim (p+1)^2(p+2)/2)
+        out = [
+            (i, j, k)
+            for k in range(p + 1)
+            for j in range(p + 1)
+            for i in range(p + 1 - j)
+        ]
+        return np.array(out, dtype=np.int64)
     return _tensor_exponents(p, dim)
 
 
@@ -194,6 +240,35 @@ def vertex_shape(geom: str, pts: np.ndarray) -> np.ndarray:
             ],
             axis=-1,
         )
+    if geom == mesh_core.GEOM_PRISM:
+        return np.stack(
+            [
+                (1 - x - y) * (1 - z), x * (1 - z), y * (1 - z),
+                (1 - x - y) * z, x * z, y * z,
+            ],
+            axis=-1,
+        )
+    if geom == mesh_core.GEOM_PYRAMID:
+        # The standard rational pyramid shapes (apex at (0,0,1)); the 0/0 at
+        # the apex is resolved by its limit (0,0,0,0,1). Quadrature points
+        # and L2 nodes are strictly interior, so the clamp only matters for
+        # evaluations exactly at the apex vertex (e.g. VTU corner output).
+        zc = np.minimum(z, 1.0 - 1e-12)
+        inv = 1.0 / (1.0 - zc)
+        N = np.stack(
+            [
+                (1 - x - zc) * (1 - y - zc) * inv,
+                x * (1 - y - zc) * inv,
+                x * y * inv,
+                y * (1 - x - zc) * inv,
+                z * np.ones_like(x),
+            ],
+            axis=-1,
+        )
+        apex = z >= 1.0 - 1e-12
+        if np.any(apex):
+            N[apex] = np.array([0.0, 0.0, 0.0, 0.0, 1.0])
+        return N
     raise ValueError(f"unsupported geometry: {geom}")
 
 
@@ -232,5 +307,49 @@ def vertex_shape_grad(geom: str, pts: np.ndarray) -> np.ndarray:
             out[..., vi, 0] = dfx * fy * fz
             out[..., vi, 1] = fx * dfy * fz
             out[..., vi, 2] = fx * fy * dfz
+        return out
+    if geom == mesh_core.GEOM_PRISM:
+        out = np.empty(shp + (6, 3))
+        lam = [1 - x - y, x, y]
+        dlam = [(-1.0, -1.0), (1.0, 0.0), (0.0, 1.0)]
+        for t in range(3):
+            fz, dfz = (1 - z, -1.0)
+            out[..., t, 0] = dlam[t][0] * fz
+            out[..., t, 1] = dlam[t][1] * fz
+            out[..., t, 2] = dfz * lam[t]
+            fz, dfz = (z, 1.0)
+            out[..., 3 + t, 0] = dlam[t][0] * fz
+            out[..., 3 + t, 1] = dlam[t][1] * fz
+            out[..., 3 + t, 2] = dfz * lam[t]
+        return out
+    if geom == mesh_core.GEOM_PYRAMID:
+        # gradients of the rational shapes (see vertex_shape); with
+        # u = 1-z, a = 1-x-z, b = 1-y-z:
+        #   dN0 = (-b/u, -a/u, xy/u^2 - 1)      dN1 = (b/u, -x/u, -xy/u^2)
+        #   dN2 = (y/u, x/u, xy/u^2)            dN3 = (-y/u, a/u, -xy/u^2)
+        #   dN4 = (0, 0, 1)
+        # genuinely singular at the apex — quadrature/L2 nodes never sit
+        # there (clamp matches vertex_shape's)
+        zc = np.minimum(z, 1.0 - 1e-12)
+        u = 1.0 - zc
+        a = 1.0 - x - zc
+        b = 1.0 - y - zc
+        xyu2 = x * y / (u * u)
+        out = np.empty(shp + (5, 3))
+        out[..., 0, 0] = -b / u
+        out[..., 0, 1] = -a / u
+        out[..., 0, 2] = xyu2 - 1.0
+        out[..., 1, 0] = b / u
+        out[..., 1, 1] = -x / u
+        out[..., 1, 2] = -xyu2
+        out[..., 2, 0] = y / u
+        out[..., 2, 1] = x / u
+        out[..., 2, 2] = xyu2
+        out[..., 3, 0] = -y / u
+        out[..., 3, 1] = a / u
+        out[..., 3, 2] = -xyu2
+        out[..., 4, 0] = 0.0
+        out[..., 4, 1] = 0.0
+        out[..., 4, 2] = 1.0
         return out
     raise ValueError(f"unsupported geometry: {geom}")

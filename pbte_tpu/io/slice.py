@@ -64,6 +64,19 @@ def locate_points(mesh: mesh_core.MeshData, pts: np.ndarray, tol: float = 1e-10)
         r = fem_assembly.inverse_map(g, Xv[e, :nv][None], pts[idx][None])[0]
         if g in (mesh_core.GEOM_TRIANGLE, mesh_core.GEOM_TET):
             inside = np.all(r >= -tol, axis=-1) & (r.sum(-1) <= 1.0 + tol)
+        elif g == mesh_core.GEOM_PRISM:
+            inside = (
+                np.all(r >= -tol, axis=-1)
+                & (r[..., 0] + r[..., 1] <= 1.0 + tol)
+                & (r[..., 2] <= 1.0 + tol)
+            )
+        elif g == mesh_core.GEOM_PYRAMID:
+            inside = (
+                np.all(r >= -tol, axis=-1)
+                & (r[..., 0] <= 1.0 - r[..., 2] + tol)
+                & (r[..., 1] <= 1.0 - r[..., 2] + tol)
+                & (r[..., 2] <= 1.0 + tol)
+            )
         else:
             inside = np.all((r >= -tol) & (r <= 1.0 + tol), axis=-1)
         hit = idx[inside]

@@ -30,6 +30,8 @@ _VTK_CELL = {
     mesh_core.GEOM_QUAD: 9,
     mesh_core.GEOM_TET: 10,
     mesh_core.GEOM_HEX: 12,
+    mesh_core.GEOM_PRISM: 13,  # VTK_WEDGE: same vertex order as MFEM PRISM
+    mesh_core.GEOM_PYRAMID: 14,  # VTK_PYRAMID: base quad + apex, identical
 }
 
 
@@ -91,7 +93,14 @@ def write_vtu(mesh, order, scalar_fields=None, vector_fields=None,
     base = 0
     for g, es in groups:
         b = fref.basis(g, order)
-        ref_pts, sub_conn = _ref_lattice(g, lod)
+        # prism/pyramid red refinement produces mixed children (a refined
+        # pyramid is 6 pyramids + 4 tets), which the per-group uniform
+        # sub-cell bookkeeping here cannot express — emit them unrefined
+        # (corner sampling; high-order variation renders linearly per cell)
+        g_lod = 0 if g in (
+            mesh_core.GEOM_PRISM, mesh_core.GEOM_PYRAMID
+        ) else lod
+        ref_pts, sub_conn = _ref_lattice(g, g_lod)
         P = len(ref_pts)  # sample points per element
         C = len(sub_conn)  # sub-cells per element
         shape = b.eval(ref_pts)  # (P, Dg) DG basis at sample points

@@ -173,17 +173,29 @@ def make_cartesian_3d(
                         elems.append([c[t[0]], c[t[1]], c[t[2]], c[t[3]]])
                 elif geom == core.GEOM_HEX:
                     elems.append(c)
+                elif geom == core.GEOM_PRISM:
+                    # 2-prism split of the cube (bottom triangles match the
+                    # 2D tri split: (v0,v1,v2) + (v0,v2,v3), extruded in z)
+                    elems.append([c[0], c[1], c[2], c[4], c[5], c[6]])
+                    elems.append([c[0], c[2], c[3], c[4], c[6], c[7]])
                 else:
                     raise ValueError(f"unsupported 3D geometry: {geom}")
 
     bdry, battr = [], []
 
     def add_quad_bdry(q, attr):
-        if geom == core.GEOM_HEX:
+        # prisms keep whole quads on their x/y sides but split z-faces
+        z0 = vertices[q[0]][2]
+        quad_face = geom == core.GEOM_HEX or (
+            geom == core.GEOM_PRISM
+            and not np.allclose([vertices[v][2] for v in q], z0)
+        )
+        if quad_face:
             bdry.append(q)
             battr.append(attr)
         else:
-            # split the boundary quad consistently with the 6-tet cube split
+            # split the boundary quad consistently with the 6-tet cube
+            # split (same diagonal as the prism bottom/top triangles)
             bdry.append([q[0], q[1], q[2]])
             battr.append(attr)
             bdry.append([q[0], q[2], q[3]])
@@ -202,15 +214,131 @@ def make_cartesian_3d(
             add_quad_bdry([vid(0, j, k), vid(0, j + 1, k), vid(0, j + 1, k + 1), vid(0, j, k + 1)], 5)
             add_quad_bdry([vid(nx, j, k), vid(nx, j, k + 1), vid(nx, j + 1, k + 1), vid(nx, j + 1, k)], 3)
 
+    elem_geom = None
+    mesh_geom = geom
+    if geom == core.GEOM_PRISM:
+        # prisms always route through the mixed pipeline (their faces mix
+        # triangle and quad shapes) — see mesh/core.py GEOM_MIXED notes
+        mesh_geom = core.GEOM_MIXED
+        elem_geom = np.full(
+            len(elems), core.MFEM_CODE_OF_GEOM[core.GEOM_PRISM],
+            dtype=np.int32,
+        )
+    bw = max(len(b) for b in bdry)
+    bdry = [b + [-1] * (bw - len(b)) for b in bdry]
     mesh = core.MeshData(
         dim=3,
-        geom=geom,
+        geom=mesh_geom,
         vertices=vertices,
         elem_verts=np.asarray(elems, dtype=np.int32),
         elem_attr=np.ones(len(elems), dtype=np.int32),
         bdry_verts=np.asarray(bdry, dtype=np.int32),
         bdry_attr=np.asarray(battr, dtype=np.int32),
         source=f"builtin-cartesian3d-{geom}-{nx}x{ny}x{nz}",
+        elem_geom=elem_geom,
+    )
+    return core.finalize(mesh)
+
+
+def make_mixed_3d() -> core.MeshData:
+    """Conforming unit-cube mesh containing ALL FOUR 3D geometries:
+    a hex slab (x < 1/3), a 6-pyramid split of the middle slab (apex at the
+    cube center (0.5, 0.5, 0.5)) with its -y pyramid further split into two
+    tets, and a 2-prism split of the right slab (x > 2/3). Every internal
+    interface is exactly conforming: hex/prism quad faces meet pyramid quad
+    bases, pyramid triangles meet tet triangles. Boundary attributes follow
+    the MFEM box convention (z0=1, y0=2, x1=3, y1=4, x0=5, z1=6).
+
+    The reference's MFEM tree accepts such meshes through mfem::Mesh; its
+    committed assets are single-geometry, so this builtin (name
+    "unit-cube-mixed") is this framework's own demo/test asset."""
+    third = 1.0 / 3.0
+    corners = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]  # (y, z)
+    vertices = np.array(
+        [
+            (px * third, y, z)
+            for px in range(4)
+            for (y, z) in corners
+        ]
+        + [(0.5, 0.5, 0.5)]
+    )
+    C = 16  # center vertex (pyramid apex)
+    # vid(p, c): plane p in 0..3 (x = p/3), corner c in 0..3 per `corners`
+
+    def v(p, c):
+        return p * 4 + c
+
+    hexes = [[v(0, 0), v(1, 0), v(1, 1), v(0, 1),
+              v(0, 3), v(1, 3), v(1, 2), v(0, 2)]]
+    # middle slab: pyramids with bases = the slab's 6 faces (base quads CCW
+    # seen from the apex, so the MFEM pyramid Jacobian is positive); the
+    # -y pyramid is replaced by its 2-tet split
+    pyramids = [
+        [v(1, 0), v(1, 1), v(1, 2), v(1, 3), C],  # -x base (the hex's face)
+        [v(2, 0), v(2, 3), v(2, 2), v(2, 1), C],  # +x base (the prisms')
+        [v(1, 1), v(2, 1), v(2, 2), v(1, 2), C],  # +y
+        [v(1, 0), v(2, 0), v(2, 1), v(1, 1), C],  # -z
+        [v(1, 3), v(1, 2), v(2, 2), v(2, 3), C],  # +z
+    ]
+    tets = [
+        [v(1, 0), v(1, 3), v(2, 3), C],  # -y pyramid split along (v10, v23)
+        [v(1, 0), v(2, 3), v(2, 0), C],
+    ]
+    prisms = [
+        [v(2, 0), v(3, 0), v(3, 1), v(2, 3), v(3, 3), v(3, 2)],
+        [v(2, 0), v(3, 1), v(2, 1), v(2, 3), v(3, 2), v(2, 2)],
+    ]
+    elems = hexes + pyramids + tets + prisms
+    geoms = (
+        [core.MFEM_CODE_OF_GEOM[core.GEOM_HEX]]
+        + [core.MFEM_CODE_OF_GEOM[core.GEOM_PYRAMID]] * 5
+        + [core.MFEM_CODE_OF_GEOM[core.GEOM_TET]] * 2
+        + [core.MFEM_CODE_OF_GEOM[core.GEOM_PRISM]] * 2
+    )
+    nv_max = max(len(e) for e in elems)
+    elems = [e + [-1] * (nv_max - len(e)) for e in elems]
+
+    bdry, battr = [], []
+
+    def add(verts, attr):
+        bdry.append(list(verts))
+        battr.append(attr)
+
+    # z=0 (attr 1): hex quad, -z pyramid base, prism bottom triangles
+    add([v(0, 0), v(1, 0), v(1, 1), v(0, 1)], 1)
+    add([v(1, 0), v(2, 0), v(2, 1), v(1, 1)], 1)
+    add([v(2, 0), v(3, 0), v(3, 1)], 1)
+    add([v(2, 0), v(3, 1), v(2, 1)], 1)
+    # z=1 (attr 6)
+    add([v(0, 3), v(1, 3), v(1, 2), v(0, 2)], 6)
+    add([v(1, 3), v(2, 3), v(2, 2), v(1, 2)], 6)
+    add([v(2, 3), v(3, 3), v(3, 2)], 6)
+    add([v(2, 3), v(3, 2), v(2, 2)], 6)
+    # y=0 (attr 2): hex quad, TET triangles (the split -y pyramid), prism quad
+    add([v(0, 0), v(1, 0), v(1, 3), v(0, 3)], 2)
+    add([v(1, 0), v(1, 3), v(2, 3)], 2)
+    add([v(1, 0), v(2, 3), v(2, 0)], 2)
+    add([v(2, 0), v(3, 0), v(3, 3), v(2, 3)], 2)
+    # y=1 (attr 4)
+    add([v(0, 1), v(1, 1), v(1, 2), v(0, 2)], 4)
+    add([v(1, 1), v(2, 1), v(2, 2), v(1, 2)], 4)
+    add([v(2, 1), v(3, 1), v(3, 2), v(2, 2)], 4)
+    # x=0 (attr 5), x=1 (attr 3)
+    add([v(0, 0), v(0, 1), v(0, 2), v(0, 3)], 5)
+    add([v(3, 0), v(3, 1), v(3, 2), v(3, 3)], 3)
+
+    bw = max(len(b) for b in bdry)
+    bdry = [b + [-1] * (bw - len(b)) for b in bdry]
+    mesh = core.MeshData(
+        dim=3,
+        geom=core.GEOM_MIXED,
+        vertices=vertices,
+        elem_verts=np.asarray(elems, dtype=np.int32),
+        elem_attr=np.ones(len(elems), dtype=np.int32),
+        bdry_verts=np.asarray(bdry, dtype=np.int32),
+        bdry_attr=np.asarray(battr, dtype=np.int32),
+        source="builtin-mixed3d",
+        elem_geom=np.asarray(geoms, dtype=np.int32),
     )
     return core.finalize(mesh)
 
@@ -228,4 +356,10 @@ def load_builtin(name: str) -> core.MeshData:
         return make_cartesian_3d(DEFAULT_N3D, DEFAULT_N3D, DEFAULT_N3D, core.GEOM_HEX)
     if name == "unit-square-mixed":  # this repo only: tri+quad interface demo
         return make_mixed_2d(DEFAULT_N2D, DEFAULT_N2D)
+    if name == "unit-cube-prism":  # this repo only: 2-prism cube split
+        return make_cartesian_3d(
+            DEFAULT_N3D, DEFAULT_N3D, DEFAULT_N3D, core.GEOM_PRISM
+        )
+    if name == "unit-cube-mixed":  # this repo only: all four 3D geometries
+        return make_mixed_3d()
     raise ValueError(f"unrecognized built-in mesh name: {name}")

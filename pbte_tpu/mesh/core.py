@@ -38,12 +38,20 @@ GEOM_TRIANGLE = "triangle"
 GEOM_QUAD = "quad"
 GEOM_TET = "tet"
 GEOM_HEX = "hex"
+GEOM_PRISM = "prism"  # wedge: tri bottom/top, 3 quad sides
+GEOM_PYRAMID = "pyramid"  # quad base, apex
 
-# MFEM geometry type codes used in "MFEM mesh v1.0" files.
-MFEM_GEOM_CODES = {1: "segment", 2: GEOM_TRIANGLE, 3: GEOM_QUAD, 4: GEOM_TET, 5: GEOM_HEX}
+# MFEM geometry type codes used in "MFEM mesh v1.0" files
+# (mfem::Geometry::{SEGMENT..PYRAMID}).
+MFEM_GEOM_CODES = {
+    1: "segment", 2: GEOM_TRIANGLE, 3: GEOM_QUAD, 4: GEOM_TET, 5: GEOM_HEX,
+    6: GEOM_PRISM, 7: GEOM_PYRAMID,
+}
 MFEM_CODE_OF_GEOM = {v: k for k, v in MFEM_GEOM_CODES.items()}
 
-# Local faces (codim-1 entities), MFEM ordering.
+# Local faces (codim-1 entities), MFEM ordering (Geometry::Constants
+# FaceVert tables; vertex order gives the OUTWARD normal by the right-hand
+# rule — verified by the centroid orientation test in connect()).
 LOCAL_FACES = {
     GEOM_TRIANGLE: ((0, 1), (1, 2), (2, 0)),
     GEOM_QUAD: ((0, 1), (1, 2), (2, 3), (3, 0)),
@@ -55,6 +63,20 @@ LOCAL_FACES = {
         (2, 3, 7, 6),
         (3, 0, 4, 7),
         (4, 5, 6, 7),
+    ),
+    GEOM_PRISM: (
+        (0, 2, 1),
+        (3, 4, 5),
+        (0, 1, 4, 3),
+        (1, 2, 5, 4),
+        (2, 0, 3, 5),
+    ),
+    GEOM_PYRAMID: (
+        (3, 2, 1, 0),
+        (0, 1, 4),
+        (1, 2, 4),
+        (2, 3, 4),
+        (3, 0, 4),
     ),
 }
 
@@ -68,17 +90,43 @@ LOCAL_EDGES = {
         (4, 5), (5, 6), (7, 6), (4, 7),
         (0, 4), (1, 5), (2, 6), (3, 7),
     ),
+    GEOM_PRISM: (
+        (0, 1), (1, 2), (2, 0),
+        (3, 4), (4, 5), (5, 3),
+        (0, 3), (1, 4), (2, 5),
+    ),
+    GEOM_PYRAMID: (
+        (0, 1), (1, 2), (3, 2), (0, 3),
+        (0, 4), (1, 4), (2, 4), (3, 4),
+    ),
 }
 
-GEOM_DIM = {GEOM_TRIANGLE: 2, GEOM_QUAD: 2, GEOM_TET: 3, GEOM_HEX: 3}
-GEOM_NV = {GEOM_TRIANGLE: 3, GEOM_QUAD: 4, GEOM_TET: 4, GEOM_HEX: 8}
-GEOM_NF = {GEOM_TRIANGLE: 3, GEOM_QUAD: 4, GEOM_TET: 4, GEOM_HEX: 6}
+GEOM_DIM = {
+    GEOM_TRIANGLE: 2, GEOM_QUAD: 2,
+    GEOM_TET: 3, GEOM_HEX: 3, GEOM_PRISM: 3, GEOM_PYRAMID: 3,
+}
+GEOM_NV = {
+    GEOM_TRIANGLE: 3, GEOM_QUAD: 4,
+    GEOM_TET: 4, GEOM_HEX: 8, GEOM_PRISM: 6, GEOM_PYRAMID: 5,
+}
+GEOM_NF = {
+    GEOM_TRIANGLE: 3, GEOM_QUAD: 4,
+    GEOM_TET: 4, GEOM_HEX: 6, GEOM_PRISM: 5, GEOM_PYRAMID: 5,
+}
 
-# Mixed-geometry meshes (2D triangle+quad only: in 3D a conforming tet/hex
-# interface needs prism/pyramid elements, which the reference lacks too).
-# `MeshData.geom == GEOM_MIXED`, per-element geometry in `elem_geom` (MFEM
-# codes), `elem_verts` right-padded with -1 to the widest geometry.
+# Mixed-geometry meshes: 2D triangle+quad, and 3D any mix of
+# tet/hex/prism/pyramid (prisms and pyramids are exactly what makes a
+# conforming tet/hex interface possible). `MeshData.geom == GEOM_MIXED`,
+# per-element geometry in `elem_geom` (MFEM codes), `elem_verts`
+# right-padded with -1 to the widest member geometry. Pure prism / pyramid
+# meshes also use GEOM_MIXED (their per-element faces mix triangle and quad
+# types, which is the mixed pipeline's whole job), so GEOM_PRISM /
+# GEOM_PYRAMID never appear as MeshData.geom — only in per-entity tables.
 GEOM_MIXED = "mixed"
+
+# Geometries whose faces are all the same shape (eligible for the
+# single-geometry fast paths); prism/pyramid always route through mixed.
+_UNIFORM_FACE_GEOMS = (GEOM_TRIANGLE, GEOM_QUAD, GEOM_TET, GEOM_HEX)
 
 
 @dataclasses.dataclass
@@ -232,9 +280,13 @@ def finalize(mesh: MeshData) -> MeshData:
         return dataclasses.replace(mesh, elem_verts=ev)
     if mesh.geom == GEOM_MIXED:
         tri = mesh.elem_geom == MFEM_CODE_OF_GEOM[GEOM_TRIANGLE]
-        if tri.any():
+        tet = mesh.elem_geom == MFEM_CODE_OF_GEOM[GEOM_TET]
+        if tri.any() or tet.any():
             ev = mesh.elem_verts.copy()
-            ev[tri, :3] = _rotate_triangles(ev[tri, :3], mesh.vertices)
+            if tri.any():
+                ev[tri, :3] = _rotate_triangles(ev[tri, :3], mesh.vertices)
+            if tet.any():
+                ev[tet, :4] = _mark_tets(ev[tet, :4], mesh.vertices)
             return dataclasses.replace(mesh, elem_verts=ev)
     return mesh
 
@@ -251,6 +303,13 @@ def _face_normal_from_verts(fv: np.ndarray, vertices: np.ndarray, dim: int) -> n
         n = np.cross(e1, e2)
     norm = np.linalg.norm(n, axis=-1, keepdims=True)
     return n / np.where(norm > 0, norm, 1.0)
+
+
+def _masked_vertex_mean(vertices: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Mean of vertices[idx] over the last index axis, ignoring -1 pads."""
+    ok = idx >= 0
+    pts = vertices[np.where(ok, idx, 0)] * ok[..., None]
+    return pts.sum(axis=-2) / np.maximum(ok.sum(axis=-1), 1)[..., None]
 
 
 def _face_keys(verts: np.ndarray) -> np.ndarray:
@@ -358,42 +417,43 @@ def connect(mesh: MeshData) -> MeshTopology:
 
 
 def _connect_mixed(mesh: MeshData) -> MeshTopology:
-    """connect() for 2D mixed triangle+quad meshes.
+    """connect() for mixed-geometry meshes: 2D triangle+quad, 3D any mix of
+    tet/hex/prism/pyramid (incl. pure prism/pyramid meshes, whose per-element
+    faces mix triangle and quad shapes).
 
-    Per-element face slots are right-padded to nf_max = 4: padded slots get
+    Per-element face slots are right-padded to nf_max: padded slots get
     elem_face/elem_neighbor = -1, attr 0, and ZERO normals — every consumer
     treats them as no-ops (upwind inflow n.s = 0, zero face operators).
     Face numbering stays FIRST-SEEN over the (element, local-face) scan
     with each element contributing its own geometry's faces, so the MFEM
-    conventions (module docstring) carry over unchanged. All faces are
-    2-vertex segments (dim 2), so cross-geometry face matching is exact."""
-    if mesh.dim != 2:
-        raise ValueError(
-            "mixed-geometry meshes are supported in 2D only (a conforming "
-            "3D tet/hex interface would need prism/pyramid elements)"
-        )
+    conventions (module docstring) carry over unchanged. Face-vertex rows
+    are right-padded with -1 to the widest face (3D: quad width 4, so a
+    triangular face is (v0, v1, v2, -1)); matching keys sort each row, so
+    a 3-vertex face can never collide with a 4-vertex one, and
+    cross-geometry matching (e.g. a hex's quad face against a pyramid's
+    base, a tet's triangle against a prism cap) is exact."""
     ne = mesh.num_elements
-    dim = 2
+    dim = mesh.dim
     egeom = mesh.elem_geom
     if egeom is None:
         raise ValueError("geom='mixed' requires MeshData.elem_geom")
     ev = mesh.elem_verts  # (ne, nv_max), -1 padded
-    nf_max = max(
-        GEOM_NF[MFEM_GEOM_CODES[int(c)]] for c in np.unique(egeom)
+    codes_u = [int(c) for c in np.unique(egeom)]
+    nf_max = max(GEOM_NF[MFEM_GEOM_CODES[c]] for c in codes_u)
+    fw_max = max(
+        len(f) for c in codes_u for f in LOCAL_FACES[MFEM_GEOM_CODES[c]]
     )
 
-    # (ne, nf_max, 2) face-vertex lists in scan order, -1 on padded slots
-    all_fv = np.full((ne, nf_max, 2), -1, dtype=np.int64)
-    for code in np.unique(egeom):
-        g = MFEM_GEOM_CODES[int(code)]
-        lf = np.asarray(LOCAL_FACES[g])  # (nf_g, 2)
+    # (ne, nf_max, fw_max) face-vertex lists in scan order, -1 padded
+    all_fv = np.full((ne, nf_max, fw_max), -1, dtype=np.int64)
+    for code in codes_u:
+        g = MFEM_GEOM_CODES[code]
         es = np.flatnonzero(egeom == code)
-        all_fv[es, : len(lf)] = ev[np.ix_(es, lf.ravel())].reshape(
-            len(es), len(lf), 2
-        )
+        for fi, f in enumerate(LOCAL_FACES[g]):
+            all_fv[es, fi, : len(f)] = ev[np.ix_(es, list(f))]
     valid = all_fv[..., 0] >= 0  # (ne, nf_max)
     flat_valid = valid.reshape(-1)
-    fv_v = all_fv.reshape(-1, 2)[flat_valid]  # valid slots, scan order
+    fv_v = all_fv.reshape(-1, fw_max)[flat_valid]  # valid slots, scan order
 
     keys = _face_keys(fv_v)
     uniq, first_slot, inv, counts = np.unique(
@@ -423,7 +483,13 @@ def _connect_mixed(mesh: MeshData) -> MeshTopology:
 
     face_attr = np.zeros(nfaces, dtype=np.int32)
     if len(mesh.bdry_verts):
-        bkeys = _face_keys(mesh.bdry_verts)
+        bv = np.asarray(mesh.bdry_verts, dtype=np.int64)
+        if bv.shape[1] < fw_max:  # pad to the face-key width
+            bv = np.concatenate(
+                [bv, np.full((len(bv), fw_max - bv.shape[1]), -1,
+                             dtype=np.int64)], axis=1
+            )
+        bkeys = _face_keys(bv)
         pos = np.searchsorted(uniq, bkeys)
         pos_c = np.minimum(pos, len(uniq) - 1)
         hit = uniq[pos_c] == bkeys
@@ -451,7 +517,7 @@ def _connect_mixed(mesh: MeshData) -> MeshTopology:
     centroids = (
         mesh.vertices[np.where(ev >= 0, ev, 0)] * (ev >= 0)[..., None]
     ).sum(axis=1) / nv_e[:, None]
-    face_centroids = mesh.vertices[face_verts].mean(axis=1)
+    face_centroids = _masked_vertex_mean(mesh.vertices, face_verts)
     n = base_normals[ef_safe]
     to_face = face_centroids[ef_safe] - centroids[:, None, :]
     flip = np.sum(n * to_face, axis=-1) < 0.0
@@ -503,13 +569,15 @@ def _wire_periodic(topo: MeshTopology, node_maps) -> None:
 
     key_of = {}
     for fid, (e, lf) in fid_of.items():
-        key_of[tuple(sorted(int(v) for v in topo.face_verts[fid]))] = fid
+        key_of[
+            tuple(sorted(int(v) for v in topo.face_verts[fid] if v >= 0))
+        ] = fid
 
-    face_cent = vertices[topo.face_verts].mean(axis=1)  # (nfaces, dim)
+    face_cent = _masked_vertex_mean(vertices, topo.face_verts)  # (nfaces, dim)
     for fid, (e, lf) in fid_of.items():
         if topo.elem_face_periodic[e, lf]:
             continue
-        verts = [int(v) for v in topo.face_verts[fid]]
+        verts = [int(v) for v in topo.face_verts[fid] if v >= 0]
         for nm in node_maps:
             try:
                 mapped = tuple(sorted(nm[v] for v in verts))

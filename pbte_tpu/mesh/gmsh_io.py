@@ -15,8 +15,13 @@ import numpy as np
 
 from pbte_tpu.mesh import core
 
-_GMSH_GEOM = {2: core.GEOM_TRIANGLE, 3: core.GEOM_QUAD, 4: core.GEOM_TET, 5: core.GEOM_HEX}
-_GMSH_DIM = {1: 1, 2: 2, 3: 2, 4: 3, 5: 3, 15: 0}  # entity dimension per type
+# gmsh prism/pyramid node ordering coincides with MFEM's (prism: bottom
+# triangle 0-2 then top 3-5; pyramid: base quad 0-3 then apex 4)
+_GMSH_GEOM = {
+    2: core.GEOM_TRIANGLE, 3: core.GEOM_QUAD, 4: core.GEOM_TET,
+    5: core.GEOM_HEX, 6: core.GEOM_PRISM, 7: core.GEOM_PYRAMID,
+}
+_GMSH_DIM = {1: 1, 2: 2, 3: 2, 4: 3, 5: 3, 6: 3, 7: 3, 15: 0}  # entity dim per type
 
 
 def parse_gmsh_mesh(text: str, source: str = "") -> core.MeshData:
@@ -91,17 +96,17 @@ def parse_gmsh_mesh(text: str, source: str = "") -> core.MeshData:
         raise ValueError("gmsh file contains no volume elements")
     geom_codes = {e[0] for e in vol_elems}
     elem_geom = None
-    if len(geom_codes) > 1:
-        if {_GMSH_GEOM[c] for c in geom_codes} != {
-            core.GEOM_TRIANGLE, core.GEOM_QUAD
-        }:
-            raise ValueError(
-                "mixed-geometry gmsh meshes are supported for 2D "
-                "triangle+quad only"
-            )
+    gdims = {core.GEOM_DIM[_GMSH_GEOM[c]] for c in geom_codes}
+    if len(gdims) > 1:
+        raise ValueError("gmsh mesh mixes 2D and 3D volume elements")
+    dim = gdims.pop()
+    uniform = len(geom_codes) == 1 and _GMSH_GEOM[
+        next(iter(geom_codes))
+    ] in (core.GEOM_TRIANGLE, core.GEOM_QUAD, core.GEOM_TET, core.GEOM_HEX)
+    if not uniform:
+        # any mix — and pure prism/pyramid meshes, whose faces mix
+        # triangle/quad shapes — routes through the mixed pipeline
         geom = core.GEOM_MIXED
-        dim = 2
-        face_nv = 2
         elem_geom = np.asarray(
             [core.MFEM_CODE_OF_GEOM[_GMSH_GEOM[e[0]]] for e in vol_elems],
             dtype=np.int32,
@@ -112,13 +117,16 @@ def parse_gmsh_mesh(text: str, source: str = "") -> core.MeshData:
             for (et, tag, v) in vol_elems
         ]
     else:
-        gcode = geom_codes.pop()
-        geom = _GMSH_GEOM[gcode]
-        dim = core.GEOM_DIM[geom]
-        face_nv = 2 if dim == 2 else (3 if geom == core.GEOM_TET else 4)
+        geom = _GMSH_GEOM[next(iter(geom_codes))]
 
-    # boundary entities of codim 1 only
-    bdry = [(t, v) for (t, v) in bdry if len(v) == face_nv]
+    # boundary entities of codim 1 only (3D mixed meshes can carry both
+    # triangle and quad boundary faces; right-pad the rows with -1)
+    bfa = {2: (2,), 3: (3,) if geom == core.GEOM_TET else (
+        (3, 4) if geom == core.GEOM_MIXED else (4,)
+    )}[dim]
+    bdry = [(t, v) for (t, v) in bdry if len(v) in bfa]
+    face_nv = max(bfa)
+    bdry = [(t, v + [-1] * (face_nv - len(v))) for (t, v) in bdry]
 
     nv = max(nodes) if nodes else 0
     vertices = np.zeros((nv, dim))

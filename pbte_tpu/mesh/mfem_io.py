@@ -2,11 +2,11 @@
 
 Replaces the reference's use of mfem::Mesh(file) for files like
 config/mesh/unit-square-iso.mesh (ref: src/SpatialMesh.cpp:66-81).
-Single-geometry meshes of any supported type load directly; 2D mixed
-triangle+quad meshes load as geom="mixed" with per-element geometry codes
-(mesh/core.py GEOM_MIXED) — matching mfem::Mesh, which accepts any
-conforming mix. 3D mixes are rejected (a conforming tet/hex interface
-needs prism/pyramid elements, which the reference lacks too).
+Uniform-face geometries (tri/quad/tet/hex) load directly; mixed meshes —
+2D triangle+quad, 3D any mix of tet/hex/prism/pyramid — and pure
+prism/pyramid meshes load as geom="mixed" with per-element geometry codes
+(mesh/core.py GEOM_MIXED), matching mfem::Mesh, which accepts any
+conforming mix.
 """
 
 from __future__ import annotations
@@ -50,20 +50,22 @@ def parse_mfem_mesh(text: str, source: str = "") -> core.MeshData:
     codes = sorted(set(e_geoms))
     for c in codes:
         if core.MFEM_GEOM_CODES.get(c) not in (
-            core.GEOM_TRIANGLE, core.GEOM_QUAD, core.GEOM_TET, core.GEOM_HEX
+            core.GEOM_TRIANGLE, core.GEOM_QUAD, core.GEOM_TET,
+            core.GEOM_HEX, core.GEOM_PRISM, core.GEOM_PYRAMID,
         ):
             raise ValueError(f"unsupported element geometry code {c}")
+    gdims = {core.GEOM_DIM[core.MFEM_GEOM_CODES[c]] for c in codes}
+    if len(gdims) > 1:
+        raise ValueError("mesh mixes 2D and 3D element geometries")
     elem_geom = None
-    if len(codes) == 1:
+    uniform = len(codes) == 1 and core.MFEM_GEOM_CODES[codes[0]] in (
+        core.GEOM_TRIANGLE, core.GEOM_QUAD, core.GEOM_TET, core.GEOM_HEX
+    )
+    if uniform:
         geom = core.MFEM_GEOM_CODES[codes[0]]
     else:
-        if {core.MFEM_GEOM_CODES[c] for c in codes} != {
-            core.GEOM_TRIANGLE, core.GEOM_QUAD
-        }:
-            raise ValueError(
-                "mixed-geometry meshes are supported for 2D triangle+quad "
-                "only (a conforming 3D tet/hex mix needs prisms/pyramids)"
-            )
+        # any mix — and pure prism/pyramid meshes, whose per-element faces
+        # mix triangle/quad shapes — routes through the mixed pipeline
         geom = core.GEOM_MIXED
         elem_geom = np.asarray(e_geoms, dtype=np.int32)
         nv_max = max(len(c) for c in e_conn)
@@ -71,6 +73,8 @@ def parse_mfem_mesh(text: str, source: str = "") -> core.MeshData:
 
     if "boundary" in idx:
         b_attrs, b_geoms, b_conn = read_entities(idx["boundary"])
+        bnv = max((len(c) for c in b_conn), default=0)
+        b_conn = [c + [-1] * (bnv - len(c)) for c in b_conn]
     else:
         b_attrs, b_conn = [], []
 
@@ -109,14 +113,13 @@ def write_mfem_mesh(mesh: core.MeshData, path: str) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     if mesh.geom == core.GEOM_MIXED:
         codes = mesh.elem_geom
-        bcode = 1
     else:
         codes = np.full(
             mesh.num_elements, core.MFEM_CODE_OF_GEOM[mesh.geom]
         )
-        bcode = {2: 1, 3: 2}[mesh.dim]  # segment in 2D, triangle in 3D
-        if mesh.geom == core.GEOM_HEX:
-            bcode = 3
+    # boundary geometry per row by vertex count (3D mixed meshes can have
+    # both triangle and quad boundary faces)
+    bcode_of_nv = {2: 1, 3: 2, 4: 3}
     with open(path, "w") as f:
         f.write("MFEM mesh v1.0\n\ndimension\n%d\n\n" % mesh.dim)
         f.write("elements\n%d\n" % mesh.num_elements)
@@ -125,7 +128,11 @@ def write_mfem_mesh(mesh: core.MeshData, path: str) -> None:
             f.write(f"{attr} {int(code)} " + " ".join(map(str, vs)) + "\n")
         f.write("\nboundary\n%d\n" % len(mesh.bdry_verts))
         for attr, verts in zip(mesh.bdry_attr, mesh.bdry_verts):
-            f.write(f"{attr} {bcode} " + " ".join(str(int(v)) for v in verts) + "\n")
+            vs = [int(v) for v in verts if v >= 0]
+            f.write(
+                f"{attr} {bcode_of_nv[len(vs)]} "
+                + " ".join(map(str, vs)) + "\n"
+            )
         f.write("\nvertices\n%d\n%d\n" % (mesh.num_vertices, mesh.dim))
         for v in mesh.vertices:
             f.write(" ".join(repr(float(x)) for x in v) + "\n")

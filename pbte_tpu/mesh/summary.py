@@ -10,8 +10,21 @@ _GEOM_NAMES = {
     core.GEOM_QUAD: "Square",
     core.GEOM_TET: "Tetrahedron",
     core.GEOM_HEX: "Cube",
-    core.GEOM_MIXED: "Mixed(Triangle+Square)",
+    core.GEOM_PRISM: "Prism",
+    core.GEOM_PYRAMID: "Pyramid",
 }
+
+
+def _geom_name(mesh: core.MeshData) -> str:
+    if mesh.geom != core.GEOM_MIXED:
+        return _GEOM_NAMES[mesh.geom]
+    import numpy as np
+
+    members = sorted(
+        {core.MFEM_GEOM_CODES[int(c)] for c in np.unique(mesh.elem_geom)},
+        key=core.MFEM_CODE_OF_GEOM.get,
+    )
+    return "Mixed(" + "+".join(_GEOM_NAMES[g] for g in members) + ")"
 
 
 def _fmt(x: float) -> str:
@@ -28,7 +41,7 @@ def make_summary(topo: core.MeshTopology, order: int, ndofs: int) -> str:
     out.append(f"  element count        : {ne}")
     out.append(f"  boundary elem count  : {len(mesh.bdry_verts)}")
     out.append(f"  vertex count         : {mesh.num_vertices}")
-    out.append(f"  element geometry     : {_GEOM_NAMES[mesh.geom]}")
+    out.append(f"  element geometry     : {_geom_name(mesh)}")
     out.append(f"  DG polynomial order  : {order}")
     out.append(f"  FE space ndofs       : {ndofs}")
     out.append("  FE space vdim        : 1")

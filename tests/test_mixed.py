@@ -299,3 +299,241 @@ def test_mixed_padded_dofs_stay_zero_and_solver_matches_oracle():
     assert np.all(ub[:, :, tri, 6:] == 0.0)
     assert np.all(np.asarray(Tc)[tri, 6:] == 0.0)
     assert not np.all(ub[:, :, tri, :6] == 0.0)
+
+
+# ---------------------------------------------------------------------------
+# 3D mixed geometry: tet + hex + prism + pyramid
+# (the builtin "unit-cube-mixed" contains all four in one conforming mesh;
+# "unit-cube-prism" is the pure-wedge cube split, which also routes through
+# the mixed pipeline because a wedge's own faces mix triangle/quad shapes)
+# ---------------------------------------------------------------------------
+
+BCS3 = {a: (0.5 if a == 6 else -0.5) for a in range(1, 7)}
+
+
+def _divergence_and_coupling_checks(m, ops, topo):
+    lhs = ops.stiff + np.swapaxes(ops.stiff, -1, -2)
+    rhs = np.einsum("efd,efij->edij", ops.normals, ops.face_mass)
+    assert np.abs(lhs - rhs).max() / np.abs(rhs).max() < 1e-9
+    nbr = topo.elem_neighbor
+    for e in range(m.num_elements):
+        for f in range(topo.faces_per_elem):
+            n = nbr[e, f]
+            if n < 0 or topo.elem_face_periodic[e, f]:
+                continue
+            fp = int(np.nonzero(nbr[n] == e)[0][0])
+            a_, b_ = ops.coupling[e, f], ops.coupling[n, fp].T
+            assert np.abs(a_ - b_).max() <= 1e-11 * max(
+                np.abs(a_).max(), 1e-300
+            ), (e, f)
+
+
+def test_prism_pyramid_reference_exactness():
+    """Volume quadrature exactness against closed-form monomial integrals:
+    prism  int x^a y^b z^c = a! b! / (a+b+2)! / (c+1);
+    pyramid (apex (0,0,1), Duffy-collapsed with the (1-w)^2 Jacobi weight)
+            int x^a y^b z^c = 1/((a+1)(b+1)) * B(c+1, a+b+3)."""
+    from math import factorial
+
+    from scipy.special import beta
+
+    from pbte_tpu.fem import quadrature as fquad
+
+    for p in (1, 2, 3):
+        deg = 2 * p + 1
+        vp, vw = fquad.volume_rule(mesh_core.GEOM_PRISM, deg)
+        for (a, b, c) in [(0, 0, 0), (1, 1, 1), (p, p, 1), (2 * p - 1, 1, 1)]:
+            if a + b + c > deg:
+                continue
+            got = float((vw * vp[:, 0] ** a * vp[:, 1] ** b
+                         * vp[:, 2] ** c).sum())
+            want = factorial(a) * factorial(b) / factorial(a + b + 2) / (c + 1)
+            np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-16)
+        vp, vw = fquad.volume_rule(mesh_core.GEOM_PYRAMID, deg)
+        for (a, b, c) in [(0, 0, 0), (1, 0, 1), (p, 1, p), (1, 2 * p - 1, 1)]:
+            if a + b + c > deg:
+                continue
+            got = float((vw * vp[:, 0] ** a * vp[:, 1] ** b
+                         * vp[:, 2] ** c).sum())
+            want = 1.0 / ((a + 1) * (b + 1)) * beta(c + 1, a + b + 3)
+            np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-16)
+        # nodal bases are unisolvent for both new geometries
+        from pbte_tpu.fem import reference as fem_ref
+
+        for g in (mesh_core.GEOM_PRISM, mesh_core.GEOM_PYRAMID):
+            bs = fem_ref.basis(g, p)
+            np.testing.assert_allclose(
+                bs.eval(bs.nodes), np.eye(bs.ndof), atol=1e-8
+            )
+
+
+def test_mixed3d_connect_and_assembly_invariants():
+    m = pmesh.load_builtin("unit-cube-mixed")
+    assert m.geom == mesh_core.GEOM_MIXED
+    assert sorted(
+        mesh_core.MFEM_GEOM_CODES[int(c)] for c in np.unique(m.elem_geom)
+    ) == ["hex", "prism", "pyramid", "tet"]
+    topo = pmesh.connect(m)
+    nbr = topo.elem_neighbor
+    for e in range(m.num_elements):
+        for f in range(topo.faces_per_elem):
+            n = nbr[e, f]
+            if n >= 0:
+                assert e in nbr[n]
+    valid = np.abs(topo.normals).sum(-1) > 0
+    np.testing.assert_allclose(
+        np.linalg.norm(topo.normals[valid], axis=-1), 1.0
+    )
+    # all six box boundary attrs present
+    assert set(np.unique(topo.elem_face_attr)) == {0, 1, 2, 3, 4, 5, 6}
+    ops = assembly.assemble(topo, order=2, face_mode="consistent")
+    np.testing.assert_allclose(ops.basis_int.sum(), 1.0, rtol=1e-12)
+    _divergence_and_coupling_checks(m, ops, topo)
+
+
+def test_prism_builtin_assembly_invariants():
+    m = pmesh.load_builtin("unit-cube-prism")
+    assert m.geom == mesh_core.GEOM_MIXED  # pure wedge routes through mixed
+    topo = pmesh.connect(m)
+    ops = assembly.assemble(topo, order=1, face_mode="consistent")
+    np.testing.assert_allclose(ops.basis_int.sum(), 1.0, rtol=1e-12)
+    _divergence_and_coupling_checks(m, ops, topo)
+
+
+def test_mixed3d_refine_conforming_and_positive():
+    """Red refinement of all four 3D geometries: pyramid children GROW the
+    mix (6 pyramids + 4 tets), prisms split 8-way, volumes are conserved,
+    and every child has a positive Jacobian — this test also guards the
+    tet octahedron-children orientation fix (children 5/7 of the Bey split
+    were negatively oriented; the point sets tile either way, so only
+    signed volumes catch it)."""
+    m0 = pmesh.load_builtin("unit-cube-mixed")
+    m = pmesh.uniform_refine(m0, 1)
+    # 1 hex->8, 5 pyramids->5*(6 pyr + 4 tet), 2 tets->16, 2 prisms->16
+    assert m.num_elements == 8 + 5 * 10 + 16 + 16
+    topo = pmesh.connect(m)
+    ops = assembly.assemble(topo, order=1, face_mode="consistent")
+    vols = ops.basis_int.sum(axis=1)
+    assert (vols > 0).all()
+    np.testing.assert_allclose(vols.sum(), 1.0, rtol=1e-12)
+    _divergence_and_coupling_checks(m, ops, topo)
+    # single-geometry tet refinement: same orientation guard
+    mt = pmesh.uniform_refine(pmesh.make_cartesian_3d(2, 2, 2, "tet"), 1)
+    ot = assembly.assemble(pmesh.connect(mt), order=1,
+                           face_mode="consistent")
+    assert (ot.basis_int.sum(axis=1) > 0).all()
+    np.testing.assert_allclose(ot.basis_int.sum(), 1.0, rtol=1e-12)
+
+
+def test_mixed3d_solver_matches_oracle():
+    m = pmesh.load_builtin("unit-cube-mixed").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=2,
+                            face_mode="consistent")
+    quad = ang.build(
+        ang.AngularOptions(dimension=3, polar_points=2, azimuth_points=4)
+    )
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    uo, Tco, _, _, _ = solve_oracle(ops, quad, tables, BCS3, tol=0,
+                                    max_iter=5)
+    solver = SourceIterationSolver(ops, quad, tables, BCS3)
+    res = solver.solve(tol=0, max_iter=5, verbose=False)
+    Tc = np.asarray(res.Tc)
+    np.testing.assert_allclose(Tc, Tco, rtol=1e-10, atol=1e-14)
+    # padded dofs of the narrower geometries stay exactly zero
+    ub = solver.u_by_direction(res.u)
+    from pbte_tpu.fem import reference as fem_ref
+
+    for code in np.unique(m.elem_geom):
+        g = mesh_core.MFEM_GEOM_CODES[int(code)]
+        Dg = fem_ref.basis(g, 2).ndof
+        sel = m.elem_geom == code
+        assert np.all(ub[:, :, sel, Dg:] == 0.0), g
+        assert np.all(Tc[sel, Dg:] == 0.0), g
+
+
+def test_mixed3d_mfem_roundtrip(tmp_path):
+    m = pmesh.load_builtin("unit-cube-mixed")
+    path = str(tmp_path / "mixed3d.mesh")
+    pmesh.write_mfem_mesh(m, path)
+    m2 = pmesh.load_mfem_mesh(path)
+    assert m2.geom == mesh_core.GEOM_MIXED
+    np.testing.assert_array_equal(m.elem_geom, m2.elem_geom)
+    np.testing.assert_array_equal(m.elem_verts, m2.elem_verts)
+    np.testing.assert_allclose(m.vertices, m2.vertices)
+    np.testing.assert_array_equal(np.sort(m.bdry_attr), np.sort(m2.bdry_attr))
+
+
+def test_mixed3d_gmsh_parse(tmp_path):
+    """Hand-written gmsh v2 file: one prism (type 6) + one pyramid (type 7)
+    sharing the prism's quad side face."""
+    text = """$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$Nodes
+8
+1 0 0 0
+2 1 0 0
+3 0 1 0
+4 0 0 1
+5 1 0 1
+6 0 1 1
+7 2 0 0.2
+8 2 0 0.8
+$EndNodes
+$Elements
+4
+1 6 2 1 1 1 2 3 4 5 6
+2 7 2 1 1 1 2 5 4 7
+3 2 2 7 1 1 3 2
+4 3 2 8 1 4 5 6 4
+$EndElements
+"""
+    p = tmp_path / "mix3d.msh"
+    p.write_text(text)
+    from pbte_tpu.mesh.gmsh_io import load_gmsh_mesh
+
+    m = load_gmsh_mesh(str(p))
+    assert m.geom == mesh_core.GEOM_MIXED
+    assert m.num_elements == 2
+    assert [int(c) for c in m.elem_geom] == [
+        mesh_core.MFEM_CODE_OF_GEOM[mesh_core.GEOM_PRISM],
+        mesh_core.MFEM_CODE_OF_GEOM[mesh_core.GEOM_PYRAMID],
+    ]
+    topo = pmesh.connect(m)
+    # the prism's (v0,v1,v4,v3) quad side = the pyramid's base: interior
+    assert (topo.elem_neighbor >= 0).sum() == 2
+
+
+def test_mixed3d_sample_and_vtu(tmp_path):
+    """Point location inside prisms/pyramids + VTU cell types 13/14."""
+    from pbte_tpu.io.slice import sample_field
+    from pbte_tpu.io.vtu import write_vtu
+
+    m = pmesh.load_builtin("unit-cube-mixed")
+    topo = pmesh.connect(m)
+    ops = assembly.assemble(topo, order=1, face_mode="consistent")
+    # a LINEAR field is exactly representable at p=1 on every member
+    # geometry: project f(x)=2x - 3y + z by nodal interpolation
+    from pbte_tpu.fem import reference as fem_ref
+
+    coeffs = np.zeros((m.num_elements, ops.ndof))
+    for e in range(m.num_elements):
+        g = mesh_core.MFEM_GEOM_CODES[int(m.elem_geom[e])]
+        b = fem_ref.basis(g, 1)
+        nv = mesh_core.GEOM_NV[g]
+        Xv = m.vertices[m.elem_verts[e][:nv]]
+        sh = fem_ref.vertex_shape(g, b.nodes)  # (D, nv)
+        X = sh @ Xv  # physical node coords
+        coeffs[e, : b.ndof] = 2 * X[:, 0] - 3 * X[:, 1] + X[:, 2]
+    rng = np.random.default_rng(7)
+    pts = rng.random((200, 3)) * 0.98 + 0.01
+    vals = sample_field(m, 1, coeffs, pts)
+    assert not np.isnan(vals).any()
+    np.testing.assert_allclose(
+        vals, 2 * pts[:, 0] - 3 * pts[:, 1] + pts[:, 2], atol=1e-9
+    )
+
+    path = write_vtu(m, 1, {"f": coeffs}, prefix=str(tmp_path / "mix3d"))
+    text = open(path).read()
+    types = set(text.split('Name="types"')[1].split("\n")[1].split())
+    assert {"10", "12", "13", "14"} <= types  # tet, hex, wedge, pyramid

@@ -26,10 +26,21 @@ def _problem(nx=9, ny=8, nz=8, order=1, nspec=2):
 
 
 def _pair(ops, quad, tables, niter, **kw):
-    sp = SourceIterationSolver(ops, quad, tables, BCS3, dtype=jnp.float32,
-                               sweep_mode="ring", use_pallas="on", **kw)
-    sx = SourceIterationSolver(ops, quad, tables, BCS3, dtype=jnp.float32,
-                               sweep_mode="ring", use_pallas="off", **kw)
+    import os
+
+    # the XLA ring bf16-stages operands by default (numerically free on the
+    # TPU MXU, ~1e-3 on CPU's exact f32 einsum); this parity test needs the
+    # exact-f32 XLA leg
+    os.environ["PBTE_RING_BF16"] = "0"
+    try:
+        sp = SourceIterationSolver(ops, quad, tables, BCS3,
+                                   dtype=jnp.float32, sweep_mode="ring",
+                                   use_pallas="on", **kw)
+        sx = SourceIterationSolver(ops, quad, tables, BCS3,
+                                   dtype=jnp.float32, sweep_mode="ring",
+                                   use_pallas="off", **kw)
+    finally:
+        del os.environ["PBTE_RING_BF16"]
     assert sp._use_pallas_ring and sp._pallas_interpret
     assert not sx._use_pallas_ring
     assert sp._ring_lattice and sp._ring_ccpl
@@ -54,13 +65,21 @@ def test_pallas_ring_matches_xla_isothermal():
 def test_pallas_ring_matches_xla_dirichlet():
     """Dirichlet (legacy type 7) source slab goes through the kernel's
     extra dsrc input."""
+    import os
+
     ops, quad, tables = _problem(nx=8, ny=8, nz=8)
     kw = dict(dirichlet_bcs={6: 0.25})
     bcs = {a: -0.5 for a in range(1, 6)}
-    sp = SourceIterationSolver(ops, quad, tables, bcs, dtype=jnp.float32,
-                               sweep_mode="ring", use_pallas="on", **kw)
-    sx = SourceIterationSolver(ops, quad, tables, bcs, dtype=jnp.float32,
-                               sweep_mode="ring", use_pallas="off", **kw)
+    os.environ["PBTE_RING_BF16"] = "0"  # exact-f32 XLA leg (see _pair)
+    try:
+        sp = SourceIterationSolver(ops, quad, tables, bcs,
+                                   dtype=jnp.float32, sweep_mode="ring",
+                                   use_pallas="on", **kw)
+        sx = SourceIterationSolver(ops, quad, tables, bcs,
+                                   dtype=jnp.float32, sweep_mode="ring",
+                                   use_pallas="off", **kw)
+    finally:
+        del os.environ["PBTE_RING_BF16"]
     assert sp._use_pallas_ring and sp.has_dirichlet
     rp = sp.solve(tol=0, max_iter=4, verbose=False)
     rx = sx.solve(tol=0, max_iter=4, verbose=False)
