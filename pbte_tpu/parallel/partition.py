@@ -316,6 +316,50 @@ def _refine_fm_graph(
     return part
 
 
+def _balance_graph(xadj, adjncy, adjwgt, vwgt, part, nparts, cap):
+    """Explicit balancing phase (the piece plain gain-FM cannot do: FM
+    forbids negative-gain moves, so an overweight part with positive
+    internal connectivity never sheds vertices). Repeatedly moves the
+    least-damaging boundary vertex out of the heaviest over-cap part into
+    an adjacent part that has room — METIS's balancing sweep. The cap is
+    relaxed by the largest vertex weight: with chunky coarse vertices an
+    exact 1.03 cap can be infeasible."""
+    n = len(vwgt)
+    part = part.astype(np.int64)
+    wsizes = np.zeros(nparts, dtype=np.int64)
+    np.add.at(wsizes, part, vwgt)
+    cap = max(int(cap), int(cap) + int(vwgt.max()) - 1)
+    for _ in range(4 * n):
+        over = np.flatnonzero(wsizes > cap)
+        if len(over) == 0:
+            break
+        p = int(over[np.argmax(wsizes[over])])
+        best = None  # (gain, v, t)
+        for v in np.flatnonzero(part == p):
+            conn: dict = {}
+            for j in range(xadj[v], xadj[v + 1]):
+                t = int(part[adjncy[j]])
+                conn[t] = conn.get(t, 0) + int(adjwgt[j])
+            for t, w in conn.items():
+                if t == p:
+                    continue
+                # any strictly lighter part makes progress; prefer
+                # under-cap targets and high gain
+                if wsizes[t] + vwgt[v] >= wsizes[p]:
+                    continue
+                gain = w - conn.get(p, 0)
+                key = (wsizes[t] + vwgt[v] <= cap, gain)
+                if best is None or key > best[0]:
+                    best = (key, int(v), t)
+        if best is None:
+            break  # p has no lighter neighbor part: cannot improve
+        _, v, t = best
+        wsizes[p] -= vwgt[v]
+        wsizes[t] += vwgt[v]
+        part[v] = t
+    return part
+
+
 def partition_multilevel(
     neighbor: np.ndarray,
     nparts: int,
@@ -341,9 +385,16 @@ def partition_multilevel(
         levels.append((g, cmap))
         g = (cxadj, cadjncy, cadjwgt, cvwgt)
     part = _greedy_partition_graph(*g, nparts, rng)
+    cap = g[3].sum() / nparts * max_ratio
+    part = _balance_graph(*g, part, nparts, cap)
     part = _refine_fm_graph(*g, part, nparts, max_ratio=max_ratio)
     for (gf, cmap) in reversed(levels):
         part = part[cmap]  # project to the finer graph
+        # FM keeps the cap, so balance holds under projection (weights are
+        # sums of the finer weights) — the balancing sweep is a no-op here
+        # unless the coarse cap was weight-granularity-infeasible
+        capf = gf[3].sum() / nparts * max_ratio
+        part = _balance_graph(*gf, part, nparts, capf)
         part = _refine_fm_graph(*gf, part, nparts, max_ratio=max_ratio)
     return part.astype(np.int32)
 
