@@ -558,7 +558,69 @@ def element_classes(ops: ElementOps, grain: float = 1e-11) -> np.ndarray:
     # renumber by first occurrence for determinism (vectorized)
     rank = np.empty(len(first_idx), dtype=np.int64)
     rank[np.argsort(first_idx, kind="stable")] = np.arange(len(first_idx))
-    return rank[cls]
+    cls = rank[cls]
+    first_elem = np.empty(len(first_idx), dtype=np.int64)
+    first_elem[rank] = first_idx
+    return _merge_noise_classes(parts, cls, first_elem)
+
+
+def _merge_noise_classes(parts, cls, first_elem, merge_rel: float = 1e-9):
+    """Merge classes whose representatives agree to `merge_rel` relative.
+
+    The fine 1e-11 hash grain over-splits when assembly noise straddles a
+    quantization boundary: at p=3 the face-trace Newton converges with
+    ~4e-12 relative spread across exact translates, which split a
+    translation-invariant 8^3 hex mesh into 355 "classes" — disabling the
+    ring sweep (ncls gate) and exploding the class-factor build. Unlike
+    coarsening the hash grain (which risks silently merging genuinely
+    different elements), this pass COMPARES representative rows directly:
+    candidate groups come from a coarse two-offset hash over the (few)
+    representatives, and every member is then VERIFIED against its group's
+    first representative — violators stay separate. Residual over-splits
+    (noise straddling both coarse grids in some column) are possible but
+    rare, and over-splitting is a performance concern only."""
+    ncls = len(first_elem)
+    # > 1024 distinct fine classes means a genuinely unstructured mesh
+    # (callers fall back to per-element operators there anyway) — not
+    # worth the (ncls, cols) representative matrix
+    if ncls <= 1 or ncls > 1024:
+        return cls
+    rng = np.random.default_rng(0xC0A15E)
+    h1 = np.zeros(ncls, dtype=np.int64)
+    h2 = np.zeros(ncls, dtype=np.int64)
+    rep_rows = []
+    with np.errstate(over="ignore"):
+        for p in parts:
+            scale = max(float(np.abs(p).max()), 1e-300)
+            pr = p[first_elem] * (1.0 / scale)  # (ncls, cols) normalized
+            rep_rows.append(pr)
+            q1 = np.rint(pr / merge_rel).astype(np.int64)
+            q2 = np.rint(pr / merge_rel + 0.49).astype(np.int64)
+            r1 = rng.integers(1, 2**62, size=pr.shape[1], dtype=np.int64) | 1
+            h1 += q1 @ r1
+            h2 += q2 @ r1
+    R = np.concatenate(rep_rows, axis=1)  # (ncls, total cols), normalized
+    parent = np.arange(ncls)
+    for h in (h1, h2):
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+        for s, e in zip(starts, np.r_[starts[1:], len(hs)]):
+            if e - s < 2:
+                continue
+            grp = order[s:e]
+            base = grp[0]
+            ok = np.abs(R[grp] - R[base]).max(axis=1) <= merge_rel
+            for g in grp[ok]:
+                parent[g] = min(parent[g], parent[base])
+    # resolve one level (parents point at smaller ids whose parents are
+    # themselves resolved in index order)
+    for c in range(ncls):
+        parent[c] = parent[parent[c]]
+    uniq, merged = np.unique(parent, return_inverse=True)
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[np.argsort(uniq, kind="stable")] = np.arange(len(uniq))
+    return rank[merged][cls]
 
 
 def canonical_face_perm(ops: ElementOps, grain: float = 1e-9) -> np.ndarray:

@@ -201,3 +201,36 @@ def test_exact_monomial_integrals_values():
     expo = np.array([[0, 0], [1, 0], [1, 1], [2, 0]])
     got = monomial_integrals_simplex(expo, 2)
     np.testing.assert_allclose(got, [0.5, 1 / 6, 1 / 24, 1 / 12], rtol=1e-15)
+
+
+def test_element_classes_noise_merge_p3():
+    """p=3 face-trace Newton noise (~4e-12 relative) straddles the fine
+    1e-11 class-hash quanta and split a translation-invariant hex mesh
+    into hundreds of bogus classes (disabling the ring sweep at p=3 and
+    exploding the class-factor build). The representative merge pass must
+    collapse them to 1 — while genuinely different elements (a stretched
+    lattice with two element sizes) must stay separate."""
+    from pbte_tpu import mesh as pmesh
+
+    m = pmesh.make_cartesian_3d(4, 4, 4, "hex").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=3,
+                            face_mode="consistent")
+    ops_c = assembly.permute_faces(ops, assembly.canonical_face_perm(ops))
+    cls = assembly.element_classes(ops_c)
+    assert int(cls.max()) + 1 == 1
+
+    # two genuinely different element sizes: never merged
+    import numpy as np
+
+    m2 = pmesh.make_cartesian_3d(4, 4, 4, "hex").scaled(1e-6)
+    v = m2.vertices.copy()
+    # stretch the top half of the z axis: elements there are taller
+    hi = v[:, 2] > 0.5e-6
+    v[hi, 2] = 0.5e-6 + (v[hi, 2] - 0.5e-6) * 1.25
+    m2 = pmesh.MeshData(**{**m2.__dict__, "vertices": v})
+    ops2 = assembly.assemble(pmesh.connect(m2), order=1,
+                             face_mode="consistent")
+    ops2c = assembly.permute_faces(ops2,
+                                   assembly.canonical_face_perm(ops2))
+    cls2 = assembly.element_classes(ops2c)
+    assert int(cls2.max()) + 1 >= 2
