@@ -303,3 +303,39 @@ def test_ring_windowed_matches_full_slab():
         s_w._ring_u_standard(r_w.u), s_f._ring_u_standard(r_f.u),
         rtol=1e-12, atol=1e-15,
     )
+
+
+def test_ring_windowed_with_dir_sharding():
+    """Hull-windowed ring under ordinate sharding: the per-segment consts
+    and the nested (bucket, segment) state must carry the NamedSharding.
+    16^3 is the smallest plane where lane-aligned windows can engage (the
+    plane must exceed 128 lanes)."""
+    import os
+
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = np.array(jax.devices()[:2])
+    mesh = Mesh(devs, axis_names=("dir",))
+    sharding = NamedSharding(mesh, P("dir"))
+    m = pmesh.make_cartesian_3d(16, 16, 16, "hex").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1,
+                            face_mode="consistent")
+    quad = ang.build(
+        ang.AngularOptions(dimension=3, polar_points=2, azimuth_points=4))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    os.environ["PBTE_RING_BF16"] = "0"  # exact f32 for the A/B
+    try:
+        s = SourceIterationSolver(ops, quad, tables, BCS3,
+                                  dtype=jnp.float32, sweep_mode="ring",
+                                  dir_sharding=sharding)
+        s0 = SourceIterationSolver(ops, quad, tables, BCS3,
+                                   dtype=jnp.float32, sweep_mode="ring")
+    finally:
+        del os.environ["PBTE_RING_BF16"]
+    assert s._ring_windowed and s0._ring_windowed
+    r = s.solve(tol=0, max_iter=3, verbose=False)
+    r0 = s0.solve(tol=0, max_iter=3, verbose=False)
+    np.testing.assert_allclose(
+        np.asarray(r.Tc), np.asarray(r0.Tc), rtol=1e-6, atol=1e-9
+    )
