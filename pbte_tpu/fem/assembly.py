@@ -389,14 +389,12 @@ def _assemble_mixed(
         nfg = mesh_core.GEOM_NF[g]
         es = np.flatnonzero(egeom == c)
         rD = np.arange(D)
-        rF = np.arange(nfg)
         vpts, vw = quad.volume_rule(g, vdeg)
         S = b.eval(vpts)  # (Q, D)
         Gref = b.eval_grad(vpts)  # (Q, D, dim)
 
         for start in range(0, len(es), chunk):
             sel = es[start : start + chunk]
-            E = len(sel)
             Xv = verts[ev[sel][:, :nv]]  # (E, nv, dim)
 
             J = _map_jacobian(g, Xv, vpts)
