@@ -64,12 +64,14 @@ def main(argv=None) -> int:
                     help="'highest' removes the TPU MXU's bf16 truncation of "
                          "f32 einsums (~2e-3 relative) at ~3-6x matmul cost")
     ap.add_argument("--slice-z", type=float, default=None,
-                    help="3D only: sample a z=SLICE_Z plane of T and Q "
-                         "(legacy output_3D_2Dslice_T_Q)")
+                    help="3D only: sample a z=SLICE_Z plane of T and Q, with "
+                         "SLICE_Z in units of reference_length — the legacy "
+                         "z = 0.4*L_REF convention (output_3D_2Dslice_T_Q)")
     ap.add_argument("--line-slice", nargs=3, type=float, default=None,
                     metavar=("AXIS", "C1", "C2"),
                     help="3D only: sample T and Q along axis AXIS (0/1/2) at "
-                         "fixed other coords C1 C2 (legacy output_3D_1Dslice_T_Q)")
+                         "fixed other coords C1 C2 in units of "
+                         "reference_length (legacy output_3D_1Dslice_T_Q)")
     ap.add_argument("--periodic", default="",
                     help="comma-separated axes (e.g. '0' or '0,1') to make "
                          "periodic by matching opposite boundary vertices; "
@@ -303,15 +305,21 @@ def main(argv=None) -> int:
 
         Qc3 = np.asarray(solver.heat_flux(res.u)[0])
         res_dir = os.path.join(rc.output_dir, "3D/results")
+        # slice coordinates are in units of reference_length, matching the
+        # legacy driver's z = 0.4 * L_REF convention (ref: Reference
+        # Project/src/PhononBTE/PhononBTE.cpp:166-168) — the mesh itself
+        # was scaled to physical metres above
+        scale = rc.material.ref_len
         if args.slice_z is not None:
             path = os.path.join(res_dir, "T_slice_z.txt")
-            write_3d_slice(m, rc.order, Tc_out, Qc3, args.slice_z, path)
+            write_3d_slice(m, rc.order, Tc_out, Qc3, args.slice_z * scale,
+                           path)
             print(f"[pbte_tpu] 3D plane slice written to {path}")
         if args.line_slice is not None:
             axis, c1, c2 = args.line_slice
             path = os.path.join(res_dir, "T_line.txt")
-            write_3d_line_slice(m, rc.order, Tc_out, Qc3, int(axis), c1, c2,
-                                path)
+            write_3d_line_slice(m, rc.order, Tc_out, Qc3, int(axis),
+                                c1 * scale, c2 * scale, path)
             print(f"[pbte_tpu] 3D line slice written to {path}")
     if args.vtu:
         from pbte_tpu.io.vtu import write_vtu

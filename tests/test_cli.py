@@ -145,3 +145,24 @@ def test_cli_parallel_slab_lattice(tmp_path):
             atol = max(5e-3, 0.05 * float(np.abs(na).max()))
             np.testing.assert_allclose(na, nb, rtol=0.1, atol=atol,
                                        err_msg=rel)
+
+
+@pytest.mark.slow
+def test_cli_3d_slices_in_reference_length_units(tmp_path):
+    """--slice-z / --line-slice take coordinates in units of
+    reference_length (the legacy z = 0.4*L_REF convention). Passing raw
+    values used to sample metres-scale points far outside the micron-scale
+    domain — every output value was NaN and nothing noticed."""
+    proc = _run_cli(
+        ["-m", "unit-cube-hex", "-o", "1", "--face-mode", "consistent",
+         "--max-iter", "2", "--tol", "0",
+         "--slice-z", "0.4", "--line-slice", "2", "0.5", "0.5"],
+        cwd=tmp_path,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    pl = np.loadtxt(tmp_path / "output/3D/results/T_slice_z.txt", skiprows=2)
+    ln = np.loadtxt(tmp_path / "output/3D/results/T_line.txt", skiprows=1)
+    assert pl.shape[1] == 6 and not np.isnan(pl).any()
+    assert ln.shape[1] == 7 and not np.isnan(ln).any()
+    # line runs along z at x = y = 0.5*L_REF (metres in the output file)
+    assert np.allclose(ln[:, 0], 0.5e-6) and np.allclose(ln[:, 1], 0.5e-6)
