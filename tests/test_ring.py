@@ -265,7 +265,8 @@ def test_ring_windowed_matches_full_slab():
     wavefront hull), and the segment-entry carry frame must cover the
     previous level's hull (the _fit_ring_window correctness constraint).
     The mesh must have a >128-lane plane (16x16 = 256) or aligned windows
-    cannot engage at all."""
+    cannot engage at all. A Dirichlet face exercises the windowed dsrc
+    slabs alongside the isothermal bsrc ones."""
     import os
 
     m = pmesh.make_cartesian_3d(16, 16, 16, "hex").scaled(1e-6)
@@ -274,14 +275,17 @@ def test_ring_windowed_matches_full_slab():
     quad = ang.build(
         ang.AngularOptions(dimension=3, polar_points=2, azimuth_points=4))
     tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    bcs = {a: -0.5 for a in range(1, 6)}
 
     def run(env_val):
         os.environ["PBTE_RING_WINDOWS"] = env_val
         try:
-            s = SourceIterationSolver(ops, quad, tables, BCS3,
-                                      dtype=jnp.float64, sweep_mode="ring")
+            s = SourceIterationSolver(ops, quad, tables, bcs,
+                                      dtype=jnp.float64, sweep_mode="ring",
+                                      dirichlet_bcs={6: 0.25})
         finally:
             del os.environ["PBTE_RING_WINDOWS"]
+        assert s.has_dirichlet
         assert s._ring_lattice
         assert s._ring_windowed == (env_val != "0")
         res = s.solve(tol=0, max_iter=3, verbose=False)
@@ -294,14 +298,20 @@ def test_ring_windowed_matches_full_slab():
         assert d == 0 and o0 % 128 == 0  # lane-aligned or not at all
         assert Ws % 128 == 0 or o0 + Ws == s_w.W
     s_f, r_f = run("0")
-    # identical up to float summation ORDER: the windowed closure sums
-    # per-segment partials (measured <= 3e-14 relative)
+    # identical up to float summation ORDER. The tolerance is relative to
+    # the FIELD SCALE, not per element: the legacy type-7 Dirichlet source
+    # carries no heat_cap/omega normalization, so intensities reach ~1e8
+    # and elements whose Tc is small by angular cancellation inherit
+    # absolute reordering noise of eps * |u| (measured ~3e-16 of the
+    # field scale; per-element rtol would demand the impossible there)
+    Tw, Tf = np.asarray(r_w.Tc), np.asarray(r_f.Tc)
     np.testing.assert_allclose(
-        np.asarray(r_w.Tc), np.asarray(r_f.Tc), rtol=1e-12, atol=1e-15
+        Tw, Tf, rtol=1e-12, atol=1e-12 * np.abs(Tf).max()
     )
+    uw = s_w._ring_u_standard(r_w.u)
+    uf = s_f._ring_u_standard(r_f.u)
     np.testing.assert_allclose(
-        s_w._ring_u_standard(r_w.u), s_f._ring_u_standard(r_f.u),
-        rtol=1e-12, atol=1e-15,
+        uw, uf, rtol=1e-12, atol=1e-12 * np.abs(uf).max()
     )
 
 
