@@ -578,10 +578,13 @@ def _merge_noise_classes(parts, cls, first_elem, merge_rel: float = 1e-9):
     (noise straddling both coarse grids in some column) are possible but
     rare, and over-splitting is a performance concern only."""
     ncls = len(first_elem)
-    # > 1024 distinct fine classes means a genuinely unstructured mesh
-    # (callers fall back to per-element operators there anyway) — not
-    # worth the (ncls, cols) representative matrix
-    if ncls <= 1 or ncls > 1024:
+    # the (ncls, cols) representative matrix is the cost of this pass —
+    # ~1GB at 8192 reps of a p=3 hex (the host has >100GB); genuinely
+    # unstructured meshes beyond that fall back to per-element operators
+    # in every caller anyway. The fine split GROWS with ne (every noise
+    # straddle is a new key: 355 classes at 8^3, 2793 at 16^3 p=3), so a
+    # low cap would defeat the merge exactly at production scale.
+    if ncls <= 1 or ncls > 8192:
         return cls
     rng = np.random.default_rng(0xC0A15E)
     h1 = np.zeros(ncls, dtype=np.int64)
