@@ -501,7 +501,9 @@ def _assemble_mixed(
     )
 
 
-def element_classes(ops: ElementOps, grain: float = 1e-11) -> np.ndarray:
+def element_classes(
+    ops: ElementOps, grain: float = 1e-11, merge: bool = True
+) -> np.ndarray:
     """Geometry-class index per element: elements whose volume/face operator
     tensors and outward normals agree (to relative `grain`) share a class.
 
@@ -557,6 +559,10 @@ def element_classes(ops: ElementOps, grain: float = 1e-11) -> np.ndarray:
     rank = np.empty(len(first_idx), dtype=np.int64)
     rank[np.argsort(first_idx, kind="stable")] = np.arange(len(first_idx))
     cls = rank[cls]
+    if not merge:
+        # fine (pre-merge) classes: cheaper, still correct for relative
+        # comparisons like "does canonical face ordering reduce the count"
+        return cls
     first_elem = np.empty(len(first_idx), dtype=np.int64)
     first_elem[rank] = first_idx
     return _merge_noise_classes(parts, cls, first_elem)

@@ -315,7 +315,11 @@ class SourceIterationSolver:
         self._canonical_faces = False
         self._cls_cache = None  # element classes of the (final) ops
         if sweep_mode in ("auto", "ring") and ne >= 512:
-            cls0 = _assembly.element_classes(ops)
+            # the pre-canonical count is only COMPARED, so skip the noise
+            # merge there (it costs an (ncls, cols) representative pass;
+            # fine counts are an upper bound on both sides and canonical
+            # ordering strictly removes slot-order splits)
+            cls0 = _assembly.element_classes(ops, merge=False)
             ops_c = _assembly.permute_faces(
                 ops, _assembly.canonical_face_perm(ops)
             )
@@ -325,7 +329,7 @@ class SourceIterationSolver:
                 self._canonical_faces = True
                 self._cls_cache = cls1
             else:
-                self._cls_cache = cls0
+                self._cls_cache = _assembly.element_classes(ops)
 
         # Boundary sanity: the serial reference asserts every boundary face has
         # an isothermal entry (ref: src/PBTESolver.cpp:286); Dirichlet
