@@ -537,3 +537,25 @@ def test_mixed3d_sample_and_vtu(tmp_path):
     text = open(path).read()
     types = set(text.split('Name="types"')[1].split("\n")[1].split())
     assert {"10", "12", "13", "14"} <= types  # tet, hex, wedge, pyramid
+
+
+def test_mixed3d_periodic_prism_matches_oracle():
+    """Periodic wiring on a mixed-3D mesh: the prism builtin's quad x-faces
+    pair through make_periodic's vertex maps, and the -1-padded face-vertex
+    rows must survive _wire_periodic's key/centroid computations. Lagged
+    periodic coupling then matches the sequential oracle exactly."""
+    m = pmesh.make_cartesian_3d(3, 3, 3, "prism").scaled(1e-6)
+    m = pmesh.make_periodic(m, [0])
+    topo = pmesh.connect(m)
+    assert topo.elem_face_periodic.sum() == 18  # 3x3 quad faces, both sides
+    ops = assembly.assemble(topo, order=1, face_mode="consistent")
+    quad = ang.build(
+        ang.AngularOptions(dimension=3, polar_points=2, azimuth_points=4)
+    )
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    bcs = {1: -0.5, 2: -0.5, 4: -0.5, 6: 0.5}  # x faces are periodic now
+    s = SourceIterationSolver(ops, quad, tables, bcs)
+    assert s.has_periodic
+    r = s.solve(tol=0, max_iter=4, verbose=False)
+    uo, Tco, *_ = solve_oracle(ops, quad, tables, bcs, tol=0, max_iter=4)
+    np.testing.assert_allclose(np.asarray(r.Tc), Tco, rtol=1e-11, atol=1e-14)
