@@ -203,6 +203,11 @@ def main(argv=None) -> int:
             print("[pbte_tpu] WARNING: --cache-policy/--matmul-precision are "
                   "not supported by the --parallel solver (it always builds "
                   "the full A^-1 cache at default precision); ignoring")
+        if rc.diffuse_attrs or rc.specular_attrs:
+            raise SystemExit(
+                "[pbte_tpu] diffuse/specular BCs are single-device "
+                "(scan-path) features for now; drop --parallel"
+            )
         dmesh = Mesh(_np.array(devs[: n_dir * n_space]).reshape(n_dir, n_space),
                      axis_names=("dir", "space"))
         # production path: slab-lattice ring decomposition (class-batched
@@ -235,6 +240,8 @@ def main(argv=None) -> int:
         solver = SourceIterationSolver(
             ops, quad, tables, rc.bc_temps, dtype=dtype,
             dirichlet_bcs=rc.dirichlet_bcs or None,
+            diffuse_bcs=rc.diffuse_attrs or None,
+            specular_bcs=rc.specular_attrs or None,
             sweep_mode=args.sweep_mode,
             cache_policy=args.cache_policy,
             matmul_precision=(None if args.matmul_precision == "default"

@@ -43,6 +43,9 @@ class RunConfig:
     periodic_attrs: list = dataclasses.field(default_factory=list)
     # legacy BC type 7: attr -> prescribed incoming intensity (Dirichlet)
     dirichlet_bcs: dict = dataclasses.field(default_factory=dict)
+    # legacy BC types 2/3: reflective walls (lagged closures in the solver)
+    diffuse_attrs: list = dataclasses.field(default_factory=list)
+    specular_attrs: list = dataclasses.field(default_factory=list)
 
 
 def load_legacy_control(control_path: str, material_path: str | None = None) -> RunConfig:
@@ -51,12 +54,12 @@ def load_legacy_control(control_path: str, material_path: str | None = None) -> 
     config/control/Control.yaml).
 
     Boundary condition types: 1=thermalizing (isothermal), 2=diffuse,
-    3=specular, 4=periodic. Thermalizing and periodic are implemented
-    (periodic attrs land in rc.periodic_attrs; the mesh layer pairs the
-    faces — exceeding the reference, whose solvers reject type 4 at solve
-    time, ref: Reference Project/src/DGSolver/PBTE_NonGraySMRT.cpp:125-127).
-    Diffuse/specular raise, matching the reference (parsed but never
-    implemented there either)."""
+    3=specular, 4=periodic, 7=Dirichlet. ALL are implemented — exceeding
+    the reference, whose solvers reject types 2/3/4 at solve time
+    (ref: Reference Project/src/DGSolver/PBTE_NonGraySMRT.cpp:125-127):
+    periodic attrs land in rc.periodic_attrs (the mesh layer pairs the
+    faces), diffuse/specular land in rc.diffuse_attrs/rc.specular_attrs
+    (lagged reflective closures in the solver)."""
     cfg = load_yaml_file(control_path) or {}
     rc = RunConfig()
     rc.order = int(cfg.get("POLYDEG", 1))
@@ -88,11 +91,15 @@ def load_legacy_control(control_path: str, material_path: str | None = None) -> 
             rc.periodic_attrs.append(int(attr))
         elif bc_type == 7:
             rc.dirichlet_bcs[int(attr)] = value
+        elif bc_type == 2:
+            rc.diffuse_attrs.append(int(attr))
+        elif bc_type == 3:
+            rc.specular_attrs.append(int(attr))
         else:
             raise NotImplementedError(
-                f"legacy boundary type {bc_type} (diffuse/specular) "
-                "is not implemented (nor in the reference); supported: "
-                "1 (thermalizing), 4 (periodic), 7 (Dirichlet)"
+                f"legacy boundary type {bc_type}; supported: 1 "
+                "(thermalizing), 2 (diffuse), 3 (specular), 4 (periodic), "
+                "7 (Dirichlet)"
             )
 
     if material_path is None:
@@ -133,10 +140,15 @@ def load_run_config(config_path: str, material_path: str | None = None) -> RunCo
         rc.mesh_spec = path
 
     for bc in cfg.get("boundary_conditions") or []:
-        if str(bc.get("type", "")).lower() == "periodic":
+        kind = str(bc.get("type", "")).lower()
+        if kind == "periodic":
             rc.periodic_attrs.append(int(bc["attr"]))
-        elif str(bc.get("type", "")).lower() == "dirichlet":
+        elif kind == "dirichlet":
             rc.dirichlet_bcs[int(bc["attr"])] = float(bc["value"])
+        elif kind == "diffuse":
+            rc.diffuse_attrs.append(int(bc["attr"]))
+        elif kind == "specular":
+            rc.specular_attrs.append(int(bc["attr"]))
         else:
             rc.bc_temps[int(bc["attr"])] = float(bc["temperature"])
 

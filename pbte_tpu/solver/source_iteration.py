@@ -237,6 +237,16 @@ class SourceIterationSolver:
         tables,  # material.nongray_smrt.PhononTables
         bc_temps: dict,  # boundary attr -> temperature deviation
         dirichlet_bcs: dict | None = None,  # attr -> prescribed incoming
+        diffuse_bcs=None,  # iterable of attrs: legacy BC type 2 (Lambert
+        # reflection — the incoming intensity is face-isotropic per band,
+        # sized so the face's net energy flux per band is ZERO), applied as
+        # a LAGGED coupling like periodic wraps. Both reference trees parse
+        # type 2 but reject it at solve time; this implements it.
+        specular_bcs=None,  # iterable of attrs: legacy BC type 3 (mirror
+        # reflection u_in(s) = own trace at s' = s - 2(s.n)n, lagged).
+        # Requires axis-aligned faces and a mirror-symmetric quadrature
+        # about those axes (validated; the gauss azimuth rule is symmetric
+        # about y only — use the uniform rule for x-normal specular faces).
         # intensity (legacy BC type 7). The reference wires FluxMat for type
         # 7 (Reference Project/include/PolyFem/PolyIntegral.hpp:299-321) but
         # its solvers reject it at solve time and the analytic-profile
@@ -336,6 +346,10 @@ class SourceIterationSolver:
         # (type 7) attrs satisfy the check too.
         dirichlet_bcs = dirichlet_bcs or {}
         self.has_dirichlet = bool(dirichlet_bcs)
+        diffuse_bcs = sorted(int(a) for a in (diffuse_bcs or ()))
+        specular_bcs = sorted(int(a) for a in (specular_bcs or ()))
+        self._dif_on = bool(diffuse_bcs)
+        self._spc_on = bool(specular_bcs)
         bdry_attrs = set(int(a) for a in np.unique(
             ops.face_attr[(ops.neighbor < 0) & ops.face_valid]
         ))
@@ -343,6 +357,8 @@ class SourceIterationSolver:
             bdry_attrs
             - set(int(k) for k in bc_temps)
             - set(int(k) for k in dirichlet_bcs)
+            - set(diffuse_bcs)
+            - set(specular_bcs)
         )
         if missing and require_bcs:
             raise ValueError(
@@ -438,6 +454,15 @@ class SourceIterationSolver:
         self._ring_ccpl_arr = None
         self._ring_lattice = False
         ring_want = sweep_mode in ("auto", "ring")
+        if ring_want and (self._dif_on or self._spc_on):
+            # lagged reflective BCs are implemented in the scan path only
+            # (their closures need cross-group reads of the lagged state)
+            if sweep_mode == "ring":
+                raise ValueError(
+                    "sweep_mode='ring' does not support diffuse/specular "
+                    "BCs; use sweep_mode='scan'"
+                )
+            ring_want = False
         if ring_want:
             cls_r = (
                 self._cls_cache if self._cls_cache is not None
@@ -617,7 +642,10 @@ class SourceIterationSolver:
         hoist_bytes = (
             2 * G * Km * BS * D * ne * np.dtype(np_dtype).itemsize
         )
-        self._hoist_rhs = self.has_periodic or hoist_bytes <= 2e9
+        self._hoist_rhs = (
+            self.has_periodic or self._dif_on or self._spc_on
+            or hoist_bytes <= 2e9
+        )
 
         # NOTE: lane-aligning W (192 -> 256) measured perf-NEUTRAL at the
         # hex-16^3 flagship (89.7 vs 90.0 ms/step) while costing 33% more
@@ -746,6 +774,83 @@ class SourceIterationSolver:
                     per_src[g, i] = s
                     per_cpl[g, i] = cpl
                     per_valid[g, i] = 1.0
+
+        # ---- lagged reflective BCs (legacy types 2/3): compact face lists --
+        # Like the periodic tables above: per-iteration contributions built
+        # from the PREVIOUS iterate and scattered into the hoisted rhs base.
+        w_glob = quad.weights
+        dif_t = None
+        if self._dif_on:
+            rows_d = np.argwhere(
+                np.isin(ops.face_attr, diffuse_bcs)
+                & (ops.neighbor < 0) & ops.face_valid
+            )
+            if len(rows_d) == 0:
+                self._dif_on = False
+            else:
+                d_e, d_f = rows_d[:, 0], rows_d[:, 1]
+                n_d = ops.normals[d_e, d_f]  # (P, dim)
+                sdotn_g = np.einsum(
+                    "gkd,pd->gkp", dirs_np[dirs_safe], n_d
+                ) * dir_valid[..., None]  # (G, Km, P), padded slots zeroed
+                cn = (
+                    w_glob[:, None]
+                    * np.maximum(-np.einsum("kd,pd->kp", dirs_np, n_d), 0.0)
+                ).sum(axis=0)  # (P,) incoming-hemisphere weight
+                areaF = ops.face_int[d_e, d_f].sum(axis=-1)  # |F| (P,)
+                dif_t = dict(
+                    pos=pos_of_elem[:, d_e].astype(np.int32),  # (G, P)
+                    fint=ops.face_int[d_e, d_f],  # (P, D)
+                    cin=np.minimum(sdotn_g, 0.0),  # (G, Km, P)
+                    wplus=(
+                        w_glob[dirs_safe][..., None] * dir_valid[..., None]
+                        * np.maximum(sdotn_g, 0.0)
+                    ),  # (G, Km, P)
+                    norm=1.0 / np.maximum(cn * areaF, 1e-300),  # (P,)
+                )
+        spc_t = None
+        if self._spc_on:
+            from pbte_tpu.validation.oracle import mirror_direction_map
+
+            rows_s = np.argwhere(
+                np.isin(ops.face_attr, specular_bcs)
+                & (ops.neighbor < 0) & ops.face_valid
+            )
+            if len(rows_s) == 0:
+                self._spc_on = False
+            else:
+                s_e, s_f = rows_s[:, 0], rows_s[:, 1]
+                n_s = ops.normals[s_e, s_f]  # (P, dim)
+                if np.abs(np.abs(n_s).max(axis=-1) - 1.0).max() > 1e-9:
+                    raise ValueError("specular faces must be axis-aligned")
+                ax_p = np.argmax(np.abs(n_s), axis=-1)  # (P,)
+                mirror = mirror_direction_map(
+                    quad, self.dim, axes=set(int(a) for a in ax_p)
+                )  # (dim, K) global-direction map
+                # global direction -> (group, slot)
+                g_of_dir = np.zeros(quad.num_directions, dtype=np.int64)
+                k_of_dir = np.zeros(quad.num_directions, dtype=np.int64)
+                gg, kk = np.nonzero(dir_valid)
+                g_of_dir[dirs_pad[gg, kk]] = gg
+                k_of_dir[dirs_pad[gg, kk]] = kk
+                km_glob = mirror[ax_p[None, None, :], dirs_safe[..., None]]
+                km_glob = np.where(
+                    dir_valid[..., None], km_glob, 0
+                )  # (G, Km, P)
+                sdotn_g = np.einsum(
+                    "gkd,pd->gkp", dirs_np[dirs_safe], n_s
+                ) * dir_valid[..., None]
+                spc_t = dict(
+                    pos=pos_of_elem[:, s_e].astype(np.int32),  # (G, P)
+                    fm=ops.face_mass[s_e, s_f],  # (P, D, D)
+                    cin=np.minimum(sdotn_g, 0.0),  # (G, Km, P)
+                    gk=(
+                        g_of_dir[km_glob] * Km + k_of_dir[km_glob]
+                    ).astype(np.int32),  # (G, Km, P) flat (g*, k*) index
+                    src=pos_of_elem[
+                        g_of_dir[km_glob], s_e[None, None, :]
+                    ].astype(np.int32),  # (G, Km, P) source position in g*
+                )
 
         # ---- ring-mode neighbor selection tables ---------------------------
         # Lattice meshes: NO tables at all — the upwind neighbor of slot w is
@@ -1331,6 +1436,27 @@ class SourceIterationSolver:
             assert bool(covered.all()), "element missing from all windows"
 
         self.consts = dict(
+            # lagged reflective BC tables (legacy types 2/3), empty unless on
+            **(
+                {
+                    "dif_pos": iput(dif_t["pos"]),
+                    "dif_fint": put(dif_t["fint"]),
+                    "dif_cin": put(dif_t["cin"]),
+                    "dif_wplus": put(dif_t["wplus"]),
+                    "dif_norm": put(dif_t["norm"]),
+                }
+                if self._dif_on else {}
+            ),
+            **(
+                {
+                    "spc_pos": iput(spc_t["pos"]),
+                    "spc_fm": put(spc_t["fm"]),
+                    "spc_cin": put(spc_t["cin"]),
+                    "spc_gk": iput(spc_t["gk"]),
+                    "spc_src": iput(spc_t["src"]),
+                }
+                if self._spc_on else {}
+            ),
             mass_t=put(mass_t_g),  # (G, D, D, ne_pad): Mt[g,i,j,p]=mass[e_p,j,i]
             mass=put(np.moveaxis(mass_g, 1, -1)),  # (G, D, D, ne_pad)
             basis_int=put(basis_int_g),  # (G, D, ne_pad)
@@ -1660,6 +1786,14 @@ class SourceIterationSolver:
             # hoisted and the relaxation matmul moves into the level window
             # (the hoisted form OOM'd the legacy 16x24-angle tet shape:
             # 24 groups x 47 slots x 2 state-sized temporaries) ----
+            ex = list(extra)
+            dvec_gl = ex.pop(0) if self.has_dirichlet else None
+            dif_pos_g = dif_con_g = spc_pos_g = spc_con_g = None
+            if self._dif_on:
+                dif_pos_g, dif_con_g = ex.pop(0), ex.pop(0)
+            if self._spc_on:
+                spc_pos_g, spc_con_g = ex.pop(0), ex.pop(0)
+
             t_tc = jnp.einsum("ijE,jE->iE", mass_t, TcT_g)  # (D, ne)
             cin_all = jnp.minimum(fdot, 0.0)  # (Km, nf, ne)
             is_b_all = nbr_pos < 0  # (nf, ne)
@@ -1668,7 +1802,6 @@ class SourceIterationSolver:
                 "kfE,fE,fiE->kiE", cin_bnd_all, bc_T, face_int
             )  # (Km, D, ne) — BS-free, cheap to keep hoisted
             if self.has_dirichlet:
-                (dvec_gl,) = extra
                 dsrc = jnp.einsum("kfE,fiE->kiE", cin_bnd_all, dvec_gl)
             else:
                 dsrc = None
@@ -1707,6 +1840,13 @@ class SourceIterationSolver:
                 rhs_base = rhs_base.at[:, :, :, per_pos].add(
                     -c["vg"][None, :, None, None] * contrib
                 )
+
+            if dif_con_g is not None:
+                # lagged diffuse (Lambert) incoming intensity, precomputed
+                # from the full previous state outside the group vmap
+                rhs_base = rhs_base.at[:, :, :, dif_pos_g].add(dif_con_g)
+            if spc_con_g is not None:
+                rhs_base = rhs_base.at[:, :, :, spc_pos_g].add(spc_con_g)
 
             def make_level_body(Ws):
                 iota = jnp.arange(Ws)
@@ -1841,6 +1981,31 @@ class SourceIterationSolver:
         TcT_groups = jnp.moveaxis(TcT[:, c["perm"]], 1, 0)  # (G, D, ne)
 
         extra = (c["dvec"],) if self.has_dirichlet else ()
+        # lagged reflective BCs (legacy types 2/3): closures over the
+        # PREVIOUS iterate need cross-group reads, so they are computed
+        # here (u is still the previous state) and scattered into each
+        # group's hoisted rhs base inside sweep_group
+        if self._dif_on:
+            u_d = jax.vmap(lambda ug, pg: ug[:, :, :, pg])(
+                u, c["dif_pos"]
+            )  # (G, Km, BS, D, P)
+            out_flux = jnp.einsum(
+                "gkp,pi,gkbip->bp", c["dif_wplus"], c["dif_fint"], u_d
+            )
+            u_in = out_flux * c["dif_norm"][None, :]  # (BS, P)
+            dif_con = -jnp.einsum(
+                "gkp,b,bp,pi->gkbip",
+                c["dif_cin"], c["vg"], u_in, c["dif_fint"],
+            )
+            extra = extra + (c["dif_pos"], dif_con)
+        if self._spc_on:
+            u_flat = u.reshape((u.shape[0] * u.shape[1],) + u.shape[2:])
+            u_m = u_flat[c["spc_gk"], :, :, c["spc_src"]]  # (G, Km, P, BS, D)
+            spc_con = -jnp.einsum(
+                "gkp,b,pij,gkpbj->gkbip",
+                c["spc_cin"], c["vg"], c["spc_fm"], u_m,
+            )
+            extra = extra + (c["spc_pos"], spc_con)
         group_args = (
             u, TcT_groups, c["mass_t"], c["face_int"], c["coupling"],
             c["nbr_pos"], c["bc_T"], c["fdot"], c["mats"], c["mass"],
