@@ -210,3 +210,23 @@ def test_config_parses_reflective_types(tmp_path):
     )
     rc2 = load_run_config(str(cfg))
     assert rc2.diffuse_attrs == [1] and rc2.specular_attrs == [3]
+
+
+def test_reflective_on_mixed_geometry_mesh():
+    """Composition: diffuse + specular walls on the 4-geometry mixed cube
+    (hex + pyramids + tets + prisms) — padded face slots and the per-
+    geometry padded DOFs flow through the lagged closures unchanged."""
+    m = pmesh.load_builtin("unit-cube-mixed").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1,
+                            face_mode="consistent")
+    quad = ang.build(
+        ang.AngularOptions(dimension=3, polar_points=2, azimuth_points=4))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    bcs = {5: -0.5, 3: 0.5}
+    uo, Tco, *_ = solve_oracle(ops, quad, tables, bcs, tol=0, max_iter=5,
+                               diffuse=[1, 6], specular=[2, 4])
+    s = SourceIterationSolver(ops, quad, tables, bcs, diffuse_bcs=[1, 6],
+                              specular_bcs=[2, 4])
+    r = s.solve(tol=0, max_iter=5, verbose=False)
+    np.testing.assert_allclose(np.asarray(r.Tc), Tco, rtol=1e-11,
+                               atol=1e-14)
