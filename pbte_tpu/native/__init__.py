@@ -150,6 +150,81 @@ def inflow_signatures(neighbor, normals, directions):
 
 
 # ---------------------------------------------------------------------------
+# C++ multilevel k-way partitioner (the METIS-recipe native path)
+# ---------------------------------------------------------------------------
+
+_PART_SRC = os.path.join(_HERE, "partition_native.cpp")
+_PART_LIB = os.path.join(_HERE, "_partition_native.so")
+_PART_STAMP = _PART_LIB + ".sha256"
+_part_lib = None
+_part_tried = False
+
+
+def get_partition_lib():
+    """ctypes handle to the C++ multilevel partitioner, or None."""
+    global _part_lib, _part_tried
+    with _lock:
+        if _part_lib is not None or _part_tried:
+            return _part_lib
+        _part_tried = True
+        with open(_PART_SRC, "rb") as f:
+            src_hash = hashlib.sha256(f.read()).hexdigest()
+        fresh = False
+        try:
+            with open(_PART_STAMP) as f:
+                fresh = (
+                    f.read().strip() == src_hash
+                    and os.path.exists(_PART_LIB)
+                )
+        except OSError:
+            pass
+        if not fresh:
+            cmd = [
+                "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                _PART_SRC, "-o", _PART_LIB + ".tmp",
+            ]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True,
+                               timeout=120)
+                os.replace(_PART_LIB + ".tmp", _PART_LIB)
+                with open(_PART_STAMP, "w") as f:
+                    f.write(src_hash)
+            except (subprocess.SubprocessError, OSError):
+                return None
+        try:
+            lib = ctypes.CDLL(_PART_LIB)
+        except OSError:
+            return None
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i64 = ctypes.c_int64
+        lib.pbte_partition_multilevel.restype = ctypes.c_int32
+        lib.pbte_partition_multilevel.argtypes = [
+            i64, i64, i32p, i64, i64, i64, ctypes.c_double, i32p,
+        ]
+        _part_lib = lib
+        return _part_lib
+
+
+def partition_multilevel(neighbor, nparts, seed=0,
+                         coarse_target_per_part=30, max_ratio=1.03):
+    """Native multilevel k-way partition of the element dual graph;
+    returns (ne,) int32 or None when the native lib is unavailable."""
+    lib = get_partition_lib()
+    if lib is None:
+        return None
+    neighbor = np.ascontiguousarray(neighbor, dtype=np.int32)
+    ne, nf = neighbor.shape
+    out = np.empty(ne, dtype=np.int32)
+    rc = lib.pbte_partition_multilevel(
+        ne, nf, neighbor, int(nparts), int(seed),
+        int(coarse_target_per_part), float(max_ratio), out,
+    )
+    if rc != 0:
+        return None
+    return out
+
+
+# ---------------------------------------------------------------------------
 # C++ reference-mirror solver (the measured bench baseline)
 # ---------------------------------------------------------------------------
 

@@ -339,3 +339,32 @@ def test_multilevel_balance_at_depth():
     topo = pmesh.connect(m)
     plan = part_mod.build_plan(topo, 8, method="multilevel")
     assert plan.load_balance() <= 1.1, plan.local_counts
+
+
+def test_native_partitioner_quality_and_fallback():
+    """The C++ multilevel partitioner (native/partition_native.cpp — the
+    production path; the reference links METIS natively too) must satisfy
+    the same contracts as the numpy twin (balance cap, valid part ids) and
+    not regress its edge cut by more than 25% — measured at 26^3 tets it
+    is strictly BETTER (cut 5325 vs 8548) and ~100x faster. The numpy
+    fallback stays selectable via PBTE_PARTITION_NATIVE=0."""
+    import os
+
+    from pbte_tpu import native
+
+    m = pmesh.make_cartesian_3d(10, 10, 10, "tet")
+    topo = pmesh.connect(m)
+    nat = native.partition_multilevel(topo.elem_neighbor, 6)
+    if nat is None:
+        pytest.skip("native toolchain unavailable")
+    cn = np.bincount(nat, minlength=6)
+    assert nat.min() >= 0 and nat.max() == 5
+    assert cn.max() / cn.mean() <= 1.1
+    os.environ["PBTE_PARTITION_NATIVE"] = "0"
+    try:
+        pyp = part_mod.partition_multilevel(topo.elem_neighbor, 6)
+    finally:
+        del os.environ["PBTE_PARTITION_NATIVE"]
+    cut_nat = part_mod.edge_cut(topo.elem_neighbor, nat)
+    cut_py = part_mod.edge_cut(topo.elem_neighbor, pyp)
+    assert cut_nat <= 1.25 * cut_py, (cut_nat, cut_py)
