@@ -72,6 +72,13 @@ def main(argv=None) -> int:
                     help="3D only: sample T and Q along axis AXIS (0/1/2) at "
                          "fixed other coords C1 C2 in units of "
                          "reference_length (legacy output_3D_1Dslice_T_Q)")
+    ap.add_argument("--diffuse", default="",
+                    help="comma-separated boundary attrs with DIFFUSE walls "
+                         "(legacy BC type 2, Lambert reflection; lagged)")
+    ap.add_argument("--specular", default="",
+                    help="comma-separated boundary attrs with SPECULAR walls "
+                         "(legacy BC type 3, mirror reflection; lagged; "
+                         "axis-aligned faces + mirror-symmetric quadrature)")
     ap.add_argument("--periodic", default="",
                     help="comma-separated axes (e.g. '0' or '0,1') to make "
                          "periodic by matching opposite boundary vertices; "
@@ -128,6 +135,16 @@ def main(argv=None) -> int:
               f"{rc.bc_temps}")
     if args.mesh:
         rc.mesh_spec = args.mesh
+    if args.diffuse:
+        attrs = [int(x) for x in args.diffuse.split(",")]
+        rc.diffuse_attrs = sorted(set(rc.diffuse_attrs) | set(attrs))
+        for a in attrs:
+            rc.bc_temps.pop(a, None)  # the flag overrides a default/iso BC
+    if args.specular:
+        attrs = [int(x) for x in args.specular.split(",")]
+        rc.specular_attrs = sorted(set(rc.specular_attrs) | set(attrs))
+        for a in attrs:
+            rc.bc_temps.pop(a, None)
     rc.order = args.order
     rc.refine = args.refine
     if args.tol is not None:
