@@ -46,6 +46,15 @@ def _fingerprint(solver) -> dict:
     return fp
 
 
+def _state_dtype(solver):
+    """dtype of the carried u state (the ring may store it bf16)."""
+    import jax.numpy as jnp
+
+    if getattr(solver, "_ring_state_bf16", False):
+        return jnp.bfloat16
+    return solver.dtype
+
+
 def _expected_u_shape(solver):
     if hasattr(solver, "elems_p"):  # SlabLatticeSolver
         return (solver.P, solver.L, solver.G, solver.Km, solver.D,
@@ -79,6 +88,15 @@ def _expected_u_shape(solver):
     return (solver.G, solver.Km, solver.BS, solver.D, solver.ne_pad)
 
 
+def _np(a):
+    """Host copy, upcast bfloat16 to float32 (lossless; .npy cannot
+    round-trip the ml_dtypes extension dtype portably)."""
+    a = np.asarray(a)
+    if a.dtype.name == "bfloat16":
+        a = a.astype(np.float32)
+    return a
+
+
 def save_checkpoint(path: str, solver, u, Tc, Tv, iteration: int, residual: float):
     import os
 
@@ -87,17 +105,17 @@ def save_checkpoint(path: str, solver, u, Tc, Tv, iteration: int, residual: floa
         u[0], (tuple, list)
     ):  # hull-windowed ring state: (bucket, segment) nesting
         u_fields = {
-            f"u_{i}_{s}": np.asarray(seg)
+            f"u_{i}_{s}": _np(seg)
             for i, b in enumerate(u)
             for s, seg in enumerate(b)
         }
         u_fields["u_nbuckets"] = len(u)
         u_fields["u_nsegs"] = len(u[0])
     elif isinstance(u, (tuple, list)):  # bucketed ring state
-        u_fields = {f"u_{i}": np.asarray(b) for i, b in enumerate(u)}
+        u_fields = {f"u_{i}": _np(b) for i, b in enumerate(u)}
         u_fields["u_nbuckets"] = len(u)
     else:
-        u_fields = {"u": np.asarray(u)}
+        u_fields = {"u": _np(u)}
     np.savez_compressed(
         path,
         Tc=np.asarray(Tc),
@@ -124,6 +142,33 @@ def load_checkpoint(path: str, solver):
                 f"checkpoint mismatch: {k} was {stored}, solver has {v}"
             )
     want = _expected_u_shape(solver)
+    if isinstance(want, list) and want and isinstance(want[0], list):
+        # hull-windowed ring: nested (bucket, segment) tuples saved as
+        # u_{bucket}_{segment} fields (see save_checkpoint)
+        n = int(data["u_nbuckets"]) if "u_nbuckets" in data else -1
+        ns = int(data["u_nsegs"]) if "u_nsegs" in data else -1
+        if n != len(want) or ns != len(want[0]):
+            raise ValueError(
+                f"checkpoint has {n} buckets x {ns} segments, solver "
+                f"expects {len(want)} x {len(want[0])}"
+            )
+        sdt = _state_dtype(solver)
+        bufs = []
+        for i, ws in enumerate(want):
+            segs = []
+            for si, w in enumerate(ws):
+                arr = data[f"u_{i}_{si}"]
+                if tuple(arr.shape) != w:
+                    raise ValueError(
+                        f"checkpoint u_{i}_{si} has shape "
+                        f"{tuple(arr.shape)}, solver expects {w}"
+                    )
+                segs.append(jnp.asarray(arr, dtype=sdt))
+            bufs.append(tuple(segs))
+        u = tuple(bufs)
+        Tc = jnp.asarray(data["Tc"], dtype=solver.dtype)
+        Tv = jnp.asarray(data["Tv"], dtype=solver.dtype)
+        return (u, Tc, Tv), int(data["iteration"]), float(data["residual"])
     if isinstance(want, list):  # bucketed ring state
         n = int(data["u_nbuckets"]) if "u_nbuckets" in data else -1
         if n != len(want):
@@ -146,7 +191,7 @@ def load_checkpoint(path: str, solver):
                     f"checkpoint u_{i} has shape {got}, solver expects {w}"
                 )
             bufs.append(arr)
-        u = tuple(jnp.asarray(a, dtype=solver.dtype) for a in bufs)
+        u = tuple(jnp.asarray(a, dtype=_state_dtype(solver)) for a in bufs)
     else:
         if "u" not in data or tuple(data["u"].shape) != want:
             got = tuple(data["u"].shape) if "u" in data else None

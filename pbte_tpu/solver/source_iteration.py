@@ -596,6 +596,27 @@ class SourceIterationSolver:
             and os.environ.get("PBTE_RING_BF16", "") != "0"
         )
 
+        # ---- bf16 STATE storage (opt-in, PBTE_RING_STATE_BF16=1) ------------
+        # One step further than operand staging: the carried solution state
+        # v = M^T u itself (the scan ys and the per-bucket slabs between
+        # outer iterations) is stored bf16 — halving the two remaining
+        # state-sized HBM streams the staging flag cannot touch (the ys
+        # write at the end of every level and the v_l read feeding the rhs;
+        # r3 profile: ys writes alone were 5.2 ms of the 28.8 ms full-slab
+        # step). Numerically this adds ONE bf16 rounding of v between
+        # iterations on top of staging: the rhs built from v_l is already
+        # truncated to bf16 inside xcat, so the only new error is the
+        # relax_w*v_l product being computed from a pre-rounded v — the
+        # same noise class as the MXU's own operand truncation. Gated on
+        # _ring_stage_bf16 (default precision only); OPT-IN until measured
+        # on hardware. Output precision: Tc/Tv come from the in-scan f32
+        # macro partials and are unaffected; u-derived outputs (heat_flux,
+        # u_by_direction) carry bf16 resolution.
+        self._ring_state_bf16 = (
+            self._ring_stage_bf16
+            and os.environ.get("PBTE_RING_STATE_BF16", "") == "1"
+        )
+
         # ---- hull-windowed lattice ring -------------------------------------
         # The lattice slab pads every level to the full plane (W = n1*n2);
         # the diagonal wavefront's valid hull is much narrower near the
@@ -1684,8 +1705,12 @@ class SourceIterationSolver:
                     jnp.zeros((self.ne, self.D), dtype=self.dtype),
                     jnp.zeros((self.ne,), dtype=self.dtype),
                 )
+            sdt = (
+                jnp.bfloat16 if self._ring_state_bf16 else self.dtype
+            )
+
             def _zeros(shape):
-                z = jnp.zeros(shape, dtype=self.dtype)
+                z = jnp.zeros(shape, dtype=sdt)
                 if self._dir_sharding is not None:
                     z = jax.device_put(
                         z,
@@ -2187,7 +2212,10 @@ class SourceIterationSolver:
                         else:
                             sol = jnp.einsum("kbiJ,kJbw->kibw", bcat, xcat)
                         m_l = jnp.einsum("kb,kibw->iw", macro_w_g, sol)
-                        return (sol.astype(st) if st else sol), (sol, m_l)
+                        sol_c = sol.astype(st) if st else sol
+                        return sol_c, (
+                            sol_c if self._ring_state_bf16 else sol, m_l
+                        )
 
                     return body
 
@@ -2385,7 +2413,11 @@ class SourceIterationSolver:
                         ring = lax.dynamic_update_slice_in_dim(
                             ring, sol_c, off, axis=-1
                         )
-                    return ring, (sol, m_l)
+                    # bf16 state: emit the already-rounded sol_c as the ys
+                    # (the m_l macro partial above reads the f32 sol)
+                    return ring, (
+                        sol_c if self._ring_state_bf16 else sol, m_l
+                    )
                 if self._ring_lattice:
                     # multi-class lattice: per-element couplings applied to
                     # the unshifted ring (matrices pre-shifted at setup so
@@ -2573,9 +2605,12 @@ class SourceIterationSolver:
     def _ring_u_standard(self, u):
         """Bucketed ring state -> standard (G, Km, BS, D, ne_pad) numpy."""
         u0 = u[0][0] if self._ring_windowed else u[0]
+        out_dt = np.asarray(u0).dtype
+        if out_dt.name == "bfloat16":  # bf16 state: host views in f32
+            out_dt = np.dtype(np.float32)
         out = np.zeros(
             (self.G, self.Km, self.BS, self.D, self.ne_pad),
-            dtype=np.asarray(u0).dtype,
+            dtype=out_dt,
         )
         for bi, (gs, km_b) in enumerate(self._ring_buckets):
             if self._ring_windowed:
@@ -2583,7 +2618,7 @@ class SourceIterationSolver:
                 # rectangle (outside-window slots are exact zeros)
                 ub = np.zeros(
                     (len(gs), km_b, self.BS, self.D, self.L, self.W),
-                    dtype=np.asarray(u[bi][0]).dtype,
+                    dtype=out.dtype,
                 )
                 for si, (l0, l1, o0, dlt, Ws) in enumerate(self._ring_segs):
                     us = np.asarray(u[bi][si])  # (L_s, Gb, Km_b, D, BS, Ws)

@@ -349,3 +349,90 @@ def test_ring_windowed_with_dir_sharding():
     np.testing.assert_allclose(
         np.asarray(r.Tc), np.asarray(r0.Tc), rtol=1e-6, atol=1e-9
     )
+
+
+def test_ring_windowed_checkpoint_roundtrip(tmp_path):
+    """Hull-windowed ring state is a nested (bucket, segment) tuple saved
+    as u_{i}_{s} npz fields; load_checkpoint must reassemble the nesting
+    (a round-3 bug: the loader only knew the flat-bucket u_{i} layout, so
+    every windowed checkpoint failed to resume). Resumed run == full run."""
+    from pbte_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    m = pmesh.make_cartesian_3d(16, 16, 16, "hex").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1, face_mode="consistent")
+    quad = ang.build(ang.AngularOptions(dimension=3, polar_points=2,
+                                        azimuth_points=4))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    s = SourceIterationSolver(ops, quad, tables, BCS3, dtype=jnp.float64,
+                              sweep_mode="ring")
+    assert s._ring_windowed  # 16x16 plane: lane-aligned windows engage
+    assert isinstance(s.initial_state()[0][0], tuple)  # nested state
+    full = s.solve(tol=0, max_iter=4, verbose=False)
+    half = s.solve(tol=0, max_iter=2, verbose=False)
+    ck = str(tmp_path / "win.npz")
+    save_checkpoint(ck, s, half.u, half.Tc, half.Tv, 2, half.residual)
+    state, it, _ = load_checkpoint(ck, s)
+    assert it == 2
+    resumed = s.solve(tol=0, max_iter=2, verbose=False, state=state)
+    np.testing.assert_allclose(
+        np.asarray(resumed.Tc), np.asarray(full.Tc), rtol=1e-12, atol=1e-15
+    )
+
+
+def test_ring_state_bf16_close_to_f32():
+    """bf16 STATE storage (PBTE_RING_STATE_BF16=1): the scan ys and the
+    carried slabs between outer iterations are stored bf16 (halving the ys
+    write + v_l read HBM streams). On top of operand staging this adds one
+    bf16 rounding of v between iterations — same noise class; the field
+    must stay within it. Runs on the 16^3 WINDOWED path so the per-segment
+    ys emission is covered too; checkpoint save/load round-trips the bf16
+    state through the f32 npz encoding."""
+    import os
+
+    from pbte_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    m = pmesh.make_cartesian_3d(16, 16, 16, "hex").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1,
+                            face_mode="consistent")
+    quad = ang.build(
+        ang.AngularOptions(dimension=3, polar_points=2, azimuth_points=4))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+
+    def run(env):
+        old = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            s = SourceIterationSolver(ops, quad, tables, BCS3,
+                                      dtype=jnp.float32, sweep_mode="ring")
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+        assert s._ring_lattice and s._ring_windowed
+        return s, s.solve(tol=0, max_iter=3, verbose=False)
+
+    s_b, r_b = run({"PBTE_RING_STATE_BF16": "1"})
+    assert s_b._ring_state_bf16
+    assert s_b.initial_state()[0][0][0].dtype == jnp.bfloat16
+    assert r_b.u[0][0].dtype == jnp.bfloat16  # ys came back bf16
+    s_f, r_f = run({"PBTE_RING_BF16": "0"})
+    assert not s_f._ring_state_bf16 and not s_f._ring_stage_bf16
+    Tb, Tf = np.asarray(r_b.Tc), np.asarray(r_f.Tc)
+    assert np.isfinite(Tb).all()
+    err = np.abs(Tb - Tf).max() / np.abs(Tf).max()
+    assert 0 < err < 3e-2, f"bf16 state error {err:.2e} out of noise class"
+    # host-side views upcast to f32
+    assert s_b._ring_u_standard(r_b.u).dtype == np.float32
+    # checkpoint: bf16 -> f32 npz -> bf16
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        ck = os.path.join(td, "bf16.npz")
+        save_checkpoint(ck, s_b, r_b.u, r_b.Tc, r_b.Tv, 3, r_b.residual)
+        state, it, _ = load_checkpoint(ck, s_b)
+        assert state[0][0][0].dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(state[0][0][0], dtype=np.float32),
+            np.asarray(r_b.u[0][0], dtype=np.float32),
+        )
