@@ -74,6 +74,10 @@ class ElementOps:
     # periodic faces: neighbor >= 0 there, but the coupling must be LAGGED
     # (previous outer iterate) — periodic wrap would create upwind-DAG cycles
     periodic: np.ndarray = None  # (ne, nf) bool
+    # global face id per (element, local face) — MFEM's first-seen face
+    # numbering, carried only for the integrals_all.txt golden dump
+    # (ref: src/Utils.cpp:100-148 prints face_id per coupling block)
+    elem_face: np.ndarray = None  # (ne, nf) int32, or None
 
     def __post_init__(self):
         if self.periodic is None:
@@ -325,6 +329,7 @@ def assemble(
         neighbor=topo.elem_neighbor.copy(),
         face_attr=topo.elem_face_attr.copy(),
         periodic=topo.elem_face_periodic.copy(),
+        elem_face=topo.elem_face.copy(),
     )
 
 
@@ -498,6 +503,7 @@ def _assemble_mixed(
         neighbor=topo.elem_neighbor.copy(),
         face_attr=topo.elem_face_attr.copy(),
         periodic=topo.elem_face_periodic.copy(),
+        elem_face=topo.elem_face.copy(),
     )
 
 

@@ -89,8 +89,17 @@ def write_element_integrals(ops, path, rank=0, world=1):
             for lf in range(ops.faces_per_elem):
                 nbr = int(ops.neighbor[e, lf])
                 attr = int(ops.face_attr[e, lf])
+                # the reference prints MFEM's global face id per coupling
+                # block (src/Utils.cpp:100-148); omit only if the ops were
+                # built without the mesh-topology mirror
+                fid = (
+                    f"face_id={int(ops.elem_face[e, lf])}, "
+                    if ops.elem_face is not None
+                    else ""
+                )
                 f.write(
-                    f"face_coupling[{lf}]: neighbor={nbr}, attr={attr}, shared=0\n"
+                    f"face_coupling[{lf}]: {fid}neighbor={nbr}, "
+                    f"attr={attr}, shared=0\n"
                 )
                 if nbr >= 0:
                     f.write(f"  coupling [shape={D}x{D}]\n")
@@ -102,4 +111,5 @@ def write_element_integrals(ops, path, rank=0, world=1):
                         + " ".join(_g(x) for x in ops.face_int[e, lf])
                         + "\n"
                     )
-            f.write("\n")
+            if e != ne - 1:  # the reference ends at the last rhs line
+                f.write("\n")

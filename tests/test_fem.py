@@ -99,6 +99,7 @@ def test_integrals_match_golden(reference_root, ops2d):
                 ops2d.face_int[e, f], g["face_int"][f], rtol=rtol, atol=1e-12
             )
         for f, fc in enumerate(g["couplings"]):
+            assert ops2d.elem_face[e, f] == fc["face_id"]
             assert ops2d.neighbor[e, f] == fc["neighbor"]
             assert ops2d.face_attr[e, f] == fc["attr"]
             if "coupling" in fc:
