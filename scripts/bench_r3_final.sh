@@ -17,4 +17,12 @@ run PBTE_BENCH_CPP_ITERS=0 PBTE_BENCH_UNROLL=2
 # 3. high-arithmetic-intensity sweep-kernel row: p=3 (D=64, J=256), 16 dirs
 run PBTE_BENCH_CPP_ITERS=0 PBTE_BENCH_ORDER=3 PBTE_BENCH_POLAR=2 \
     PBTE_BENCH_AZIMUTH=8 PBTE_BENCH_STEPS=6
+# 4. bf16 STATE storage A/B (ys + inter-iteration slabs stored bf16;
+#    halves the ys-write / v_l-read HBM streams — flip the default if it wins)
+run PBTE_BENCH_CPP_ITERS=0 PBTE_RING_STATE_BF16=1
+# 5. MFU-scaling row: 24^3 (ne=13824, W=576 plane) amortizes per-level
+#    overheads; reports frac_f32_peak at a production-growth shape
+run PBTE_BENCH_CPP_ITERS=0 PBTE_BENCH_NX=24 PBTE_BENCH_STEPS=6
+run PBTE_BENCH_CPP_ITERS=0 PBTE_BENCH_NX=24 PBTE_BENCH_STEPS=6 \
+    PBTE_RING_STATE_BF16=1
 date | tee -a "$out"
