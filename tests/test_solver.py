@@ -366,3 +366,27 @@ def test_sequential_groups_matches_vmap():
     r2 = s2.solve(tol=0, max_iter=4, verbose=False)
     np.testing.assert_allclose(np.asarray(r1.Tc), np.asarray(r2.Tc),
                                rtol=1e-13, atol=1e-16)
+
+
+def test_2d_mesh_with_3d_angles():
+    """2.5D: a 2D spatial mesh swept with a FULL 3D solid-angle quadrature
+    (total weight 4*pi; transport uses the in-plane direction components).
+    The reference flags this dim mismatch as an unhandled open issue
+    (src/PBTESolver.cpp:155-157, 2D stiffness x 3D angles); here the
+    direction slicing makes it just work, verified against the oracle
+    (which reduces the same way)."""
+    m = pmesh.make_cartesian_2d(6, 5, "quad").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1,
+                            face_mode="consistent")
+    quad = ang.build(ang.AngularOptions(dimension=3, polar_points=4,
+                                        azimuth_points=8))
+    np.testing.assert_allclose(quad.weights.sum(), 4 * np.pi)
+    import jax.numpy as jnp
+
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    bcs = {1: -0.5, 2: -0.5, 3: 0.5, 4: -0.5}
+    s = SourceIterationSolver(ops, quad, tables, bcs, dtype=jnp.float64)
+    res = s.solve(tol=0, max_iter=4, verbose=False)
+    uo, Tco, *_ = solve_oracle(ops, quad, tables, bcs, tol=0, max_iter=4)
+    np.testing.assert_allclose(np.asarray(res.Tc), Tco, rtol=1e-12,
+                               atol=1e-14 * np.abs(Tco).max())
