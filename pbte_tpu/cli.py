@@ -90,6 +90,12 @@ def main(argv=None) -> int:
     ap.add_argument("--no-dumps", action="store_true",
                     help="skip golden-format log dumps")
     ap.add_argument("--check-every", type=int, default=1)
+    ap.add_argument("--accelerate", choices=["none", "bicgstab"],
+                    default="none",
+                    help="Krylov-accelerate the outer iteration: 'bicgstab' "
+                         "solves the same fixed point as a linear system "
+                         "with one plain step per matvec (~6x fewer steps "
+                         "to tolerance; see solver/accel.py)")
     ap.add_argument("--checkpoint", default="",
                     help="checkpoint file path (npz); written every "
                          "--checkpoint-every iterations during the solve")
@@ -284,6 +290,12 @@ def main(argv=None) -> int:
         checkpoint_path=args.checkpoint or None,
         checkpoint_every=args.checkpoint_every,
     )
+    if args.accelerate != "none":
+        if args.parallel:
+            raise SystemExit(
+                "--accelerate is single-solver only for now; drop --parallel"
+            )
+        solve_kw["accelerate"] = args.accelerate
     t1 = time.time()
     if args.profile:
         with jax.profiler.trace(args.profile):
