@@ -11,6 +11,8 @@ Env:
   PBTE_CONV_MAXIT      iteration cap (default 4000)
   PBTE_CONV_PRECISION  "default" | "highest" matmul precision (default both
                        tried only if the default plateaus above PROBE)
+  PBTE_CONV_ACCEL      "bicgstab" to Krylov-accelerate (solver/accel.py);
+                       artifacts get an _bicgstab suffix
   PBTE_CONV_NX/ORDER/POLAR/AZIMUTH/NSPEC  shape overrides
   PBTE_CONV_REF        "1" to also run a float64 scan-path reference on the
                        CPU backend and report the field error (slow)
@@ -66,8 +68,10 @@ def run_to_tol(solver, tol, probe, max_iter, check_every=10):
         if probe_hit is None and res < probe:
             probe_hit = it
 
+    accel = os.environ.get("PBTE_CONV_ACCEL", "") or None
     res = solver.solve(tol=tol, max_iter=max_iter, verbose=True,
-                       check_every=check_every, callback=cb)
+                       check_every=check_every, callback=cb,
+                       accelerate=accel)
     wall = time.time() - t0
     return res, curve, probe_hit, wall
 
@@ -101,8 +105,9 @@ def main() -> None:
           file=sys.stderr)
     res, curve, probe_hit, wall = run_to_tol(solver, probe, probe, max_iter)
     tol_hit = next((it for it, r in curve if r < tol), None)
+    accel = os.environ.get("PBTE_CONV_ACCEL", "")
     rec = {
-        "dtype": "f32", "precision": precision,
+        "dtype": "f32", "precision": precision, "accelerate": accel or None,
         "final_residual": res.residual, "iterations": res.iterations,
         "wall_s": wall, "iters_to_tol": tol_hit,
         "iters_to_probe": probe_hit,
@@ -126,12 +131,13 @@ def main() -> None:
         "bench_artifacts", "converge_flagship.json",
     )
     os.makedirs(os.path.dirname(art), exist_ok=True)
+    suffix = precision + (f"_{accel}" if accel else "")
     # field snapshot for cross-run error comparison
-    npz = art.replace(".json", f"_{precision}.npz")
+    npz = art.replace(".json", f"_{suffix}.npz")
     np.savez_compressed(npz, Tc=Tc_f32)
     out["field_file"] = npz
-    with open(art if precision == "default" else
-              art.replace(".json", f"_{precision}.json"), "w") as f:
+    with open(art if suffix == "default" else
+              art.replace(".json", f"_{suffix}.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({k: v for k, v in rec.items() if k != "curve"}))
 
