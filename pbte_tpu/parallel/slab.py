@@ -407,6 +407,8 @@ class SlabLatticeSolver:
             ),
         )
         self._step = jax.jit(self._step_impl, donate_argnums=(1,))
+        # the Krylov-accelerated solve re-reads x after F(x): no donation
+        self._step_plain = jax.jit(self._step_impl)
 
     # ------------------------------------------------------------------
 
@@ -646,9 +648,28 @@ class SlabLatticeSolver:
 
     def solve(self, tol=1e-7, max_iter=101, state=None, verbose=True,
               check_every=1, sync_every=10, callback=None,
-              checkpoint_path=None, checkpoint_every=25):
+              checkpoint_path=None, checkpoint_every=25, accelerate=None):
         import jax
 
+        if accelerate not in (None, "none", "bicgstab"):
+            raise ValueError(f"unknown accelerate={accelerate!r}")
+        if accelerate == "bicgstab":
+            # the slab step is affine in (u, Tc) — the lagged ppermute halo
+            # is linear in the previous iterate — so the shared Krylov outer
+            # loop applies unchanged (see solver/accel.py)
+            from pbte_tpu.solver import accel
+
+            def step_fn(u, Tc, Tv_prev):
+                return self._step_plain(self.consts, u, Tc, Tv_prev)
+
+            u_f, Tc_f, Tv_f, tv_res, nmv = accel.bicgstab_outer(
+                step_fn, self.initial_state(), state, tol, max_iter,
+                verbose=verbose, callback=callback,
+                check_every=check_every, label="pbte_tpu:slab",
+            )
+            return SlabSolveResult(u=u_f, Tc=Tc_f, Tv=Tv_f,
+                                   residual=tv_res, iterations=nmv,
+                                   solver=self)
         u, Tc, Tv = state if state is not None else self.initial_state()
         prev_Tv = Tv
         res = float("inf")

@@ -581,10 +581,30 @@ class SpatialShardedSolver:
 
     def solve(self, tol=1e-7, max_iter=101, state=None, verbose=True,
               check_every=1, sync_every=10, callback=None,
-              checkpoint_path=None, checkpoint_every=25):
+              checkpoint_path=None, checkpoint_every=25,
+              accelerate=None):
         """sync_every bounds the async dispatch depth: the XLA CPU backend's
         in-process collectives deadlock (rendezvous timeout) when thousands of
         collective executions are enqueued without a host sync."""
+        if accelerate not in (None, "none", "bicgstab"):
+            raise ValueError(f"unknown accelerate={accelerate!r}")
+        if accelerate == "bicgstab":
+            # the sharded step is affine in (u, Tc) — bucketed ppermute
+            # halos are linear in the previous iterate (solver/accel.py)
+            from pbte_tpu.solver import accel
+
+            def step_fn(u, Tc, Tv_prev):
+                return self._step(self.consts, u, Tc, Tv_prev)
+
+            u_f, Tc_f, Tv_f, tv_res, nmv = accel.bicgstab_outer(
+                step_fn, self.initial_state(), state, tol, max_iter,
+                verbose=verbose, callback=callback,
+                check_every=check_every, label="pbte_tpu:spatial",
+            )
+            return SpatialSolveResult(u=u_f, Tc=Tc_f, Tv=Tv_f,
+                                      residual=tv_res, iterations=nmv,
+                                      solver=self)
+
         import jax
 
         u, Tc, Tv = state if state is not None else self.initial_state()

@@ -71,6 +71,113 @@ def tree_comb(coeffs_and_trees):
     return jax.tree_util.tree_map(leaf, t0, *[t for _, t in rest])
 
 
+def bicgstab_outer(step_fn, zero_state, state, tol, max_iter, verbose=True,
+                   callback=None, check_every=1, save_ckpt=None,
+                   label="pbte_tpu", sync_every=10):
+    """Generic BiCGStab outer solve over a solver's (u, Tc) state pytree.
+
+    step_fn(u, Tc, Tv_prev) -> (u', Tc', Tv', res) must be the solver's
+    NON-donating jitted step (the Krylov recurrence re-reads x after F(x));
+    Tv_prev only feeds the reported residual. zero_state = (u0, Tc0, Tv0)
+    all-zero. Works for any solver whose step is affine in (u, Tc) — the
+    single-device SourceIterationSolver and both domain-decomposed solvers
+    (lagged ppermute halos are linear in the previous iterate).
+
+    Returns (u_f, Tc_f, Tv_f, tv_residual, n_step_applications). The final
+    two entries come from TWO trailing plain steps: the first recovers Tv at
+    the converged x, the second yields the reference-style Tv residual —
+    solver-agnostic (no access to the macro closure needed) at the cost of
+    one extra matvec."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    u0, Tc0, Tv0 = zero_state
+
+    def F(x):
+        u, Tc, _, _ = step_fn(x[0], x[1], Tv0)
+        return (u, Tc)
+
+    b_aff = F((u0, Tc0))  # b = F(0)
+    nmv = 1
+
+    sub = jax.jit(
+        lambda v, Fv, b: jax.tree_util.tree_map(
+            lambda a, c, d: a - (c - d), v, Fv, b
+        )
+    )
+    diff = jax.jit(
+        lambda a, c: jax.tree_util.tree_map(lambda x1, x2: x1 - x2, a, c)
+    )
+
+    def Mop(v):
+        nonlocal nmv
+        nmv += 1
+        return sub(v, F(v), b_aff)
+
+    stage_p, stage_s, stage_x = make_bicgstab_kernels()
+    if state is not None:
+        x = (state[0], state[1])
+        r = diff(F(x), x)
+        nmv += 1
+    else:
+        x = (u0, Tc0)
+        r = b_aff
+    rhat = r
+    leaf0 = jax.tree_util.tree_leaves(Tc0)[0]
+    one = jnp.asarray(1.0, dtype=leaf0.dtype)
+    rho_prev = alpha = omega = one
+    v = p = jax.tree_util.tree_map(jnp.zeros_like, r)
+    bnorm = float(jnp.sqrt(tree_dot(b_aff, b_aff)))
+    res = float("inf")
+    k = 0  # BiCGStab iterations (2 matvecs each)
+    fetch_every = max(1, check_every // 2)
+    while nmv + 2 <= max_iter:
+        rho, p = stage_p(r, rhat, p, v, rho_prev, alpha, omega)
+        v = Mop(p)
+        alpha, s = stage_s(r, rhat, v, rho)
+        t = Mop(s)
+        omega, x, r, rnorm2 = stage_x(x, r, p, s, t, alpha)
+        rho_prev = rho
+        k += 1
+        if sync_every and k % max(1, sync_every // 2) == 0:
+            # bound the async dispatch depth: the XLA CPU backend's
+            # in-process collectives ABORT (rendezvous timeout) when many
+            # collective executions are enqueued without a host sync —
+            # same mitigation as the plain domain-decomposed solve loops
+            jax.block_until_ready(rnorm2)
+        if k % fetch_every == 0 or nmv + 2 > max_iter:
+            rn = float(rnorm2) ** 0.5
+            res = rn / bnorm if bnorm > 0 else rn
+            if verbose:
+                print(f"[{label}] matvec {nmv}, linear relres = {res:.6e}")
+            if callback is not None:
+                callback(nmv, res)
+            if not np.isfinite(res) or abs(float(rho)) < 1e-300:
+                # BiCGStab breakdown: restart the recurrence at x
+                r = diff(F(x), x)
+                nmv += 1
+                rhat = r
+                rho_prev = alpha = omega = one
+                v = p = jax.tree_util.tree_map(jnp.zeros_like, r)
+                if verbose:
+                    print(f"[{label}] bicgstab restart (breakdown)")
+                continue
+            if res < tol:
+                break
+        if save_ckpt is not None and k % 25 == 0:
+            save_ckpt(x[0], x[1], nmv, res if np.isfinite(res) else -1.0)
+    # two plain steps: recover Tv at x, then the reference-style residual
+    u1, Tc1, Tv1, _ = step_fn(x[0], x[1], Tv0)
+    u_f, Tc_f, Tv_f, res_dev = step_fn(u1, Tc1, Tv1)
+    nmv += 2
+    tv_res = float(res_dev)
+    if verbose:
+        print(f"[{label}] bicgstab done: {nmv} step applications, "
+              f"linear relres {res:.3e}, Tv residual {tv_res:.6e}")
+    return u_f, Tc_f, Tv_f, tv_res, nmv
+
+
 def make_bicgstab_kernels():
     """The three fused device-side updates between the two matvecs of a
     BiCGStab iteration (jitted once; scalars are 0-d arrays)."""

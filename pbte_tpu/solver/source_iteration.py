@@ -2627,14 +2627,9 @@ class SourceIterationSolver:
 
     def _solve_bicgstab(self, tol, max_iter, state, verbose, callback,
                         check_every, checkpoint_path, checkpoint_every):
-        """Krylov-accelerated outer loop (see solver/accel.py): BiCGStab on
-        (I - A) x = b where one matvec = one plain step. `it` counts step
-        applications (2 per BiCGStab iteration) so iteration counts compare
-        directly with the plain loop; the residual norm is fetched every
-        check_every matvecs like the plain loop's residual."""
-        import jax
-        import jax.numpy as jnp
-
+        """Krylov-accelerated outer loop: BiCGStab on (I - A) x = b where
+        one matvec = one plain step (accel.bicgstab_outer); `iterations`
+        counts step applications so they compare with the plain loop."""
         from pbte_tpu.solver import accel
 
         if getattr(self, "_ring_state_bf16", False):
@@ -2642,96 +2637,22 @@ class SourceIterationSolver:
                 "accelerate='bicgstab' needs exact-dtype state recurrences; "
                 "unset PBTE_RING_STATE_BF16"
             )
-        if state is not None:
-            u0, Tc0, Tv0 = state
-        else:
-            u0, Tc0, Tv0 = self.initial_state()
-        zero_u, zero_Tc, _ = self.initial_state()
+        save_ckpt = None
+        if checkpoint_path:
+            from pbte_tpu.io.checkpoint import save_checkpoint
 
-        def F(x):
-            u, Tc, _, _ = self._step_plain(self.consts, x[0], x[1], Tv0)
-            return (u, Tc)
+            def save_ckpt(u, Tc, nmv, res):
+                save_checkpoint(checkpoint_path, self, u, Tc,
+                                self.initial_state()[2], nmv, res)
 
-        b_aff = F((zero_u, zero_Tc))  # b = F(0)
-        nmv = 1
+        def step_fn(u, Tc, Tv_prev):
+            return self._step_plain(self.consts, u, Tc, Tv_prev)
 
-        sub = jax.jit(
-            lambda v, Fv, b: jax.tree_util.tree_map(
-                lambda a, c, d: a - (c - d), v, Fv, b
-            )
+        u_f, Tc_f, Tv_f, tv_res, nmv = accel.bicgstab_outer(
+            step_fn, self.initial_state(), state, tol, max_iter,
+            verbose=verbose, callback=callback, check_every=check_every,
+            save_ckpt=save_ckpt,
         )
-
-        def Mop(v):
-            nonlocal nmv
-            nmv += 1
-            return sub(v, F(v), b_aff)
-
-        stage_p, stage_s, stage_x = accel.make_bicgstab_kernels()
-        x = (u0, Tc0)
-        # r0 = b - M x0 = F(x0) - x0 (the plain-step delta). x0 = 0 reuses
-        # the b evaluation; a warm start pays one extra matvec.
-        if state is not None:
-            Fx0 = F(x)
-            nmv += 1
-            r = jax.tree_util.tree_map(lambda a, c: a - c, Fx0, x)
-        else:
-            r = b_aff
-        rhat = r
-        one = jnp.asarray(1.0, dtype=self.dtype)
-        rho_prev = alpha = omega = one
-        v = p = jax.tree_util.tree_map(jnp.zeros_like, r)
-        bnorm = float(jnp.sqrt(accel.tree_dot(b_aff, b_aff)))
-        res = float("inf")
-        k = 0  # BiCGStab iterations (2 matvecs each)
-        fetch_every = max(1, check_every // 2)
-        while nmv + 2 <= max_iter:
-            rho, p = stage_p(r, rhat, p, v, rho_prev, alpha, omega)
-            v = Mop(p)
-            alpha, s = stage_s(r, rhat, v, rho)
-            t = Mop(s)
-            omega, x, r, rnorm2 = stage_x(x, r, p, s, t, alpha)
-            rho_prev = rho
-            k += 1
-            if k % fetch_every == 0 or nmv + 2 > max_iter:
-                rn = float(rnorm2) ** 0.5
-                res = rn / bnorm if bnorm > 0 else rn
-                if verbose:
-                    print(f"[pbte_tpu] matvec {nmv}, linear relres = "
-                          f"{res:.6e}")
-                if callback is not None:
-                    callback(nmv, res)
-                if not np.isfinite(res) or abs(float(rho)) < 1e-300:
-                    # BiCGStab breakdown: restart the recurrence at x
-                    Fx0 = F(x)
-                    nmv += 1
-                    r = jax.tree_util.tree_map(
-                        lambda a, c: a - c, Fx0, x
-                    )
-                    rhat = r
-                    rho_prev = alpha = omega = one
-                    v = p = jax.tree_util.tree_map(jnp.zeros_like, r)
-                    if verbose:
-                        print("[pbte_tpu] bicgstab restart (breakdown)")
-                    continue
-                if res < tol:
-                    break
-            if checkpoint_path and k % checkpoint_every == 0:
-                from pbte_tpu.io.checkpoint import save_checkpoint
-
-                save_checkpoint(
-                    checkpoint_path, self, x[0], x[1], Tv0, nmv,
-                    res if np.isfinite(res) else -1.0,
-                )
-        # one plain step for the reference-style Tv residual + final fields
-        Tv_x = macroscopic.compute_tv(x[1], self.consts["basis_int_glob"])
-        u_f, Tc_f, Tv_f, res_dev = self._step_plain(
-            self.consts, x[0], x[1], Tv_x
-        )
-        nmv += 1
-        tv_res = float(res_dev)
-        if verbose:
-            print(f"[pbte_tpu] bicgstab done: {nmv} step applications, "
-                  f"linear relres {res:.3e}, Tv residual {tv_res:.6e}")
         return SolveResult(u=u_f, Tc=Tc_f, Tv=Tv_f, residual=tv_res,
                            iterations=nmv, solver=self)
 

@@ -368,3 +368,31 @@ def test_native_partitioner_quality_and_fallback():
     cut_nat = part_mod.edge_cut(topo.elem_neighbor, nat)
     cut_py = part_mod.edge_cut(topo.elem_neighbor, pyp)
     assert cut_nat <= 1.25 * cut_py, (cut_nat, cut_py)
+
+
+def test_spatial_bicgstab_accelerated():
+    """Krylov acceleration over the general-mesh sharded state."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from pbte_tpu.parallel.spatial import SpatialShardedSolver
+
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    quad = ang.build(ang.AngularOptions(dimension=2, azimuth_points=8))
+    m = pmesh.make_cartesian_2d(8, 6, pmesh.GEOM_TRIANGLE).scaled(1e-6)
+    topo = pmesh.connect(m)
+    ops = assembly.assemble(topo, order=1, face_mode="consistent")
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh2 = Mesh(devs, axis_names=("dir", "space"))
+    bcs = {1: -0.5, 2: -0.5, 3: 0.5, 4: -0.5}
+    s = SpatialShardedSolver(ops, quad, tables, bcs, device_mesh=mesh2,
+                             topo=topo, dtype=jnp.float64)
+    r_plain = s.solve(tol=1e-10, max_iter=2000, verbose=False,
+                      check_every=20)
+    r_acc = s.solve(tol=1e-10, max_iter=2000, verbose=False, check_every=20,
+                    accelerate="bicgstab")
+    assert r_acc.iterations * 2 < r_plain.iterations, (
+        r_acc.iterations, r_plain.iterations)
+    Tp, Ta = r_plain.Tc_global(), r_acc.Tc_global()
+    np.testing.assert_allclose(Ta, Tp, rtol=0, atol=1e-7 * np.abs(Tp).max())

@@ -135,3 +135,24 @@ def test_slab_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(
         resumed.Tc_global(), full.Tc_global(), rtol=1e-12, atol=1e-15
     )
+
+
+def test_slab_bicgstab_accelerated():
+    """Krylov acceleration over the slab-partitioned state: the lagged
+    ppermute halo is linear in the previous iterate, so BiCGStab converges
+    to the same block-Jacobi fixed point in far fewer step applications."""
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    quad = ang.build(ang.AngularOptions(dimension=3, polar_points=2,
+                                        azimuth_points=4))
+    m = pmesh.make_cartesian_3d(6, 4, 4, "hex").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1, face_mode="consistent")
+    s = SlabLatticeSolver(ops, quad, tables, BCS3, device_mesh=_mesh2x4(),
+                          dtype=jnp.float64)
+    r_plain = s.solve(tol=1e-10, max_iter=2000, verbose=False,
+                      check_every=20)
+    r_acc = s.solve(tol=1e-10, max_iter=2000, verbose=False, check_every=20,
+                    accelerate="bicgstab")
+    assert r_acc.iterations * 3 < r_plain.iterations, (
+        r_acc.iterations, r_plain.iterations)
+    Tp, Ta = r_plain.Tc_global(), r_acc.Tc_global()
+    np.testing.assert_allclose(Ta, Tp, rtol=0, atol=1e-7 * np.abs(Tp).max())
