@@ -25,4 +25,11 @@ run PBTE_BENCH_CPP_ITERS=0 PBTE_RING_STATE_BF16=1
 run PBTE_BENCH_CPP_ITERS=0 PBTE_BENCH_NX=24 PBTE_BENCH_STEPS=6
 run PBTE_BENCH_CPP_ITERS=0 PBTE_BENCH_NX=24 PBTE_BENCH_STEPS=6 \
     PBTE_RING_STATE_BF16=1
+# 6. Krylov-accelerated flagship convergence (the other half of the
+#    north-star: wall time to residual 1e-8). BiCGStab holds ~8 state
+#    copies (~9 GB f32 at hex-16^3) — if it OOMs the row just fails.
+echo "=== converge bicgstab ===" | tee -a "$out"
+env PBTE_CONV_ACCEL=bicgstab PBTE_CONV_TOL=1e-8 PBTE_CONV_PROBE=1e-8 \
+    PBTE_CONV_MAXIT=600 timeout 2400 python scripts/converge_flagship.py \
+    2>>"$out" | tee -a "$out"
 date | tee -a "$out"
