@@ -116,18 +116,27 @@ def bicgstab_outer(step_fn, zero_state, state, tol, max_iter, verbose=True,
         return sub(v, F(v), b_aff)
 
     stage_p, stage_s, stage_x = make_bicgstab_kernels()
+    _copy = lambda tr: jax.tree_util.tree_map(lambda a: a.copy(), tr)
     if state is not None:
-        x = (state[0], state[1])
+        # defensive copy: stage_x DONATES x, and the warm-start arrays
+        # belong to the caller
+        x = (_copy(state[0]), _copy(state[1]))
         r = diff(F(x), x)
         nmv += 1
     else:
-        x = (u0, Tc0)
-        r = b_aff
-    rhat = r
+        # fresh zero buffers: stage_x donates x (zero_state may be reused
+        # by the caller), and stage_s donates r while b_aff must stay live
+        # inside Mop
+        x = jax.tree_util.tree_map(jnp.zeros_like, (u0, Tc0))
+        r = _copy(b_aff)
+    # rhat must be a distinct buffer: stage_s donates r while rhat stays live
+    rhat = _copy(r)
     leaf0 = jax.tree_util.tree_leaves(Tc0)[0]
     one = jnp.asarray(1.0, dtype=leaf0.dtype)
     rho_prev = alpha = omega = one
-    v = p = jax.tree_util.tree_map(jnp.zeros_like, r)
+    # p and v are donated by stage_p — they must not alias each other
+    v = jax.tree_util.tree_map(jnp.zeros_like, r)
+    p = jax.tree_util.tree_map(jnp.zeros_like, r)
     bnorm = float(jnp.sqrt(tree_dot(b_aff, b_aff)))
     res = float("inf")
     k = 0  # BiCGStab iterations (2 matvecs each)
@@ -137,7 +146,7 @@ def bicgstab_outer(step_fn, zero_state, state, tol, max_iter, verbose=True,
         v = Mop(p)
         alpha, s = stage_s(r, rhat, v, rho)
         t = Mop(s)
-        omega, x, r, rnorm2 = stage_x(x, r, p, s, t, alpha)
+        omega, x, r, rnorm2 = stage_x(x, p, s, t, alpha)
         rho_prev = rho
         k += 1
         if sync_every and k % max(1, sync_every // 2) == 0:
@@ -157,9 +166,10 @@ def bicgstab_outer(step_fn, zero_state, state, tol, max_iter, verbose=True,
                 # BiCGStab breakdown: restart the recurrence at x
                 r = diff(F(x), x)
                 nmv += 1
-                rhat = r
+                rhat = _copy(r)
                 rho_prev = alpha = omega = one
-                v = p = jax.tree_util.tree_map(jnp.zeros_like, r)
+                v = jax.tree_util.tree_map(jnp.zeros_like, r)
+                p = jax.tree_util.tree_map(jnp.zeros_like, r)
                 if verbose:
                     print(f"[{label}] bicgstab restart (breakdown)")
                 continue
@@ -180,28 +190,41 @@ def bicgstab_outer(step_fn, zero_state, state, tol, max_iter, verbose=True,
 
 def make_bicgstab_kernels():
     """The three fused device-side updates between the two matvecs of a
-    BiCGStab iteration (jitted once; scalars are 0-d arrays)."""
+    BiCGStab iteration (jitted once; scalars are 0-d arrays). Dead operands
+    are donated so XLA reuses their buffers — at the hex-16^3 flagship each
+    state tree is ~1.1 GB f32 and the peak live-set is what decides whether
+    the accelerated solve fits beside the solver constants:
+      - stage_p donates the previous iteration's p (replaced before its
+        next read),
+      - stage_s donates r (r_new comes out of stage_x),
+      - stage_x donates x and s (x_new replaces x; s is dead after)."""
     import jax
 
-    @jax.jit
-    def stage_p(r, rhat, p, v, rho_prev, alpha, omega):
+    def _stage_p(r, rhat, p, v, rho_prev, alpha, omega):
         rho = tree_dot(rhat, r)
         beta = (rho / rho_prev) * (alpha / omega)
         p_new = tree_comb([(1.0, r), (beta, p), (-beta * omega, v)])
         return rho, p_new
 
-    @jax.jit
-    def stage_s(r, rhat, v, rho):
+    # only p is donated: stage_p has a single tree-shaped output, so a
+    # second donated operand (v) would be unusable (and warn); the old v's
+    # buffer is freed at rebinding anyway
+    stage_p = jax.jit(_stage_p, donate_argnums=(2,))
+
+    def _stage_s(r, rhat, v, rho):
         alpha = rho / tree_dot(rhat, v)
         s = tree_comb([(1.0, r), (-alpha, v)])
         return alpha, s
 
-    @jax.jit
-    def stage_x(x, r, p, s, t, alpha):
+    stage_s = jax.jit(_stage_s, donate_argnums=(0,))
+
+    def _stage_x(x, p, s, t, alpha):
         omega = tree_dot(t, s) / tree_dot(t, t)
         x_new = tree_comb([(1.0, x), (alpha, p), (omega, s)])
         r_new = tree_comb([(1.0, s), (-omega, t)])
         rnorm2 = tree_dot(r_new, r_new)
         return omega, x_new, r_new, rnorm2
+
+    stage_x = jax.jit(_stage_x, donate_argnums=(0, 2))
 
     return stage_p, stage_s, stage_x
