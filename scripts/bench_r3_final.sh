@@ -32,4 +32,10 @@ echo "=== converge bicgstab ===" | tee -a "$out"
 env PBTE_CONV_ACCEL=bicgstab PBTE_CONV_TOL=1e-8 PBTE_CONV_PROBE=1e-8 \
     PBTE_CONV_MAXIT=600 timeout 2400 python scripts/converge_flagship.py \
     2>>"$out" | tee -a "$out"
+# 7. production-field recipe: exact-precision (highest) fixed point via
+#    the accelerated solve — plain highest needed 1490 iters to 1e-7
+echo "=== converge bicgstab highest ===" | tee -a "$out"
+env PBTE_CONV_ACCEL=bicgstab PBTE_CONV_PRECISION=highest \
+    PBTE_CONV_TOL=1e-8 PBTE_CONV_PROBE=1e-8 PBTE_CONV_MAXIT=600 \
+    timeout 3600 python scripts/converge_flagship.py 2>>"$out" | tee -a "$out"
 date | tee -a "$out"
