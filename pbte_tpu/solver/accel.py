@@ -141,6 +141,13 @@ def bicgstab_outer(step_fn, zero_state, state, tol, max_iter, verbose=True,
     res = float("inf")
     k = 0  # BiCGStab iterations (2 matvecs each)
     fetch_every = max(1, check_every // 2)
+    best = float("inf")
+    stale = 0  # fetches without a >=10% improvement: noise-floor detector
+    # (on TPU at default f32 matmul precision the matvec carries ~2.7e-4
+    # relative bf16 noise — Krylov recurrences stagnate at that floor
+    # instead of self-correcting like the plain fixed-point iteration;
+    # stop instead of burning matvecs. Use matmul_precision="highest"
+    # to push the accelerated solve to deep tolerances.)
     while nmv + 2 <= max_iter:
         rho, p = stage_p(r, rhat, p, v, rho_prev, alpha, omega)
         v = Mop(p)
@@ -175,6 +182,15 @@ def bicgstab_outer(step_fn, zero_state, state, tol, max_iter, verbose=True,
                 continue
             if res < tol:
                 break
+            if res < 0.9 * best:
+                best, stale = res, 0
+            else:
+                stale += 1
+                if stale >= 6:
+                    if verbose:
+                        print(f"[{label}] bicgstab stagnated at relres "
+                              f"{res:.3e} (matvec noise floor); stopping")
+                    break
         if save_ckpt is not None and k % 25 == 0:
             save_ckpt(x[0], x[1], nmv, res if np.isfinite(res) else -1.0)
     # two plain steps: recover Tv at x, then the reference-style residual
