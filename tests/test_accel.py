@@ -82,3 +82,23 @@ def test_bicgstab_warm_start():
     np.testing.assert_allclose(
         Tc_w, Tc_c, rtol=0, atol=1e-7 * np.abs(Tc_c).max()
     )
+
+
+def test_bicgstab_with_dir_sharding():
+    """The Krylov tree kernels must compose with NamedSharding state (the
+    stage jits carry no annotations; GSPMD propagates the leaf shardings)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    ops, quad, tables = _problem(nx=4)
+    devs = np.array(jax.devices()[:2])
+    sharding = NamedSharding(Mesh(devs, axis_names=("dir",)), P("dir"))
+    s = SourceIterationSolver(ops, quad, tables, BCS3, dtype=jnp.float64,
+                              dir_sharding=sharding)
+    s0 = SourceIterationSolver(ops, quad, tables, BCS3, dtype=jnp.float64)
+    r = s.solve(tol=1e-10, max_iter=2000, verbose=False, check_every=10,
+                accelerate="bicgstab")
+    r0 = s0.solve(tol=1e-10, max_iter=2000, verbose=False, check_every=10,
+                  accelerate="bicgstab")
+    T, T0 = np.asarray(r.Tc), np.asarray(r0.Tc)
+    np.testing.assert_allclose(T, T0, rtol=0, atol=1e-8 * np.abs(T0).max())
