@@ -25,6 +25,11 @@ run PBTE_BENCH_CPP_ITERS=0 PBTE_RING_STATE_BF16=1
 run PBTE_BENCH_CPP_ITERS=0 PBTE_BENCH_NX=24 PBTE_BENCH_STEPS=6
 run PBTE_BENCH_CPP_ITERS=0 PBTE_BENCH_NX=24 PBTE_BENCH_STEPS=6 \
     PBTE_RING_STATE_BF16=1
+# 5b. tet production shape: forced ring vs the measured scan path (auto
+#     rejects ring there only on the W>=64 lane-fill heuristic — W=50)
+echo "=== tet ring A/B ===" | tee -a "$out"
+env PBTE_TET_SWEEP=ring PBTE_TET_STEPS=5 timeout 2400 \
+    python scripts/bench_tet.py 2>>"$out" | tee -a "$out"
 # 6. Krylov-accelerated flagship convergence (the other half of the
 #    north-star: wall time to residual 1e-8). BiCGStab holds ~8 state
 #    copies (~9 GB f32 at hex-16^3) — if it OOMs the row just fails.
