@@ -38,6 +38,20 @@ Breakdown safety: |rho| or |rhat . v| collapsing (the classic BiCGStab
 breakdowns) triggers a restart with rhat = r. The method is exact-affine:
 with f64 state it reproduces the plain fixed point to the linear tolerance
 (oracle-matched in tests/test_accel.py).
+
+Precision envelope (MEASURED): in float32 the step is only affine to a
+~2.7e-3 additivity defect on Krylov-typical (random-like) inputs — exact
+CPU f32 ops, no bf16 involved; the defect is catastrophic cancellation
+across the non-gray band scales (invKn spans orders of magnitude and the
+relaxation term differences large near-equal quantities). Every Krylov
+method floors there: measured stalls at hex-8^3 f32 — bicgstab 6.7e-2
+(even with f64 recurrences via scipy), gmres(8) 7.9e-3. The plain
+fixed-point iteration is SELF-CORRECTING and converges through that noise
+(f32 flagship reaches 1e-8), Krylov recurrences are not. Consequences:
+  - f64 state: full ~6x acceleration to deep tolerances,
+  - f32 state: acceleration to moderate (engineering) tolerance only;
+    the stagnation guard stops the solve at the floor, and deep-tolerance
+    f32 runs should use the plain iteration.
 """
 
 from __future__ import annotations
