@@ -58,12 +58,19 @@ from __future__ import annotations
 
 
 def tree_dot(x, y):
-    """Sum over leaves of <x, y> in the leaf dtype (f32/f64 states)."""
+    """Sum over leaves of <x, y>. bf16 leaves accumulate in f32 (a bf16
+    inner product is useless for Krylov recurrences); f32/f64 leaves keep
+    their own precision."""
     import jax
     import jax.numpy as jnp
 
+    def vdot(a, b):
+        if a.dtype == jnp.bfloat16:
+            return jnp.vdot(a.astype(jnp.float32), b.astype(jnp.float32))
+        return jnp.vdot(a, b)
+
     parts = [
-        jnp.vdot(a, b)
+        vdot(a, b)
         for a, b in zip(jax.tree_util.tree_leaves(x),
                         jax.tree_util.tree_leaves(y))
     ]
