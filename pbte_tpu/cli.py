@@ -108,6 +108,11 @@ def main(argv=None) -> int:
                     help="run the domain-decomposed solver over a DIRxSPACE "
                          "device mesh, e.g. '2x4' (needs dir*space devices)")
     args = ap.parse_args(argv)
+    if args.accelerate != "none":
+        # Krylov recurrences need exact-dtype state; override the bf16
+        # state-storage flag before the solver is constructed
+        os.environ["PBTE_RING_STATE_BF16"] = "0"
+
 
     jax = _setup_jax(args.platform, x64=(args.dtype == "f64"))
     import jax.numpy as jnp

@@ -169,6 +169,13 @@ def bicgstab_outer(step_fn, zero_state, state, tol, max_iter, verbose=True,
     # instead of self-correcting like the plain fixed-point iteration;
     # stop instead of burning matvecs. Use matmul_precision="highest"
     # to push the accelerated solve to deep tolerances.)
+    # The window must be cadence-INDEPENDENT: BiCGStab residuals on the
+    # nonnormal sweep operator routinely plateau for ~10-40 matvecs mid-
+    # solve before resuming, so at check_every=1 a pure 6-fetch rule fires
+    # spuriously (measured: 2D reference config stopped at 1.6e-5 on the
+    # way to 3.6e-10). Require BOTH >=6 stale fetches AND >=60 matvecs
+    # since the last 10% improvement.
+    last_gain_nmv = nmv
     while nmv + 2 <= max_iter:
         rho, p = stage_p(r, rhat, p, v, rho_prev, alpha, omega)
         v = Mop(p)
@@ -204,10 +211,10 @@ def bicgstab_outer(step_fn, zero_state, state, tol, max_iter, verbose=True,
             if res < tol:
                 break
             if res < 0.9 * best:
-                best, stale = res, 0
+                best, stale, last_gain_nmv = res, 0, nmv
             else:
                 stale += 1
-                if stale >= 6:
+                if stale >= 6 and nmv - last_gain_nmv >= 60:
                     if verbose:
                         print(f"[{label}] bicgstab stagnated at relres "
                               f"{res:.3e} (matvec noise floor); stopping")

@@ -102,3 +102,25 @@ def test_bicgstab_with_dir_sharding():
                   accelerate="bicgstab")
     T, T0 = np.asarray(r.Tc), np.asarray(r0.Tc)
     np.testing.assert_allclose(T, T0, rtol=0, atol=1e-8 * np.abs(T0).max())
+
+
+def test_bicgstab_stagnation_guard_is_cadence_independent(reference_root):
+    """Regression: at check_every=1 the stagnation guard's window used to be
+    6 fetches = 12 matvecs — BiCGStab on the nonnormal sweep operator
+    routinely plateaus that long MID-solve, so the 2D reference-config
+    problem stopped at relres 1.6e-5 on its way to 3.6e-10 (measured). The
+    guard now additionally requires >=60 matvecs without a 10% improvement,
+    making the stop cadence-independent; this run must reach the tolerance."""
+    from pbte_tpu import mesh as pmesh2
+
+    m = pmesh2.load_mfem_mesh(
+        str(reference_root / "config/mesh/unit-square-iso.mesh"))
+    ops = assembly.assemble(pmesh2.connect(m.scaled(1.0e-6)), order=1,
+                            face_mode="consistent")
+    quad = ang.build(ang.AngularOptions(dimension=2, azimuth_points=24))
+    tables = mat.build_tables(mat.SILICON, num_spectral=20)
+    s = SourceIterationSolver(ops, quad, tables, {1: -0.5, 2: 0.5},
+                              dtype=jnp.float64)
+    r = s.solve(tol=1e-9, max_iter=3000, verbose=False, check_every=1,
+                accelerate="bicgstab")
+    assert r.residual < 1e-9, r.residual
