@@ -296,10 +296,8 @@ def main(argv=None) -> int:
         checkpoint_every=args.checkpoint_every,
     )
     if args.accelerate != "none":
-        if args.parallel:
-            raise SystemExit(
-                "--accelerate is single-solver only for now; drop --parallel"
-            )
+        # both domain-decomposed solvers accept accelerate= too (lagged
+        # ppermute halos are linear in the previous iterate; accel.py)
         solve_kw["accelerate"] = args.accelerate
     t1 = time.time()
     if args.profile:

@@ -122,6 +122,25 @@ def bicgstab_outer(step_fn, zero_state, state, tol, max_iter, verbose=True,
     b_aff = F((u0, Tc0))  # b = F(0)
     nmv = 1
 
+    # XLA:CPU in-process collectives deadlock when collectives from
+    # DIFFERENT executables are in flight concurrently on a small thread
+    # pool (each blocked rendezvous pins a pool thread; with >=2 programs
+    # interleaved across the per-device queues the remaining threads can
+    # all be waiters — measured abort at 4 forced host devices, fine at 8).
+    # The plain solve loop has ONE executable and only needs bounded async
+    # depth; the Krylov loop dispatches FIVE collective-bearing programs
+    # per iteration (2 matvecs + 3 stage kernels with tree_dot all-reduces),
+    # so on multi-device CPU serialize fully: at most one program in
+    # flight. TPU and single-device CPU are unaffected.
+    _leaf = jax.tree_util.tree_leaves(b_aff)[0]
+    try:
+        _ndev = len(_leaf.sharding.device_set)
+    except AttributeError:  # pragma: no cover - non-Array leaf
+        _ndev = 1
+    serialize = jax.default_backend() == "cpu" and _ndev > 1
+    if serialize:
+        jax.block_until_ready(b_aff)
+
     sub = jax.jit(
         lambda v, Fv, b: jax.tree_util.tree_map(
             lambda a, c, d: a - (c - d), v, Fv, b
@@ -134,7 +153,10 @@ def bicgstab_outer(step_fn, zero_state, state, tol, max_iter, verbose=True,
     def Mop(v):
         nonlocal nmv
         nmv += 1
-        return sub(v, F(v), b_aff)
+        out = sub(v, F(v), b_aff)
+        if serialize:
+            jax.block_until_ready(out)
+        return out
 
     stage_p, stage_s, stage_x = make_bicgstab_kernels()
     _copy = lambda tr: jax.tree_util.tree_map(lambda a: a.copy(), tr)
@@ -144,6 +166,8 @@ def bicgstab_outer(step_fn, zero_state, state, tol, max_iter, verbose=True,
         x = (_copy(state[0]), _copy(state[1]))
         r = diff(F(x), x)
         nmv += 1
+        if serialize:
+            jax.block_until_ready(r)
     else:
         # fresh zero buffers: stage_x donates x (zero_state may be reused
         # by the caller), and stage_s donates r while b_aff must stay live
@@ -178,10 +202,16 @@ def bicgstab_outer(step_fn, zero_state, state, tol, max_iter, verbose=True,
     last_gain_nmv = nmv
     while nmv + 2 <= max_iter:
         rho, p = stage_p(r, rhat, p, v, rho_prev, alpha, omega)
+        if serialize:
+            jax.block_until_ready(p)
         v = Mop(p)
         alpha, s = stage_s(r, rhat, v, rho)
+        if serialize:
+            jax.block_until_ready(s)
         t = Mop(s)
         omega, x, r, rnorm2 = stage_x(x, p, s, t, alpha)
+        if serialize:
+            jax.block_until_ready(rnorm2)
         rho_prev = rho
         k += 1
         if sync_every and k % max(1, sync_every // 2) == 0:
@@ -201,6 +231,8 @@ def bicgstab_outer(step_fn, zero_state, state, tol, max_iter, verbose=True,
                 # BiCGStab breakdown: restart the recurrence at x
                 r = diff(F(x), x)
                 nmv += 1
+                if serialize:
+                    jax.block_until_ready(r)
                 rhat = _copy(r)
                 rho_prev = alpha = omega = one
                 v = jax.tree_util.tree_map(jnp.zeros_like, r)
@@ -223,6 +255,8 @@ def bicgstab_outer(step_fn, zero_state, state, tol, max_iter, verbose=True,
             save_ckpt(x[0], x[1], nmv, res if np.isfinite(res) else -1.0)
     # two plain steps: recover Tv at x, then the reference-style residual
     u1, Tc1, Tv1, _ = step_fn(x[0], x[1], Tv0)
+    if serialize:
+        jax.block_until_ready(Tc1)
     u_f, Tc_f, Tv_f, res_dev = step_fn(u1, Tc1, Tv1)
     nmv += 2
     tv_res = float(res_dev)

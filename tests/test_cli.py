@@ -166,3 +166,29 @@ def test_cli_3d_slices_in_reference_length_units(tmp_path):
     assert ln.shape[1] == 7 and not np.isnan(ln).any()
     # line runs along z at x = y = 0.5*L_REF (metres in the output file)
     assert np.allclose(ln[:, 0], 0.5e-6) and np.allclose(ln[:, 1], 0.5e-6)
+
+
+@pytest.mark.slow
+def test_cli_parallel_accelerate(tmp_path):
+    """--accelerate composes with --parallel: the domain-decomposed solvers
+    accept accelerate="bicgstab" (lagged halos are linear in the previous
+    iterate), and at CONVERGENCE the block-Jacobi fixed point matches the
+    serial one — so tight-tol accelerated runs must agree closely."""
+    base = ["-m", "unit-square-tri", "-o", "1", "--face-mode", "consistent",
+            "--tol", "1e-9", "--max-iter", "3000", "--check-every", "20",
+            "--dtype", "f64", "--accelerate", "bicgstab"]
+    ser = _run_cli(base + ["--out", "ser"], cwd=tmp_path)
+    assert ser.returncode == 0, ser.stderr[-2000:]
+    par = _run_cli(base + ["--out", "par", "--parallel", "2x2"],
+                   cwd=tmp_path, n_devices=4)
+    assert par.returncode == 0, par.stderr[-2000:]
+    assert "bicgstab done" in par.stderr + par.stdout
+    na = np.array([float(x) for x in
+                   (tmp_path / "ser/log/Tc_all.txt").read_text().split()
+                   if _isfloat(x)])
+    nb = np.array([float(x) for x in
+                   (tmp_path / "par/log/Tc_all.txt").read_text().split()
+                   if _isfloat(x)])
+    assert na.shape == nb.shape
+    np.testing.assert_allclose(nb, na, rtol=0,
+                               atol=1e-6 * float(np.abs(na).max()))
