@@ -64,9 +64,8 @@ def _expected_u_shape(solver):
                 solver.D, solver.ne_max)
     if getattr(solver, "sweep_mode", "scan") == "ring":
         # bucketed state: a LIST of per-bucket shapes; the Pallas kernel
-        # path stores band-major (BS before D) — a checkpoint written by
-        # one path fails the shape check on the other (by design: the
-        # layouts are not interchangeable without a transpose)
+        # path stores band-major (BS before D) — load_checkpoint transposes
+        # between the two layouts using the saved u_layout tag
         if getattr(solver, "_use_pallas_ring", False):
             return [
                 (solver.L, len(gs), km_b, solver.BS, solver.D, solver.W)
@@ -114,6 +113,12 @@ def save_checkpoint(path: str, solver, u, Tc, Tv, iteration: int, residual: floa
     elif isinstance(u, (tuple, list)):  # bucketed ring state
         u_fields = {f"u_{i}": _np(b) for i, b in enumerate(u)}
         u_fields["u_nbuckets"] = len(u)
+        # record the trailing-axes layout explicitly: the XLA ring stores
+        # (..., D, BS, W), the Pallas kernel (..., BS, D, W). Shapes alone
+        # cannot distinguish them when D == BS.
+        u_fields["u_layout"] = (
+            "bsd" if getattr(solver, "_use_pallas_ring", False) else "dbs"
+        )
     else:
         u_fields = {"u": _np(u)}
     np.savez_compressed(
@@ -175,15 +180,26 @@ def load_checkpoint(path: str, solver):
             raise ValueError(
                 f"checkpoint has {n} state buckets, solver expects {len(want)}"
             )
+        # the XLA ring path stores (..., D, BS, W), the Pallas kernel
+        # path (..., BS, D, W): convert transparently so a checkpoint
+        # written on one platform resumes on the other. Trust the saved
+        # u_layout tag when present (shapes cannot distinguish the two
+        # when D == BS); fall back to the shape heuristic for pre-tag
+        # checkpoints.
+        src_layout = str(data["u_layout"]) if "u_layout" in data else None
+        dst_layout = (
+            "bsd" if getattr(solver, "_use_pallas_ring", False) else "dbs"
+        )
         bufs = []
         for i, w in enumerate(want):
             arr = data[f"u_{i}"]
             got = tuple(arr.shape)
-            # the XLA ring path stores (..., D, BS, W), the Pallas kernel
-            # path (..., BS, D, W): convert transparently so a checkpoint
-            # written on one platform resumes on the other
             swapped = w[:3] + (w[4], w[3]) + w[5:]
-            if got != w and got == swapped and w[3] != w[4]:
+            if src_layout is not None:
+                if src_layout != dst_layout:
+                    arr = np.swapaxes(arr, 3, 4)
+                    got = tuple(arr.shape)
+            elif got != w and got == swapped and w[3] != w[4]:
                 arr = np.swapaxes(arr, 3, 4)
                 got = tuple(arr.shape)
             if got != w:

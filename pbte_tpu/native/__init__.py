@@ -20,74 +20,79 @@ import threading
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "sweep_native.cpp")
-_LIB = os.path.join(_HERE, "_sweep_native.so")
-_STAMP = _LIB + ".sha256"  # content hash of the source the binary was built from
 _lock = threading.Lock()
+
+
+def _build_and_load(src, lib_path, extra_flags=(), timeout=120):
+    """Shared compile-if-stale + ctypes-load path for every native module.
+
+    The cached .so is valid only if its recorded source hash matches
+    (mtimes are unreliable: a fresh checkout stamps all files identically).
+    Portable -O3 only: the binary is a build cache, but -march=native
+    output can SIGILL if the cache directory moves between machines.
+    Returns the loaded CDLL or None (callers fall back to numpy).
+    """
+    stamp = lib_path + ".sha256"
+    with open(src, "rb") as f:
+        src_hash = hashlib.sha256(f.read()).hexdigest()
+    fresh = False
+    try:
+        with open(stamp) as f:
+            fresh = f.read().strip() == src_hash and os.path.exists(lib_path)
+    except OSError:
+        pass
+    if not fresh:
+        cmd = [
+            "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+            *extra_flags, src, "-o", lib_path + ".tmp",
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True,
+                           timeout=timeout)
+            os.replace(lib_path + ".tmp", lib_path)
+            with open(stamp, "w") as f:
+                f.write(src_hash)
+        except (subprocess.SubprocessError, OSError):
+            return None
+    try:
+        return ctypes.CDLL(lib_path)
+    except OSError:
+        return None
+
+
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_i64 = ctypes.c_int64
+
 _lib = None
 _tried = False
-_solver_lib = None
-_solver_tried = False
-
-
-def _src_hash() -> str:
-    with open(_SRC, "rb") as f:
-        return hashlib.sha256(f.read()).hexdigest()
-
-
-def _build(src_hash: str) -> bool:
-    # portable -O3 only: the binary is a build cache, but -march=native output
-    # can SIGILL if the cache directory moves between machines
-    cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-        _SRC, "-o", _LIB + ".tmp",
-    ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(_LIB + ".tmp", _LIB)
-        with open(_STAMP, "w") as f:
-            f.write(src_hash)
-        return True
-    except (subprocess.SubprocessError, OSError):
-        return False
-
-
-def _is_fresh(src_hash: str) -> bool:
-    """The cached binary is valid only if its recorded source hash matches
-    (mtimes are unreliable: a fresh checkout stamps all files identically)."""
-    try:
-        with open(_STAMP) as f:
-            return f.read().strip() == src_hash and os.path.exists(_LIB)
-    except OSError:
-        return False
 
 
 def get_lib():
-    """Returns the loaded ctypes library or None (fallback to numpy)."""
+    """Returns the loaded sweep-kernels library or None (fallback to numpy)."""
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        src_hash = _src_hash()
-        if not _is_fresh(src_hash):
-            if not _build(src_hash):
-                return None
-        try:
-            lib = ctypes.CDLL(_LIB)
-        except OSError:
+        lib = _build_and_load(
+            os.path.join(_HERE, "sweep_native.cpp"),
+            os.path.join(_HERE, "_sweep_native.so"),
+        )
+        if lib is None:
             return None
-        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
-        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
-        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
-        i64 = ctypes.c_int64
         lib.pbte_compute_levels.restype = ctypes.c_int32
-        lib.pbte_compute_levels.argtypes = [i64, i64, i64, i64, i32p, f64p, f64p, i32p]
+        lib.pbte_compute_levels.argtypes = [
+            _i64, _i64, _i64, _i64, _i32p, _f64p, _f64p, _i32p,
+        ]
         lib.pbte_greedy_orders.restype = ctypes.c_int32
-        lib.pbte_greedy_orders.argtypes = [i64, i64, i64, i64, i32p, f64p, f64p, i32p]
+        lib.pbte_greedy_orders.argtypes = [
+            _i64, _i64, _i64, _i64, _i32p, _f64p, _f64p, _i32p,
+        ]
         lib.pbte_inflow_signature.restype = None
         lib.pbte_inflow_signature.argtypes = [
-            i64, i64, i64, i64, i32p, f64p, f64p, u8p, i64,
+            _i64, _i64, _i64, _i64, _i32p, _f64p, _f64p, _u8p, _i64,
         ]
         _lib = lib
         return _lib
@@ -153,9 +158,6 @@ def inflow_signatures(neighbor, normals, directions):
 # C++ multilevel k-way partitioner (the METIS-recipe native path)
 # ---------------------------------------------------------------------------
 
-_PART_SRC = os.path.join(_HERE, "partition_native.cpp")
-_PART_LIB = os.path.join(_HERE, "_partition_native.so")
-_PART_STAMP = _PART_LIB + ".sha256"
 _part_lib = None
 _part_tried = False
 
@@ -167,39 +169,15 @@ def get_partition_lib():
         if _part_lib is not None or _part_tried:
             return _part_lib
         _part_tried = True
-        with open(_PART_SRC, "rb") as f:
-            src_hash = hashlib.sha256(f.read()).hexdigest()
-        fresh = False
-        try:
-            with open(_PART_STAMP) as f:
-                fresh = (
-                    f.read().strip() == src_hash
-                    and os.path.exists(_PART_LIB)
-                )
-        except OSError:
-            pass
-        if not fresh:
-            cmd = [
-                "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                _PART_SRC, "-o", _PART_LIB + ".tmp",
-            ]
-            try:
-                subprocess.run(cmd, check=True, capture_output=True,
-                               timeout=120)
-                os.replace(_PART_LIB + ".tmp", _PART_LIB)
-                with open(_PART_STAMP, "w") as f:
-                    f.write(src_hash)
-            except (subprocess.SubprocessError, OSError):
-                return None
-        try:
-            lib = ctypes.CDLL(_PART_LIB)
-        except OSError:
+        lib = _build_and_load(
+            os.path.join(_HERE, "partition_native.cpp"),
+            os.path.join(_HERE, "_partition_native.so"),
+        )
+        if lib is None:
             return None
-        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
-        i64 = ctypes.c_int64
         lib.pbte_partition_multilevel.restype = ctypes.c_int32
         lib.pbte_partition_multilevel.argtypes = [
-            i64, i64, i32p, i64, i64, i64, ctypes.c_double, i32p,
+            _i64, _i64, _i32p, _i64, _i64, _i64, ctypes.c_double, _i32p,
         ]
         _part_lib = lib
         return _part_lib
@@ -228,9 +206,8 @@ def partition_multilevel(neighbor, nparts, seed=0,
 # C++ reference-mirror solver (the measured bench baseline)
 # ---------------------------------------------------------------------------
 
-_SOLVER_SRC = os.path.join(_HERE, "solver_native.cpp")
-_SOLVER_LIB = os.path.join(_HERE, "_solver_native.so")
-_SOLVER_STAMP = _SOLVER_LIB + ".sha256"
+_solver_lib = None
+_solver_tried = False
 
 
 def get_solver_lib():
@@ -240,40 +217,20 @@ def get_solver_lib():
         if _solver_lib is not None or _solver_tried:
             return _solver_lib
         _solver_tried = True
-        with open(_SOLVER_SRC, "rb") as f:
-            src_hash = hashlib.sha256(f.read()).hexdigest()
-        fresh = False
-        try:
-            with open(_SOLVER_STAMP) as f:
-                fresh = f.read().strip() == src_hash and os.path.exists(_SOLVER_LIB)
-        except OSError:
-            pass
-        if not fresh:
-            cmd = [
-                "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-fopenmp",
-                _SOLVER_SRC, "-o", _SOLVER_LIB + ".tmp",
-            ]
-            try:
-                subprocess.run(cmd, check=True, capture_output=True, timeout=180)
-                os.replace(_SOLVER_LIB + ".tmp", _SOLVER_LIB)
-                with open(_SOLVER_STAMP, "w") as f:
-                    f.write(src_hash)
-            except (subprocess.SubprocessError, OSError):
-                return None
-        try:
-            lib = ctypes.CDLL(_SOLVER_LIB)
-        except OSError:
+        lib = _build_and_load(
+            os.path.join(_HERE, "solver_native.cpp"),
+            os.path.join(_HERE, "_solver_native.so"),
+            extra_flags=("-fopenmp",), timeout=180,
+        )
+        if lib is None:
             return None
-        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
-        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
-        i64 = ctypes.c_int64
         lib.pbte_cpp_source_iteration.restype = ctypes.c_int32
         lib.pbte_cpp_source_iteration.argtypes = (
-            [i64] * 7 + [ctypes.c_int32]
-            + [i32p, i32p]
-            + [f64p] * 13
+            [_i64] * 7 + [ctypes.c_int32]
+            + [_i32p, _i32p]
+            + [_f64p] * 13
             + [ctypes.c_double, ctypes.c_double]
-            + [f64p] * 5
+            + [_f64p] * 5
         )
         _solver_lib = lib
         return _solver_lib

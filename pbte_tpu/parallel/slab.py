@@ -662,10 +662,29 @@ class SlabLatticeSolver:
             def step_fn(u, Tc, Tv_prev):
                 return self._step_plain(self.consts, u, Tc, Tv_prev)
 
+            save_ckpt = None
+            if checkpoint_path:
+                import jax.numpy as jnp
+                from jax.sharding import NamedSharding, PartitionSpec as Ps
+
+                from pbte_tpu.io.checkpoint import save_checkpoint
+
+                # Tv is not part of the Krylov state; checkpoints carry
+                # zeros (the resumed solve recomputes it)
+                Tv_ckpt = jax.device_put(
+                    jnp.zeros((self.P, self.ne_loc), dtype=self.dtype),
+                    NamedSharding(self.mesh, Ps("space")),
+                )
+
+                def save_ckpt(u, Tc, nmv, res):
+                    save_checkpoint(checkpoint_path, self, u, Tc, Tv_ckpt,
+                                    nmv, res)
+
             u_f, Tc_f, Tv_f, tv_res, nmv = accel.bicgstab_outer(
                 step_fn, self.initial_state(), state, tol, max_iter,
                 verbose=verbose, callback=callback,
                 check_every=check_every, label="pbte_tpu:slab",
+                save_ckpt=save_ckpt, ckpt_every=checkpoint_every,
             )
             return SlabSolveResult(u=u_f, Tc=Tc_f, Tv=Tv_f,
                                    residual=tv_res, iterations=nmv,

@@ -596,10 +596,31 @@ class SpatialShardedSolver:
             def step_fn(u, Tc, Tv_prev):
                 return self._step(self.consts, u, Tc, Tv_prev)
 
+            save_ckpt = None
+            if checkpoint_path:
+                import jax
+                import jax.numpy as jnp
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from pbte_tpu.io.checkpoint import save_checkpoint
+
+                # Tv is not part of the Krylov state; checkpoints carry
+                # zeros (the resumed solve recomputes it)
+                Tv_ckpt = jax.device_put(
+                    jnp.zeros((self.pplan.nparts, self.ne_max),
+                              dtype=self.dtype),
+                    NamedSharding(self.mesh, P("space")),
+                )
+
+                def save_ckpt(u, Tc, nmv, res):
+                    save_checkpoint(checkpoint_path, self, u, Tc, Tv_ckpt,
+                                    nmv, res)
+
             u_f, Tc_f, Tv_f, tv_res, nmv = accel.bicgstab_outer(
                 step_fn, self.initial_state(), state, tol, max_iter,
                 verbose=verbose, callback=callback,
                 check_every=check_every, label="pbte_tpu:spatial",
+                save_ckpt=save_ckpt, ckpt_every=checkpoint_every,
             )
             return SpatialSolveResult(u=u_f, Tc=Tc_f, Tv=Tv_f,
                                       residual=tv_res, iterations=nmv,

@@ -94,7 +94,7 @@ def tree_comb(coeffs_and_trees):
 
 def bicgstab_outer(step_fn, zero_state, state, tol, max_iter, verbose=True,
                    callback=None, check_every=1, save_ckpt=None,
-                   label="pbte_tpu", sync_every=10):
+                   ckpt_every=25, label="pbte_tpu", sync_every=10):
     """Generic BiCGStab outer solve over a solver's (u, Tc) state pytree.
 
     step_fn(u, Tc, Tv_prev) -> (u', Tc', Tv', res) must be the solver's
@@ -108,7 +108,11 @@ def bicgstab_outer(step_fn, zero_state, state, tol, max_iter, verbose=True,
     two entries come from TWO trailing plain steps: the first recovers Tv at
     the converged x, the second yields the reference-style Tv residual —
     solver-agnostic (no access to the macro closure needed) at the cost of
-    one extra matvec."""
+    one extra matvec. The trailing steps are reserved inside the loop guard,
+    so n_step_applications <= max_iter whenever max_iter >= 3 (b=F(0) + the
+    two trailing steps are the unconditional floor; a warm start adds one
+    more). save_ckpt(u, Tc, nmv, res) fires every ckpt_every BiCGStab
+    iterations (= 2*ckpt_every step applications)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -200,7 +204,9 @@ def bicgstab_outer(step_fn, zero_state, state, tol, max_iter, verbose=True,
     # way to 3.6e-10). Require BOTH >=6 stale fetches AND >=60 matvecs
     # since the last 10% improvement.
     last_gain_nmv = nmv
-    while nmv + 2 <= max_iter:
+    # +4 reserves this iteration's two matvecs AND the two trailing plain
+    # steps, so the returned count stays within max_iter
+    while nmv + 4 <= max_iter:
         rho, p = stage_p(r, rhat, p, v, rho_prev, alpha, omega)
         if serialize:
             jax.block_until_ready(p)
@@ -220,7 +226,7 @@ def bicgstab_outer(step_fn, zero_state, state, tol, max_iter, verbose=True,
             # collective executions are enqueued without a host sync —
             # same mitigation as the plain domain-decomposed solve loops
             jax.block_until_ready(rnorm2)
-        if k % fetch_every == 0 or nmv + 2 > max_iter:
+        if k % fetch_every == 0 or nmv + 4 > max_iter:
             rn = float(rnorm2) ** 0.5
             res = rn / bnorm if bnorm > 0 else rn
             if verbose:
@@ -251,7 +257,7 @@ def bicgstab_outer(step_fn, zero_state, state, tol, max_iter, verbose=True,
                         print(f"[{label}] bicgstab stagnated at relres "
                               f"{res:.3e} (matvec noise floor); stopping")
                     break
-        if save_ckpt is not None and k % 25 == 0:
+        if save_ckpt is not None and k % ckpt_every == 0:
             save_ckpt(x[0], x[1], nmv, res if np.isfinite(res) else -1.0)
     # two plain steps: recover Tv at x, then the reference-style residual
     u1, Tc1, Tv1, _ = step_fn(x[0], x[1], Tv0)

@@ -2639,11 +2639,18 @@ class SourceIterationSolver:
             )
         save_ckpt = None
         if checkpoint_path:
+            import jax.numpy as jnp
+
             from pbte_tpu.io.checkpoint import save_checkpoint
 
+            # Tv is not part of the Krylov state; checkpoints carry zeros
+            # (the resumed solve recomputes it). Build just the (ne,) leaf —
+            # initial_state() would allocate the full multi-GB u tuple.
+            Tv_ckpt = jnp.zeros((self.ne,), dtype=self.dtype)
+
             def save_ckpt(u, Tc, nmv, res):
-                save_checkpoint(checkpoint_path, self, u, Tc,
-                                self.initial_state()[2], nmv, res)
+                save_checkpoint(checkpoint_path, self, u, Tc, Tv_ckpt,
+                                nmv, res)
 
         def step_fn(u, Tc, Tv_prev):
             return self._step_plain(self.consts, u, Tc, Tv_prev)
@@ -2651,7 +2658,7 @@ class SourceIterationSolver:
         u_f, Tc_f, Tv_f, tv_res, nmv = accel.bicgstab_outer(
             step_fn, self.initial_state(), state, tol, max_iter,
             verbose=verbose, callback=callback, check_every=check_every,
-            save_ckpt=save_ckpt,
+            save_ckpt=save_ckpt, ckpt_every=checkpoint_every,
         )
         return SolveResult(u=u_f, Tc=Tc_f, Tv=Tv_f, residual=tv_res,
                            iterations=nmv, solver=self)

@@ -124,3 +124,31 @@ def test_bicgstab_stagnation_guard_is_cadence_independent(reference_root):
     r = s.solve(tol=1e-9, max_iter=3000, verbose=False, check_every=1,
                 accelerate="bicgstab")
     assert r.residual < 1e-9, r.residual
+
+
+def test_bicgstab_checkpoint_and_max_iter_cap(tmp_path):
+    """Accelerated solves must honor checkpoint_path/checkpoint_every (the
+    accel branch used to silently drop them) and keep `iterations` within
+    max_iter (the trailing Tv-recovery steps are reserved in the loop
+    guard). The checkpoint must warm-start a resumed accelerated solve to
+    the same fixed point."""
+    ops, quad, tables = _problem(nx=4)
+    s = SourceIterationSolver(ops, quad, tables, BCS3, dtype=jnp.float64)
+    ck = str(tmp_path / "accel_ck.npz")
+    r1 = s.solve(tol=1e-30, max_iter=40, verbose=False, check_every=2,
+                 accelerate="bicgstab", checkpoint_path=ck,
+                 checkpoint_every=5)
+    assert r1.iterations <= 40, r1.iterations
+    import os
+
+    assert os.path.exists(ck), "accelerated solve wrote no checkpoint"
+    from pbte_tpu.io.checkpoint import load_checkpoint
+
+    state, nmv_ck, _ = load_checkpoint(ck, s)
+    assert nmv_ck > 0
+    ref = s.solve(tol=1e-10, max_iter=3000, verbose=False, check_every=10,
+                  accelerate="bicgstab")
+    resumed = s.solve(tol=1e-10, max_iter=3000, verbose=False,
+                      check_every=10, accelerate="bicgstab", state=state)
+    Tr, Tc = np.asarray(ref.Tc), np.asarray(resumed.Tc)
+    np.testing.assert_allclose(Tc, Tr, rtol=0, atol=1e-7 * np.abs(Tr).max())
