@@ -121,15 +121,37 @@ def save_checkpoint(path: str, solver, u, Tc, Tv, iteration: int, residual: floa
         )
     else:
         u_fields = {"u": _np(u)}
-    np.savez_compressed(
-        path,
-        Tc=np.asarray(Tc),
-        Tv=np.asarray(Tv),
-        iteration=iteration,
-        residual=residual,
-        **u_fields,
-        **{f"fp_{k}": v for k, v in _fingerprint(solver).items()},
-    )
+    # atomic write: stream to a sibling tmp file, then rename over the
+    # final path — a crash mid-save (OOM, preemption) must not destroy the
+    # previous good checkpoint, which is the whole point of checkpointing.
+    # np.savez appends ".npz" to extensionless paths; mirror that so the
+    # replace target matches what np.load will be pointed at.
+    final = path if path.endswith(".npz") else path + ".npz"
+    tmp = final + ".tmp"
+    with open(tmp, "wb") as fh:
+        np.savez_compressed(
+            fh,
+            Tc=np.asarray(Tc),
+            Tv=np.asarray(Tv),
+            iteration=iteration,
+            residual=residual,
+            **u_fields,
+            **{f"fp_{k}": v for k, v in _fingerprint(solver).items()},
+        )
+    os.replace(tmp, final)
+
+
+def accel_ckpt_saver(path: str, solver, Tv):
+    """save_ckpt closure for Krylov-accelerated solves (accel.bicgstab_outer).
+
+    Tv is not part of the Krylov state; checkpoints carry the zeros leaf the
+    caller provides (the resumed solve recomputes Tv). Each solver builds
+    its own Tv zeros because the leaf's shape/sharding is solver-specific."""
+
+    def save_ckpt(u, Tc, nmv, res):
+        save_checkpoint(path, solver, u, Tc, Tv, nmv, res)
+
+    return save_ckpt
 
 
 def load_checkpoint(path: str, solver):
@@ -190,6 +212,15 @@ def load_checkpoint(path: str, solver):
         dst_layout = (
             "bsd" if getattr(solver, "_use_pallas_ring", False) else "dbs"
         )
+        if src_layout is None and want and want[0][3] == want[0][4]:
+            import warnings
+
+            warnings.warn(
+                "ring checkpoint predates the u_layout tag and D == BS "
+                "makes the XLA/Pallas layouts shape-indistinguishable; "
+                "assuming it was written by this solver's own path. A "
+                "cross-path resume would warm-start from transposed state."
+            )
         bufs = []
         for i, w in enumerate(want):
             arr = data[f"u_{i}"]

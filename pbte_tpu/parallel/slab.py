@@ -667,18 +667,15 @@ class SlabLatticeSolver:
                 import jax.numpy as jnp
                 from jax.sharding import NamedSharding, PartitionSpec as Ps
 
-                from pbte_tpu.io.checkpoint import save_checkpoint
+                from pbte_tpu.io.checkpoint import accel_ckpt_saver
 
-                # Tv is not part of the Krylov state; checkpoints carry
-                # zeros (the resumed solve recomputes it)
-                Tv_ckpt = jax.device_put(
-                    jnp.zeros((self.P, self.ne_loc), dtype=self.dtype),
-                    NamedSharding(self.mesh, Ps("space")),
+                save_ckpt = accel_ckpt_saver(
+                    checkpoint_path, self,
+                    jax.device_put(
+                        jnp.zeros((self.P, self.ne_loc), dtype=self.dtype),
+                        NamedSharding(self.mesh, Ps("space")),
+                    ),
                 )
-
-                def save_ckpt(u, Tc, nmv, res):
-                    save_checkpoint(checkpoint_path, self, u, Tc, Tv_ckpt,
-                                    nmv, res)
 
             u_f, Tc_f, Tv_f, tv_res, nmv = accel.bicgstab_outer(
                 step_fn, self.initial_state(), state, tol, max_iter,

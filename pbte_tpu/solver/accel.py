@@ -234,6 +234,11 @@ def bicgstab_outer(step_fn, zero_state, state, tol, max_iter, verbose=True,
             if callback is not None:
                 callback(nmv, res)
             if not np.isfinite(res) or abs(float(rho)) < 1e-300:
+                if nmv + 3 > max_iter:
+                    # no budget for the restart matvec + the two trailing
+                    # steps; exit with the current x (keeps the returned
+                    # count within max_iter)
+                    break
                 # BiCGStab breakdown: restart the recurrence at x
                 r = diff(F(x), x)
                 nmv += 1
@@ -258,7 +263,12 @@ def bicgstab_outer(step_fn, zero_state, state, tol, max_iter, verbose=True,
                               f"{res:.3e} (matvec noise floor); stopping")
                     break
         if save_ckpt is not None and k % ckpt_every == 0:
-            save_ckpt(x[0], x[1], nmv, res if np.isfinite(res) else -1.0)
+            # fetch the CURRENT residual for the metadata (the checkpoint
+            # cadence need not be a multiple of the fetch cadence, so `res`
+            # can be stale or still inf here); one scalar fetch per save
+            rn_ck = float(rnorm2) ** 0.5
+            save_ckpt(x[0], x[1], nmv,
+                      rn_ck / bnorm if bnorm > 0 else rn_ck)
     # two plain steps: recover Tv at x, then the reference-style residual
     u1, Tc1, Tv1, _ = step_fn(x[0], x[1], Tv0)
     if serialize:

@@ -2641,16 +2641,14 @@ class SourceIterationSolver:
         if checkpoint_path:
             import jax.numpy as jnp
 
-            from pbte_tpu.io.checkpoint import save_checkpoint
+            from pbte_tpu.io.checkpoint import accel_ckpt_saver
 
-            # Tv is not part of the Krylov state; checkpoints carry zeros
-            # (the resumed solve recomputes it). Build just the (ne,) leaf —
-            # initial_state() would allocate the full multi-GB u tuple.
-            Tv_ckpt = jnp.zeros((self.ne,), dtype=self.dtype)
-
-            def save_ckpt(u, Tc, nmv, res):
-                save_checkpoint(checkpoint_path, self, u, Tc, Tv_ckpt,
-                                nmv, res)
+            # build just the (ne,) Tv zeros leaf — initial_state() would
+            # allocate the full multi-GB u tuple
+            save_ckpt = accel_ckpt_saver(
+                checkpoint_path, self,
+                jnp.zeros((self.ne,), dtype=self.dtype),
+            )
 
         def step_fn(u, Tc, Tv_prev):
             return self._step_plain(self.consts, u, Tc, Tv_prev)
