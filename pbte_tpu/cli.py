@@ -231,11 +231,6 @@ def main(argv=None) -> int:
             print("[pbte_tpu] WARNING: --cache-policy/--matmul-precision are "
                   "not supported by the --parallel solver (it always builds "
                   "the full A^-1 cache at default precision); ignoring")
-        if rc.diffuse_attrs or rc.specular_attrs:
-            raise SystemExit(
-                "[pbte_tpu] diffuse/specular BCs are single-device "
-                "(scan-path) features for now; drop --parallel"
-            )
         dmesh = Mesh(_np.array(devs[: n_dir * n_space]).reshape(n_dir, n_space),
                      axis_names=("dir", "space"))
         # production path: slab-lattice ring decomposition (class-batched
@@ -247,6 +242,8 @@ def main(argv=None) -> int:
             solver = SlabLatticeSolver(
                 ops, quad, tables, rc.bc_temps, device_mesh=dmesh,
                 dtype=dtype, dirichlet_bcs=rc.dirichlet_bcs or None,
+                diffuse_bcs=rc.diffuse_attrs or None,
+                specular_bcs=rc.specular_attrs or None,
             )
             print(f"[pbte_tpu] slab-lattice solver: mesh (dir={n_dir}, "
                   f"space={n_space}), slabs={solver.P} along axis "
@@ -256,6 +253,8 @@ def main(argv=None) -> int:
             solver = SpatialShardedSolver(
                 ops, quad, tables, rc.bc_temps, device_mesh=dmesh, topo=topo,
                 dtype=dtype, dirichlet_bcs=rc.dirichlet_bcs or None,
+                diffuse_bcs=rc.diffuse_attrs or None,
+                specular_bcs=rc.specular_attrs or None,
             )
             print(f"[pbte_tpu] parallel solver (general mesh: {e}): "
                   f"mesh (dir={n_dir}, space={n_space}), "

@@ -70,11 +70,20 @@ class SlabLatticeSolver:
         device_mesh,  # jax.sharding.Mesh with axes ("dir", "space")
         dtype=None,
         dirichlet_bcs: dict | None = None,
+        diffuse_bcs=None,
+        specular_bcs=None,
         require_bcs: bool = True,
     ):
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+        if diffuse_bcs or specular_bcs:
+            # lagged reflective closures are implemented in the general-mesh
+            # SpatialShardedSolver; callers (cli.py) fall back to it
+            raise NotImplementedError(
+                "SlabLatticeSolver does not support diffuse/specular BCs"
+            )
 
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

@@ -50,6 +50,8 @@ class SpatialShardedSolver:
         topo=None,  # MeshTopology (for the partitioner); required
         require_bcs: bool = True,
         dirichlet_bcs: dict | None = None,
+        diffuse_bcs=None,  # iterable of attrs: legacy BC type 2 (Lambert)
+        specular_bcs=None,  # iterable of attrs: legacy BC type 3 (mirror)
         halo_mode: str = "ppermute",  # "ppermute" (neighbor-to-neighbor,
         # O(interface) traffic) | "psum" (legacy all-reduce, O(P*interface))
     ):
@@ -91,12 +93,17 @@ class SpatialShardedSolver:
         self.has_periodic = bool(ops.periodic.any())
         dirichlet_bcs = dirichlet_bcs or {}
         self.has_dirichlet = bool(dirichlet_bcs)
+        diffuse_bcs = sorted(int(a) for a in (diffuse_bcs or ()))
+        specular_bcs = sorted(int(a) for a in (specular_bcs or ()))
+        self._dif_on = bool(diffuse_bcs)
+        self._spc_on = bool(specular_bcs)
         bdry_attrs = set(int(a) for a in np.unique(
             ops.face_attr[(ops.neighbor < 0) & ops.face_valid]
         ))
         missing = (
             bdry_attrs - set(int(k) for k in bc_temps)
             - set(int(k) for k in dirichlet_bcs)
+            - set(diffuse_bcs) - set(specular_bcs)
         )
         if missing and require_bcs:
             raise ValueError(
@@ -280,6 +287,99 @@ class SpatialShardedSolver:
             raise ValueError(f"unknown halo_mode: {halo_mode}")
         self.halo_mode = halo_mode
 
+        # ---- lagged reflective BCs (legacy types 2/3) ----------------------
+        # Same closures as the single-device solver (source_iteration.py
+        # reflective tables): contributions built from the PREVIOUS outer
+        # iterate. New here: the diffuse hemisphere flux needs a psum over
+        # the "dir" axis (outgoing directions live on every dir shard) and
+        # the specular mirror slot may live on another dir shard (all_gather
+        # of the boundary-face values). Face lists are partition-local.
+        w_glob = quad.weights
+        dif_tabs = None
+        spc_tabs = None
+
+        def _part_rows(attr_list):
+            rows = np.argwhere(
+                np.isin(ops.face_attr, attr_list)
+                & (ops.neighbor < 0) & ops.face_valid
+            )
+            per_part = [[] for _ in range(Pn)]
+            for e, f in rows:
+                per_part[int(pplan.part[e])].append((int(e), int(f)))
+            return rows, per_part
+
+        if self._dif_on:
+            rows_d, per_d = _part_rows(diffuse_bcs)
+            if len(rows_d) == 0:
+                self._dif_on = False
+            else:
+                Pd = max(1, max(len(s) for s in per_d))
+                d_pos = np.zeros((Pn, Pd), np.int32)
+                d_fint = np.zeros((Pn, Pd, D))
+                d_norm = np.zeros((Pn, Pd))
+                d_cin = np.zeros((Pn, G, Km, Pd))
+                d_wplus = np.zeros((Pn, G, Km, Pd))
+                for p in range(Pn):
+                    for j, (e, f) in enumerate(per_d[p]):
+                        n = ops.normals[e, f]
+                        sdotn = np.einsum(
+                            "gkd,d->gk", dirs_np[dirs_safe], n
+                        ) * dir_valid
+                        cn = (
+                            w_glob * np.maximum(-dirs_np @ n, 0.0)
+                        ).sum()  # incoming-hemisphere weight
+                        areaF = ops.face_int[e, f].sum()
+                        d_pos[p, j] = pplan.local_of_global[e]
+                        d_fint[p, j] = ops.face_int[e, f]
+                        d_norm[p, j] = 1.0 / max(cn * areaF, 1e-300)
+                        d_cin[p, :, :, j] = np.minimum(sdotn, 0.0)
+                        d_wplus[p, :, :, j] = (
+                            w_glob[dirs_safe] * dir_valid
+                            * np.maximum(sdotn, 0.0)
+                        )
+                dif_tabs = dict(pos=d_pos, fint=d_fint, norm=d_norm,
+                                cin=d_cin, wplus=d_wplus)
+
+        if self._spc_on:
+            from pbte_tpu.validation.oracle import mirror_direction_map
+
+            rows_s, per_s = _part_rows(specular_bcs)
+            if len(rows_s) == 0:
+                self._spc_on = False
+            else:
+                n_all = ops.normals[rows_s[:, 0], rows_s[:, 1]]
+                if np.abs(np.abs(n_all).max(axis=-1) - 1.0).max() > 1e-9:
+                    raise ValueError("specular faces must be axis-aligned")
+                axes = set(int(a) for a in np.argmax(np.abs(n_all), axis=-1))
+                mirror = mirror_direction_map(quad, self.dim, axes=axes)
+                g_of_dir = np.zeros(quad.num_directions, dtype=np.int64)
+                k_of_dir = np.zeros(quad.num_directions, dtype=np.int64)
+                gg, kk = np.nonzero(dir_valid)
+                g_of_dir[dirs_pad[gg, kk]] = gg
+                k_of_dir[dirs_pad[gg, kk]] = kk
+                Ps = max(1, max(len(s) for s in per_s))
+                s_pos = np.zeros((Pn, Ps), np.int32)
+                s_fm = np.zeros((Pn, Ps, D, D))
+                s_cin = np.zeros((Pn, G, Km, Ps))
+                s_gk = np.zeros((Pn, G, Km, Ps), np.int32)
+                for p in range(Pn):
+                    for j, (e, f) in enumerate(per_s[p]):
+                        n = ops.normals[e, f]
+                        ax = int(np.argmax(np.abs(n)))
+                        sdotn = np.einsum(
+                            "gkd,d->gk", dirs_np[dirs_safe], n
+                        ) * dir_valid
+                        km_glob = np.where(
+                            dir_valid, mirror[ax, dirs_safe], 0
+                        )
+                        s_pos[p, j] = pplan.local_of_global[e]
+                        s_fm[p, j] = ops.face_mass[e, f]
+                        s_cin[p, :, :, j] = np.minimum(sdotn, 0.0)
+                        s_gk[p, :, :, j] = (
+                            g_of_dir[km_glob] * Km + k_of_dir[km_glob]
+                        )
+                spc_tabs = dict(pos=s_pos, fm=s_fm, cin=s_cin, gk=s_gk)
+
         # macroscopic weights on slots (padded slots zero)
         mw = macroscopic.macro_weights(quad, tables)
         mw_slots = np.where(dir_valid[..., None], mw[dirs_safe], 0.0)  # (G, Km, BS)
@@ -351,6 +451,25 @@ class SpatialShardedSolver:
             iface_src=puts(iface_src, (S,), np.int32),  # (P, ni)
             halo_send=puts(halo_send, (S,), np.int32),  # (P, n_sh, Ms)
             halo_recv=puts(halo_recv, (S,), np.int32),  # (P, n_sh, Ms)
+            **(
+                {
+                    "dif_pos": puts(dif_tabs["pos"], (S,), np.int32),
+                    "dif_fint": puts(dif_tabs["fint"], (S,)),
+                    "dif_norm": puts(dif_tabs["norm"], (S,)),
+                    "dif_cin": puts(dif_tabs["cin"], (S, None, DIR)),
+                    "dif_wplus": puts(dif_tabs["wplus"], (S, None, DIR)),
+                }
+                if self._dif_on else {}
+            ),
+            **(
+                {
+                    "spc_pos": puts(spc_tabs["pos"], (S,), np.int32),
+                    "spc_fm": puts(spc_tabs["fm"], (S,)),
+                    "spc_cin": puts(spc_tabs["cin"], (S, None, DIR)),
+                    "spc_gk": puts(spc_tabs["gk"], (S, None, DIR), np.int32),
+                }
+                if self._spc_on else {}
+            ),
         )
         self.ne_max = ne_max
         self.ni = ni
@@ -408,6 +527,17 @@ class SpatialShardedSolver:
                 halo_send=P(S), halo_recv=P(S),
                 **({"dvec": P(S)} if self.has_dirichlet else {}),
                 **({"per_loc": P(S)} if self.has_periodic else {}),
+                **(
+                    {"dif_pos": P(S), "dif_fint": P(S), "dif_norm": P(S),
+                     "dif_cin": P(S, None, DIR),
+                     "dif_wplus": P(S, None, DIR)}
+                    if self._dif_on else {}
+                ),
+                **(
+                    {"spc_pos": P(S), "spc_fm": P(S),
+                     "spc_cin": P(S, None, DIR), "spc_gk": P(S, None, DIR)}
+                    if self._spc_on else {}
+                ),
                 **(
                     {"a_cls": P(None, None, DIR), "cls_loc": P(S)}
                     if self._spatial_cls is not None
@@ -480,6 +610,49 @@ class SpatialShardedSolver:
 
             TcT = Tc_l.T  # (D, ne_max)
 
+            # ---- lagged reflective closures (types 2/3), from the PRE-sweep
+            # state — exactly like the halo. Scattered into a full-length
+            # rhs addend consumed per level inside the sweep.
+            refl_rhs = None
+            if self._dif_on:
+                d_pos = cl["dif_pos"][0]  # (Pd,)
+                d_fint = cl["dif_fint"][0]  # (Pd, D)
+                d_norm = cl["dif_norm"][0]  # (Pd,)
+                d_cin = cl["dif_cin"][0]  # (G, Kl, Pd)
+                d_wplus = cl["dif_wplus"][0]  # (G, Kl, Pd)
+                u_d = u_l[:, :, :, :, d_pos]  # (G, Kl, BS, D, Pd)
+                outf = jnp.einsum("gkp,pi,gkbip->bp", d_wplus, d_fint, u_d)
+                # full hemisphere: outgoing slots live on every dir shard
+                outf = lax.psum(outf, DIR)
+                u_in = outf * d_norm[None, :]  # (BS, Pd)
+                dif_con = -jnp.einsum(
+                    "gkp,b,bp,pi->gkbip", d_cin, vg, u_in, d_fint
+                )
+                refl_rhs = jnp.zeros(u_l.shape, u_l.dtype)
+                refl_rhs = refl_rhs.at[:, :, :, :, d_pos].add(dif_con)
+            if self._spc_on:
+                s_pos = cl["spc_pos"][0]  # (Ps,)
+                s_fm = cl["spc_fm"][0]  # (Ps, D, D)
+                s_cin = cl["spc_cin"][0]  # (G, Kl, Ps)
+                s_gk = cl["spc_gk"][0]  # (G, Kl, Ps) global flat (g*Km+k)
+                u_s = u_l[:, :, :, :, s_pos]  # (G, Kl, BS, D, Ps)
+                # the mirror slot may live on another dir shard: gather the
+                # (small) boundary-face block over the dir axis
+                u_all = lax.all_gather(
+                    u_s, DIR, axis=1, tiled=True
+                )  # (G, Km, BS, D, Ps)
+                u_flat = u_all.reshape((-1,) + u_all.shape[2:])
+                Ps_n = s_pos.shape[0]
+                u_m = u_flat[
+                    s_gk, :, :, jnp.arange(Ps_n)[None, None, :]
+                ]  # (G, Kl, Ps, BS, D)
+                spc_con = -jnp.einsum(
+                    "gkp,b,pij,gkpbj->gkbip", s_cin, vg, s_fm, u_m
+                )
+                if refl_rhs is None:
+                    refl_rhs = jnp.zeros(u_l.shape, u_l.dtype)
+                refl_rhs = refl_rhs.at[:, :, :, :, s_pos].add(spc_con)
+
             def sweep_group(u_g, lv_g, fdot_g, ainv_g):
                 # u_g (Kl, BS, D, ne_max)
                 def level_body(u_g, level):
@@ -493,6 +666,8 @@ class SpatialShardedSolver:
                         src_w[None, :, None, None] * t_tc[None, None]
                         + relax_w[None, :, None, None] * t_old
                     )
+                    if refl_rhs_g is not None:
+                        rhs = rhs + refl_rhs_g[:, :, :, es]
                     for f in range(nf):
                         nl = nbr_local[f, es]
                         nif = nbr_iface[f, es]
@@ -542,6 +717,7 @@ class SpatialShardedSolver:
             for g in range(self.G):
                 halo_g = halo[g]
                 u_prev_g = u_prev[g] if self.has_periodic else None
+                refl_rhs_g = refl_rhs[g] if refl_rhs is not None else None
                 outs.append(sweep_group(u_l[g], levels[g], fdot[g], a_inv[g]))
             u_l = jnp.stack(outs)
 

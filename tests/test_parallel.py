@@ -396,3 +396,37 @@ def test_spatial_bicgstab_accelerated():
         r_acc.iterations, r_plain.iterations)
     Tp, Ta = r_plain.Tc_global(), r_acc.Tc_global()
     np.testing.assert_allclose(Ta, Tp, rtol=0, atol=1e-7 * np.abs(Tp).max())
+
+
+def test_spatial_reflective_bcs_match_single_device():
+    """Diffuse (type 2) + specular (type 3) on the domain-decomposed solver:
+    the diffuse hemisphere flux psums over the "dir" axis and the specular
+    mirror slot is fetched via all_gather, both from the lagged pre-sweep
+    state — so the sharded fixed point must equal the single-device one.
+    Solved via the Krylov outer loop (same sharded step, ~6x fewer steps)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from pbte_tpu.parallel.spatial import SpatialShardedSolver
+
+    m = pmesh.make_cartesian_2d(6, 4, "quad").scaled(1e-6)
+    topo = pmesh.connect(m)
+    ops = assembly.assemble(topo, order=1, face_mode="consistent")
+    quad = ang.build(ang.AngularOptions(dimension=2, azimuth_points=8))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    bcs = {2: 0.5, 4: -0.5}  # bottom diffuse, top specular (y-mirror ok)
+
+    s0 = SourceIterationSolver(ops, quad, tables, bcs, dtype=jnp.float64,
+                               diffuse_bcs=[1], specular_bcs=[3])
+    r0 = s0.solve(tol=1e-11, max_iter=5000, verbose=False, check_every=20,
+                  accelerate="bicgstab")
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    s1 = SpatialShardedSolver(ops, quad, tables, bcs,
+                              device_mesh=Mesh(devs, ("dir", "space")),
+                              topo=topo, dtype=jnp.float64,
+                              diffuse_bcs=[1], specular_bcs=[3])
+    r1 = s1.solve(tol=1e-11, max_iter=5000, verbose=False, check_every=20,
+                  accelerate="bicgstab")
+    T0, T1 = np.asarray(r0.Tc), s1.gather_Tc(r1.Tc)
+    np.testing.assert_allclose(T1, T0, rtol=0, atol=1e-8 * np.abs(T0).max())
