@@ -7,7 +7,7 @@ out=bench_artifacts/r3_final.txt
 mkdir -p bench_artifacts
 run() {
   echo "=== $* ===" | tee -a "$out"
-  env "$@" timeout 1500 python bench.py 2>>"$out" | tee -a "$out"
+  env "$@" timeout -k 30 1500 python bench.py 2>>"$out" | tee -a "$out"
 }
 date | tee -a "$out"
 # 1. flagship default (windows + bf16 staging, committed defaults)
@@ -25,22 +25,32 @@ run PBTE_BENCH_CPP_ITERS=0 PBTE_RING_STATE_BF16=1
 run PBTE_BENCH_CPP_ITERS=0 PBTE_BENCH_NX=24 PBTE_BENCH_STEPS=6
 run PBTE_BENCH_CPP_ITERS=0 PBTE_BENCH_NX=24 PBTE_BENCH_STEPS=6 \
     PBTE_RING_STATE_BF16=1
+# 5a. kernel-level MFU of the batched sweep contraction (the north-star
+#     wording is "in batched sweep kernels"): staged = the real ring body,
+#     pure = bare matmul; p=2 flagship kernel and the p=3 (J=256) kernel
+for m in staged pure; do
+  for o in 2 3; do
+    echo "=== kmfu mode=$m order=$o ===" | tee -a "$out"
+    env PBTE_KMFU_MODE=$m PBTE_KMFU_ORDER=$o timeout -k 30 900 \
+        python scripts/bench_kernel_mfu.py 2>>"$out" | tee -a "$out"
+  done
+done
 # 5b. tet production shape: forced ring vs the measured scan path (auto
 #     rejects ring there only on the W>=64 lane-fill heuristic — W=50)
 echo "=== tet ring A/B ===" | tee -a "$out"
-env PBTE_TET_SWEEP=ring PBTE_TET_STEPS=5 timeout 2400 \
+env PBTE_TET_SWEEP=ring PBTE_TET_STEPS=5 timeout -k 30 2400 \
     python scripts/bench_tet.py 2>>"$out" | tee -a "$out"
 # 6. Krylov-accelerated flagship convergence (the other half of the
 #    north-star: wall time to residual 1e-8). BiCGStab holds ~8 state
 #    copies (~9 GB f32 at hex-16^3) — if it OOMs the row just fails.
 echo "=== converge bicgstab ===" | tee -a "$out"
 env PBTE_CONV_ACCEL=bicgstab PBTE_CONV_TOL=1e-8 PBTE_CONV_PROBE=1e-8 \
-    PBTE_CONV_MAXIT=600 timeout 2400 python scripts/converge_flagship.py \
+    PBTE_CONV_MAXIT=600 timeout -k 30 2400 python scripts/converge_flagship.py \
     2>>"$out" | tee -a "$out"
 # 7. production-field recipe: exact-precision (highest) fixed point via
 #    the accelerated solve — plain highest needed 1490 iters to 1e-7
 echo "=== converge bicgstab highest ===" | tee -a "$out"
 env PBTE_CONV_ACCEL=bicgstab PBTE_CONV_PRECISION=highest \
     PBTE_CONV_TOL=1e-8 PBTE_CONV_PROBE=1e-8 PBTE_CONV_MAXIT=600 \
-    timeout 3600 python scripts/converge_flagship.py 2>>"$out" | tee -a "$out"
+    timeout -k 30 3600 python scripts/converge_flagship.py 2>>"$out" | tee -a "$out"
 date | tee -a "$out"

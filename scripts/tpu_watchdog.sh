@@ -11,7 +11,9 @@ set -u
 cd "$(dirname "$0")/.."
 mkdir -p bench_artifacts
 probe() {
-  timeout 240 python - <<'EOF'
+  # -k: a probe hung in device init ignores SIGTERM (stuck in a C call) —
+  # without the follow-up SIGKILL every probe leaks a live process
+  timeout -k 10 240 python - <<'EOF'
 import jax
 import jax.numpy as jnp
 x = jnp.ones((128, 128)) @ jnp.ones((128, 128))
