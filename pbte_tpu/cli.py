@@ -234,8 +234,8 @@ def main(argv=None) -> int:
         dmesh = Mesh(_np.array(devs[: n_dir * n_space]).reshape(n_dir, n_space),
                      axis_names=("dir", "space"))
         # production path: slab-lattice ring decomposition (class-batched
-        # factors, ppermute exit-layer halo, Dirichlet + plane-periodic);
-        # general meshes fall back to SpatialShardedSolver
+        # factors, ppermute exit-layer halo, Dirichlet + plane-periodic +
+        # diffuse/specular); general meshes fall back to SpatialShardedSolver
         try:
             from pbte_tpu.parallel.slab import SlabLatticeSolver
 

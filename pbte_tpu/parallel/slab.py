@@ -40,6 +40,10 @@ Dirichlet (type 7) composes like the single-device ring (a static source
 slab). Periodic boundaries along the PLANE axes are lagged wrap couplings
 implemented as static (level, slot) shifts of the previous iterate; periodic
 along the slab axis is excluded by choosing a non-periodic major axis.
+Diffuse/specular (legacy types 2/3) are lagged closures over partition-local
+face tables: the diffuse hemisphere flux is psum'd over the "dir" axis, the
+specular mirror slot is read from an all_gather'd boundary block, and the
+B-folded contributions scatter into the solution like the wraps.
 
 Scope: class-uniform lattices (one geometry class after canonical face
 ordering — every Cartesian builtin). Graded lattices and unstructured meshes
@@ -77,13 +81,6 @@ class SlabLatticeSolver:
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as Pspec
-
-        if diffuse_bcs or specular_bcs:
-            # lagged reflective closures are implemented in the general-mesh
-            # SpatialShardedSolver; callers (cli.py) fall back to it
-            raise NotImplementedError(
-                "SlabLatticeSolver does not support diffuse/specular BCs"
-            )
 
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -137,8 +134,15 @@ class SlabLatticeSolver:
         # boundary-condition sanity (ref: src/PBTESolver.cpp:286)
         dirichlet_bcs = dirichlet_bcs or {}
         self.has_dirichlet = bool(dirichlet_bcs)
+        diffuse_bcs = sorted(int(a) for a in (diffuse_bcs or ()))
+        specular_bcs = sorted(int(a) for a in (specular_bcs or ()))
+        self._dif_on = bool(diffuse_bcs)
+        self._spc_on = bool(specular_bcs)
         bdry = set(int(a) for a in np.unique(ops.face_attr[ops.neighbor < 0]))
-        missing = bdry - set(map(int, bc_temps)) - set(map(int, dirichlet_bcs))
+        missing = (
+            bdry - set(map(int, bc_temps)) - set(map(int, dirichlet_bcs))
+            - set(diffuse_bcs) - set(specular_bcs)
+        )
         if missing and require_bcs:
             raise ValueError(
                 f"boundary attributes without isothermal BC: {sorted(missing)}"
@@ -375,6 +379,107 @@ class SlabLatticeSolver:
                     (j, nj - 1, int(wshift), wmask.astype(np_dtype))
                 )
 
+        # ---- lagged reflective BCs (legacy types 2/3) ------------------------
+        # Partition-local padded face tables, same closures as the ring path
+        # (solver/source_iteration.py): per outer iteration the previous
+        # iterate is read at each reflective face's (level, slot), the
+        # diffuse hemisphere flux is psum'd over the "dir" mesh axis (every
+        # dir shard holds part of the outgoing hemisphere), the specular
+        # mirror slot is fetched from an all_gather'd boundary block, and
+        # the B-folded contribution is scattered into the solution like the
+        # periodic wraps. Faces are owned by exactly one slab, so no space-
+        # axis collective is needed.
+        w_glob = quad.weights
+
+        def _part_face_tables(attrs):
+            rows = np.argwhere(
+                np.isin(ops.face_attr, attrs)
+                & (ops.neighbor < 0) & ops.face_valid
+            )
+            e_a, f_a = rows[:, 0], rows[:, 1]
+            own_f = owner[e_a]
+            Pf = max(int(np.bincount(own_f, minlength=P).max()), 1)
+            # padded per-partition face index into rows (or -1)
+            idx = np.full((P, Pf), -1, dtype=np.int64)
+            for p in range(P):
+                sel = np.flatnonzero(own_f == p)
+                idx[p, : len(sel)] = sel
+            vld = idx >= 0
+            safe = np.where(vld, idx, 0)
+            e_p, f_p = e_a[safe], f_a[safe]  # (P, Pf)
+            n_p_f = ops.normals[e_p, f_p]  # (P, Pf, dim)
+            sdotn = np.einsum(
+                "gkd,pqd->pgkq", dk_all, n_p_f
+            ) * (dir_valid[None, :, :, None] & vld[:, None, None, :])
+            le = loc_of_global[e_p]  # (P, Pf) local element
+            pos = np.take_along_axis(
+                pos_loc, np.clip(le, 0, None)[:, None, :], axis=2
+            )  # (P, G, Pf) local slab flat position
+            pl, pw = pos // W, pos % W
+            return e_p, f_p, vld, sdotn, pl, pw
+
+        self._refl_tabs = None
+        rt = {}
+        if self._dif_on:
+            e_p, f_p, vld, sdotn, pl, pw = _part_face_tables(diffuse_bcs)
+            fint_p = ops.face_int[e_p, f_p] * vld[..., None]  # (P, Pf, D)
+            cn = (
+                w_glob[:, None, None] * np.maximum(
+                    -np.einsum("kd,pqd->kpq", dirs_np,
+                               ops.normals[e_p, f_p]), 0.0
+                )
+            ).sum(axis=0)  # (P, Pf) incoming-hemisphere weight
+            areaF = fint_p.sum(axis=-1)
+            rt["dif"] = dict(
+                pl=pl, pw=pw,
+                fint=fint_p.astype(np_dtype),
+                fvec=np.einsum("pqi,ij->pqj", fint_p, invMT).astype(np_dtype),
+                cin=np.minimum(sdotn, 0.0).astype(np_dtype),  # (P,G,Km,Pf)
+                wplus=(
+                    w_glob[dirs_safe][None, :, :, None]
+                    * np.maximum(sdotn, 0.0)
+                ).astype(np_dtype),
+                norm=(1.0 / np.maximum(cn * areaF, 1e-300)
+                      * vld).astype(np_dtype),
+            )
+        if self._spc_on:
+            from pbte_tpu.validation.oracle import mirror_direction_map
+
+            e_p, f_p, vld, sdotn, pl, pw = _part_face_tables(specular_bcs)
+            n_s = ops.normals[e_p, f_p]
+            ax_ok = np.abs(np.abs(n_s).max(axis=-1) - 1.0) < 1e-9
+            if not bool((ax_ok | ~vld).all()):
+                raise ValueError("specular faces must be axis-aligned")
+            ax_p = np.argmax(np.abs(n_s), axis=-1)  # (P, Pf)
+            mirror = mirror_direction_map(
+                quad, dim, axes=set(int(a) for a in np.unique(ax_p[vld]))
+            )  # (dim, K)
+            g_of_dir = np.zeros(quad.num_directions, dtype=np.int64)
+            k_of_dir = np.zeros(quad.num_directions, dtype=np.int64)
+            gg, kk = np.nonzero(dir_valid)
+            g_of_dir[dirs_pad[gg, kk]] = gg
+            k_of_dir[dirs_pad[gg, kk]] = kk
+            km_glob = mirror[
+                ax_p[:, None, None, :], dirs_safe[None, :, :, None]
+            ]  # (P, G, Km, Pf)
+            km_glob = np.where(
+                dir_valid[None, :, :, None] & vld[:, None, None, :],
+                km_glob, 0,
+            )
+            fm_p = (
+                ops.face_mass[e_p, f_p] * vld[..., None, None]
+            )  # (P, Pf, D, D)
+            rt["spc"] = dict(
+                pl=pl, pw=pw,
+                fmv=np.einsum("pqil,lj->pqij", fm_p, invMT).astype(np_dtype),
+                cin=np.minimum(sdotn, 0.0).astype(np_dtype),
+                gk=(
+                    g_of_dir[km_glob] * Km + k_of_dir[km_glob]
+                ).astype(np.int32),  # (P, G, Km, Pf) flat global (g*, k*)
+            )
+        if rt:
+            self._refl_tabs = rt
+
         # ---- device placement ----------------------------------------------
         S, DIR = "space", "dir"
 
@@ -413,6 +518,28 @@ class SlabLatticeSolver:
             **(
                 {"dsrc": puts(dsrc_loc, (S, None, None, DIR))}
                 if self.has_dirichlet else {}
+            ),
+            **(
+                {
+                    "rdif_pl": puts(rt["dif"]["pl"], (S,), np.int32),
+                    "rdif_pw": puts(rt["dif"]["pw"], (S,), np.int32),
+                    "rdif_fint": puts(rt["dif"]["fint"], (S,)),
+                    "rdif_fvec": puts(rt["dif"]["fvec"], (S,)),
+                    "rdif_cin": puts(rt["dif"]["cin"], (S, None, DIR)),
+                    "rdif_wplus": puts(rt["dif"]["wplus"], (S, None, DIR)),
+                    "rdif_norm": puts(rt["dif"]["norm"], (S,)),
+                }
+                if self._dif_on else {}
+            ),
+            **(
+                {
+                    "rspc_pl": puts(rt["spc"]["pl"], (S,), np.int32),
+                    "rspc_pw": puts(rt["spc"]["pw"], (S,), np.int32),
+                    "rspc_fmv": puts(rt["spc"]["fmv"], (S,)),
+                    "rspc_cin": puts(rt["spc"]["cin"], (S, None, DIR)),
+                    "rspc_gk": puts(rt["spc"]["gk"], (S, None, DIR), np.int32),
+                }
+                if self._spc_on else {}
             ),
         )
         self._step = jax.jit(self._step_impl, donate_argnums=(1,))
@@ -484,6 +611,25 @@ class SlabLatticeSolver:
                 has_up=Pspec(S),
                 **({"dsrc": Pspec(S, None, None, DIR)}
                    if self.has_dirichlet else {}),
+                **(
+                    {
+                        "rdif_pl": Pspec(S), "rdif_pw": Pspec(S),
+                        "rdif_fint": Pspec(S), "rdif_fvec": Pspec(S),
+                        "rdif_cin": Pspec(S, None, DIR),
+                        "rdif_wplus": Pspec(S, None, DIR),
+                        "rdif_norm": Pspec(S),
+                    }
+                    if self._dif_on else {}
+                ),
+                **(
+                    {
+                        "rspc_pl": Pspec(S), "rspc_pw": Pspec(S),
+                        "rspc_fmv": Pspec(S),
+                        "rspc_cin": Pspec(S, None, DIR),
+                        "rspc_gk": Pspec(S, None, DIR),
+                    }
+                    if self._spc_on else {}
+                ),
             ),
             Pspec(S, None, None, DIR),  # u
             Pspec(S),  # Tc
@@ -545,6 +691,57 @@ class SlabLatticeSolver:
                     "gkbij,lgkjbw->lgkibw", cl["bcv"][:, j, :Kl], wsrc
                 )
                 wrap_sol = ws if wrap_sol is None else wrap_sol + ws
+
+            # ---- lagged reflective closures (legacy types 2/3) -------------
+            # Same math as the single-device ring (source_iteration.py): the
+            # previous iterate is read at each reflective face's local slab
+            # (level, slot); the diffuse hemisphere flux sums outgoing
+            # directions across dir shards (psum), the specular mirror slot
+            # comes from an all_gather'd boundary block; the contribution is
+            # folded through B here (this body subtracts lagged terms in
+            # SOLUTION space) and scattered like the periodic wraps.
+            if self._refl_tabs is not None:
+                gi = jnp.arange(G)[:, None]
+                rsol = jnp.zeros_like(u_l)
+                bcls_l = cl["b_cls"][:, :Kl]  # (G, Kl, BS, D, D)
+                if self._dif_on:
+                    pl, pw = cl["rdif_pl"][0], cl["rdif_pw"][0]  # (G, Pf)
+                    vb = u_l[pl, gi, :, :, :, pw]  # (G, Pf, Kl, D, BS)
+                    flux = lax.psum(jnp.einsum(
+                        "gkq,qj,gqkjb->bq",
+                        cl["rdif_wplus"][0][:, :Kl], cl["rdif_fvec"][0], vb,
+                    ), DIR)
+                    u_in = flux * cl["rdif_norm"][0][None]  # (BS, Pf)
+                    dif_rhs = -jnp.einsum(
+                        "gkq,b,bq,qi->gqkib",
+                        cl["rdif_cin"][0][:, :Kl], vg, u_in,
+                        cl["rdif_fint"][0],
+                    )
+                    rsol = rsol.at[pl, gi, :, :, :, pw].add(
+                        -jnp.einsum("gkbij,gqkjb->gqkib", bcls_l, dif_rhs)
+                    )
+                if self._spc_on:
+                    pl, pw = cl["rspc_pl"][0], cl["rspc_pw"][0]
+                    vb = u_l[pl, gi, :, :, :, pw]  # (G, Pf, Kl, D, BS)
+                    vb_all = lax.all_gather(
+                        vb, DIR, axis=2, tiled=True
+                    )  # (G, Pf, Km, D, BS)
+                    vfl = jnp.moveaxis(vb_all, 1, 2).reshape(
+                        (G * self.Km,) + vb_all.shape[1:2] + vb_all.shape[3:]
+                    )  # (G*Km, Pf, D, BS)
+                    p_idx = jnp.arange(vb.shape[1])[None, None, :]
+                    v_m = vfl[
+                        cl["rspc_gk"][0][:, :Kl], p_idx
+                    ]  # (G, Kl, Pf, D, BS)
+                    spc_rhs = -jnp.einsum(
+                        "gkq,b,qij,gkqjb->gqkib",
+                        cl["rspc_cin"][0][:, :Kl], vg,
+                        cl["rspc_fmv"][0], v_m,
+                    )
+                    rsol = rsol.at[pl, gi, :, :, :, pw].add(
+                        -jnp.einsum("gkbij,gqkjb->gqkib", bcls_l, spc_rhs)
+                    )
+                wrap_sol = rsol if wrap_sol is None else wrap_sol + rsol
 
             # ---- lagged temperature slab (masked to owned slots) -----------
             TcT = Tc_l.T  # (D, ne_loc)

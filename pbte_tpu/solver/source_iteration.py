@@ -454,15 +454,6 @@ class SourceIterationSolver:
         self._ring_ccpl_arr = None
         self._ring_lattice = False
         ring_want = sweep_mode in ("auto", "ring")
-        if ring_want and (self._dif_on or self._spc_on):
-            # lagged reflective BCs are implemented in the scan path only
-            # (their closures need cross-group reads of the lagged state)
-            if sweep_mode == "ring":
-                raise ValueError(
-                    "sweep_mode='ring' does not support diffuse/specular "
-                    "BCs; use sweep_mode='scan'"
-                )
-            ring_want = False
         if ring_want:
             cls_r = (
                 self._cls_cache if self._cls_cache is not None
@@ -561,6 +552,7 @@ class SourceIterationSolver:
             and self._ring_lattice
             and self._ring_ccpl
             and not self.has_periodic
+            and not (self._dif_on or self._spc_on)
             and dir_sharding is None
             and np_dtype == np.float32
             and matmul_precision in (None, "default")
@@ -628,8 +620,9 @@ class SourceIterationSolver:
         # see _fit_ring_window — unaligned windows relayout and lose) cuts
         # the step nearly proportionally to whole tiles saved (flagship:
         # 9856 slots = 16% off). Restricted to the single-class lattice
-        # path (H=1, no periodic wraps, XLA ring); PBTE_RING_WINDOWS=0
-        # disables for A/B.
+        # path (H=1, no lagged couplings — periodic wraps and reflective
+        # BCs scatter at full-slab (level, slot) pairs — XLA ring);
+        # PBTE_RING_WINDOWS=0 disables for A/B.
         self._ring_windowed = False
         self._ring_segs = None
         if (
@@ -638,6 +631,7 @@ class SourceIterationSolver:
             and self._ring_ccpl
             and self._ring_H == 1
             and not self.has_periodic
+            and not (self._dif_on or self._spc_on)
             and not self._use_pallas_ring
             and os.environ.get("PBTE_RING_WINDOWS", "") != "0"
         ):
@@ -820,6 +814,7 @@ class SourceIterationSolver:
                 ).sum(axis=0)  # (P,) incoming-hemisphere weight
                 areaF = ops.face_int[d_e, d_f].sum(axis=-1)  # |F| (P,)
                 dif_t = dict(
+                    elem=d_e,
                     pos=pos_of_elem[:, d_e].astype(np.int32),  # (G, P)
                     fint=ops.face_int[d_e, d_f],  # (P, D)
                     cin=np.minimum(sdotn_g, 0.0),  # (G, Km, P)
@@ -862,6 +857,7 @@ class SourceIterationSolver:
                     "gkd,pd->gkp", dirs_np[dirs_safe], n_s
                 ) * dir_valid[..., None]
                 spc_t = dict(
+                    elem=s_e,
                     pos=pos_of_elem[:, s_e].astype(np.int32),  # (G, P)
                     fm=ops.face_mass[s_e, s_f],  # (P, D, D)
                     cin=np.minimum(sdotn_g, 0.0),  # (G, Km, P)
@@ -872,6 +868,34 @@ class SourceIterationSolver:
                         g_of_dir[km_glob], s_e[None, None, :]
                     ].astype(np.int32),  # (G, Km, P) source position in g*
                 )
+
+        # ---- ring-mode reflective tables ------------------------------------
+        # The ring state is v = M^T u, so the closures read boundary values
+        # through the element's M^-T: the diffuse flux vector folds to
+        # fvec = fint @ M^-T and the specular face mass to fmv = fm @ M^-T.
+        # Scatter positions are slab (level, slot) pairs per group, diffuse
+        # rows first then specular (the gather/scatter column order).
+        self._ring_refl_Pd = 0
+        self._ring_refl = None
+        if (self._dif_on or self._spc_on) and self.sweep_mode == "ring":
+            rr = {}
+            pls, pws = [], []
+            if self._dif_on:
+                im = self._ring_invMT_cls[
+                    self._ring_cls[dif_t["elem"]]
+                ]  # (P_d, D, D)
+                rr["dif_fvec"] = np.einsum("pi,pij->pj", dif_t["fint"], im)
+                pls.append(dif_t["pos"] // W)
+                pws.append(dif_t["pos"] % W)
+                self._ring_refl_Pd = dif_t["pos"].shape[1]
+            if self._spc_on:
+                im = self._ring_invMT_cls[self._ring_cls[spc_t["elem"]]]
+                rr["spc_fmv"] = np.einsum("pil,plj->pij", spc_t["fm"], im)
+                pls.append(spc_t["pos"] // W)
+                pws.append(spc_t["pos"] % W)
+            rr["pl"] = np.concatenate(pls, axis=1)  # (G, P_d + P_s)
+            rr["pw"] = np.concatenate(pws, axis=1)
+            self._ring_refl = rr
 
         # ---- ring-mode neighbor selection tables ---------------------------
         # Lattice meshes: NO tables at all — the upwind neighbor of slot w is
@@ -1457,24 +1481,36 @@ class SourceIterationSolver:
             assert bool(covered.all()), "element missing from all windows"
 
         self.consts = dict(
-            # lagged reflective BC tables (legacy types 2/3), empty unless on
+            # lagged reflective BC tables (legacy types 2/3), empty unless on;
+            # the scan path scatters at element positions, the ring path at
+            # slab (level, slot) pairs through M^-T-folded vectors
             **(
                 {
-                    "dif_pos": iput(dif_t["pos"]),
                     "dif_fint": put(dif_t["fint"]),
                     "dif_cin": put(dif_t["cin"]),
                     "dif_wplus": put(dif_t["wplus"]),
                     "dif_norm": put(dif_t["norm"]),
+                    **(
+                        {"dif_fvec": put(self._ring_refl["dif_fvec"])}
+                        if self.sweep_mode == "ring"
+                        else {"dif_pos": iput(dif_t["pos"])}
+                    ),
                 }
                 if self._dif_on else {}
             ),
             **(
                 {
-                    "spc_pos": iput(spc_t["pos"]),
-                    "spc_fm": put(spc_t["fm"]),
                     "spc_cin": put(spc_t["cin"]),
                     "spc_gk": iput(spc_t["gk"]),
-                    "spc_src": iput(spc_t["src"]),
+                    **(
+                        {"spc_fmv": put(self._ring_refl["spc_fmv"])}
+                        if self.sweep_mode == "ring"
+                        else {
+                            "spc_pos": iput(spc_t["pos"]),
+                            "spc_fm": put(spc_t["fm"]),
+                            "spc_src": iput(spc_t["src"]),
+                        }
+                    ),
                 }
                 if self._spc_on else {}
             ),
@@ -1585,6 +1621,18 @@ class SourceIterationSolver:
                             "per_pw": iput(per_pw[gs]),
                             "per_sl": iput(per_sl[gs]),
                             "per_sw": iput(per_sw[gs]),
+                            **(
+                                {
+                                    "refl_pl": iput(
+                                        self._ring_refl["pl"][gs]
+                                    ),
+                                    "refl_pw": iput(
+                                        self._ring_refl["pw"][gs]
+                                    ),
+                                }
+                                if self._ring_refl is not None
+                                else {}
+                            ),
                             **(
                                 {"cpl": put(ring_cpl[:, gs])}
                                 if ring_cpl is not None
@@ -2321,6 +2369,61 @@ class SourceIterationSolver:
         )
         slot_off = (jnp.arange(L, dtype=jnp.int32) % Hn) * W
 
+        # ---- lagged reflective closures (legacy types 2/3) -----------------
+        # Cross-group reads of the PREVIOUS iterate (u is still the previous
+        # state here): gather v at every reflective boundary element's slab
+        # (level, slot) per group, dense over (G, Km) so the diffuse
+        # hemisphere flux sums all outgoing directions and the specular
+        # mirror direction can live in any group; the M^-T that converts the
+        # carried v = M^T u back to physical traces is folded into
+        # dif_fvec / spc_fmv at setup. Contributions scatter into each
+        # group's rhs_extra inside ring_group (same mechanism as periodic).
+        refl_con = None
+        if self._ring_refl is not None:
+            f32 = tc_slab.dtype
+            parts = []
+            for bi, (gs, km_b) in enumerate(self._ring_buckets):
+                rb = c["ring_b"][bi]
+                gi = jnp.arange(len(gs))[:, None]
+                vb = u[bi][
+                    rb["refl_pl"], gi, :, :, :, rb["refl_pw"]
+                ]  # (G_b, P, Km_b, D, BS)
+                vb = jnp.moveaxis(vb, 1, -1)  # (G_b, Km_b, D, BS, P)
+                if km_b < self.Km:
+                    vb = jnp.pad(
+                        vb,
+                        ((0, 0), (0, self.Km - km_b), (0, 0), (0, 0), (0, 0)),
+                    )
+                parts.append(vb)
+            r_order = np.concatenate([gs for gs, _ in self._ring_buckets])
+            r_inv = np.empty(G, dtype=np.int32)
+            r_inv[r_order] = np.arange(G)
+            v_bnd = jnp.concatenate(parts, axis=0)[r_inv].astype(
+                f32
+            )  # (G, Km, D, BS, P)
+            pd = self._ring_refl_Pd
+            cons = []
+            if self._dif_on:
+                out_flux = jnp.einsum(
+                    "gkp,pj,gkjbp->bp",
+                    c["dif_wplus"], c["dif_fvec"], v_bnd[..., :pd],
+                )
+                u_in = out_flux * c["dif_norm"][None]  # (BS, P_d)
+                cons.append(-jnp.einsum(
+                    "gkp,b,bp,pi->gpkib",
+                    c["dif_cin"], c["vg"], u_in, c["dif_fint"],
+                ))
+            if self._spc_on:
+                v_s = v_bnd[..., pd:]  # (G, Km, D, BS, P_s)
+                v_sf = v_s.reshape((G * self.Km,) + v_s.shape[2:])
+                p_idx = jnp.arange(v_s.shape[-1])[None, None, :]
+                v_m = v_sf[c["spc_gk"], :, :, p_idx]  # (G, Km, P_s, D, BS)
+                cons.append(-jnp.einsum(
+                    "gkp,b,pij,gkpjb->gpkib",
+                    c["spc_cin"], c["vg"], c["spc_fmv"], v_m,
+                ))
+            refl_con = jnp.concatenate(cons, axis=1)  # (G, P, Km, D, BS)
+
         def ring_group(v_g, tc_g, bsrc0_g, cin_g, oh_g, mats_g, macro_w_g,
                        per_cpl, per_cin, per_pl, per_pw, per_sl, per_sw,
                        cpl_slab, *extra):
@@ -2340,10 +2443,12 @@ class SourceIterationSolver:
                     )
             # u-independent per-level rhs pieces, (L, Km, BS, D, W) folded
             # lazily in the body (only (L,Km,D,W)-sized consts live in HBM)
-            if self.has_dirichlet:
-                (dsrc0_g,) = extra  # (L, Km, D, W)
-            else:
-                dsrc0_g = None
+            ex = list(extra)
+            dsrc0_g = ex.pop(0) if self.has_dirichlet else None  # (L,Km,D,W)
+            if self._ring_refl is not None:
+                refl_pl_g, refl_pw_g, refl_con_g = (
+                    ex.pop(0), ex.pop(0), ex.pop(0)
+                )
 
             # periodic: lagged wrap couplings against the previous iterate,
             # materialized as a sparse rhs addition (periodic meshes only)
@@ -2357,6 +2462,18 @@ class SourceIterationSolver:
                     (L, v_g.shape[1], D, BS, W), v_g.dtype
                 ).at[per_pl, :, :, :, per_pw].add(
                     -contrib * c["vg"][None, None, None, :]
+                )
+
+            # reflective: contributions precomputed outside (cross-group
+            # reads), scattered here at this group's (level, slot) pairs;
+            # corner elements with several reflective faces accumulate
+            if self._ring_refl is not None:
+                if rhs_extra is None:
+                    rhs_extra = jnp.zeros(
+                        (L, v_g.shape[1], D, BS, W), v_g.dtype
+                    )
+                rhs_extra = rhs_extra.at[refl_pl_g, :, :, :, refl_pw_g].add(
+                    refl_con_g.astype(rhs_extra.dtype)
                 )
 
             def body(ring, xs):
@@ -2518,13 +2635,20 @@ class SourceIterationSolver:
             if cpl_slab is None:
                 cpl_slab = jnp.zeros((L, len(gs), 1), dtype=u[bi].dtype)
             extra = (cb["dsrc0"],) if self.has_dirichlet else ()
+            ex_ax = (1,) if self.has_dirichlet else ()
+            if refl_con is not None:
+                extra = extra + (
+                    cb["refl_pl"], cb["refl_pw"],
+                    refl_con[gs][:, :, :km_b],  # (G_b, P, Km_b, D, BS)
+                )
+                ex_ax = ex_ax + (0, 0, 0)
             mats_axes = tuple(
                 1 if i == 1 else 0 for i in range(len(mats_b))
             )
             vb, mb = jax.vmap(
                 ring_group,
                 in_axes=(1, 1, 1, 1, 1, mats_axes, 0, 0, 0, 0, 0, 0, 0, 1)
-                + ((1,) if self.has_dirichlet else ()),
+                + ex_ax,
                 out_axes=(1, 0),
             )(
                 u[bi], tc_slab[:, gs], cb["bsrc0"], cb["cin"],

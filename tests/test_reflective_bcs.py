@@ -177,11 +177,85 @@ def test_specular_mirror_symmetry():
     assert sym < 1e-9
 
 
-def test_reflective_ring_mode_raises():
-    ops, quad, tables = _problem2d()
-    with pytest.raises(ValueError, match="diffuse/specular"):
-        SourceIterationSolver(ops, quad, tables, {2: 0.5, 4: -0.5},
-                              diffuse_bcs=[1, 3], sweep_mode="ring")
+def _hex8():
+    m = pmesh.make_cartesian_3d(8, 8, 8, "hex").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1,
+                            face_mode="consistent")
+    quad = ang.build(
+        ang.AngularOptions(dimension=3, polar_points=2, azimuth_points=4))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    return ops, quad, tables
+
+
+def test_diffuse_ring_lattice_matches_oracle():
+    """Reflective closures on the shift-structured LATTICE ring (the
+    production sweep): contributions gather from the slab state through
+    M^-T-folded vectors and scatter into rhs_extra — iterate-exact vs the
+    sequential oracle. ne=512 triggers canonical faces + lattice tables."""
+    ops, quad, tables = _hex8()
+    bcs = {5: -0.5, 3: 0.5}
+    uo, Tco, *_ = solve_oracle(ops, quad, tables, bcs, tol=0, max_iter=5,
+                               diffuse=[1, 2, 4, 6])
+    s = SourceIterationSolver(ops, quad, tables, bcs, dtype=jnp.float64,
+                              diffuse_bcs=[1, 2, 4, 6], sweep_mode="ring")
+    assert s.sweep_mode == "ring" and s._ring_lattice
+    r = s.solve(tol=0, max_iter=5, verbose=False)
+    np.testing.assert_allclose(np.asarray(r.Tc), Tco, rtol=1e-11, atol=1e-14)
+
+
+def test_specular_ring_lattice_matches_oracle():
+    ops, quad, tables = _hex8()
+    bcs = {5: -0.5, 3: 0.5}
+    uo, Tco, *_ = solve_oracle(ops, quad, tables, bcs, tol=0, max_iter=5,
+                               specular=[1, 2, 4, 6])
+    s = SourceIterationSolver(ops, quad, tables, bcs, dtype=jnp.float64,
+                              specular_bcs=[1, 2, 4, 6], sweep_mode="ring")
+    assert s.sweep_mode == "ring" and s._ring_lattice
+    r = s.solve(tol=0, max_iter=5, verbose=False)
+    np.testing.assert_allclose(np.asarray(r.Tc), Tco, rtol=1e-11, atol=1e-14)
+
+
+def test_mixed_reflective_ring_one_hot_matches_oracle():
+    """All lagged sources together (diffuse + specular + Dirichlet) on the
+    general one-hot ring (ne < 512 keeps the pre-canonical face order, so
+    lattice detection fails and the one-hot selection path runs)."""
+    m = pmesh.make_cartesian_3d(4, 4, 4, "hex").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1,
+                            face_mode="consistent")
+    quad = ang.build(
+        ang.AngularOptions(dimension=3, polar_points=2, azimuth_points=4))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    bcs = {5: -0.5}
+    uo, Tco, *_ = solve_oracle(ops, quad, tables, bcs, tol=0, max_iter=5,
+                               diffuse=[1, 4], specular=[2, 6],
+                               dirichlet={3: 0.25})
+    s = SourceIterationSolver(ops, quad, tables, bcs, dtype=jnp.float64,
+                              diffuse_bcs=[1, 4], specular_bcs=[2, 6],
+                              dirichlet_bcs={3: 0.25}, sweep_mode="ring")
+    assert s.sweep_mode == "ring" and not s._ring_lattice
+    r = s.solve(tol=0, max_iter=5, verbose=False)
+    np.testing.assert_allclose(np.asarray(r.Tc), Tco, rtol=1e-10, atol=1e-14)
+
+
+def test_diffuse_ring_dir_sharded_matches_oracle():
+    """The diffuse hemisphere flux sums outgoing directions across dir
+    shards (XLA inserts the all-reduce under NamedSharding); the mirror
+    gather crosses shards likewise."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = np.array(jax.devices()[:4])
+    sharding = NamedSharding(Mesh(devs, axis_names=("dir",)), P("dir"))
+    ops, quad, tables = _problem2d(nx=6, ny=6)
+    bcs = {2: 0.5, 4: -0.5}
+    uo, Tco, *_ = solve_oracle(ops, quad, tables, bcs, tol=0, max_iter=5,
+                               diffuse=[1], specular=[3])
+    s = SourceIterationSolver(ops, quad, tables, bcs, dtype=jnp.float64,
+                              diffuse_bcs=[1], specular_bcs=[3],
+                              sweep_mode="ring", dir_sharding=sharding)
+    assert s.sweep_mode == "ring"
+    r = s.solve(tol=0, max_iter=5, verbose=False)
+    np.testing.assert_allclose(np.asarray(r.Tc), Tco, rtol=1e-10, atol=1e-14)
 
 
 def test_config_parses_reflective_types(tmp_path):

@@ -156,3 +156,51 @@ def test_slab_bicgstab_accelerated():
         r_acc.iterations, r_plain.iterations)
     Tp, Ta = r_plain.Tc_global(), r_acc.Tc_global()
     np.testing.assert_allclose(Ta, Tp, rtol=0, atol=1e-7 * np.abs(Tp).max())
+
+
+def test_slab_reflective_matches_lagged_oracle():
+    """Diffuse + specular on the slab solver: partition-local face tables,
+    diffuse flux psum'd over "dir", specular mirror via an all_gather'd
+    boundary block — iterate-exact vs the lagged-interface oracle."""
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    quad = ang.build(ang.AngularOptions(dimension=3, polar_points=2,
+                                        azimuth_points=4))
+    m = pmesh.make_cartesian_3d(6, 4, 4, "hex").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1, face_mode="consistent")
+    # x walls (attrs 5/3) isothermal — the gauss azimuth rule is not
+    # mirror-symmetric about x, so specular goes on the y/z walls
+    bcs = {5: -0.5, 3: 0.5}
+    dif, spc = [1, 2], [4, 6]
+    s = SlabLatticeSolver(ops, quad, tables, bcs, device_mesh=_mesh2x4(),
+                          dtype=jnp.float64, diffuse_bcs=dif,
+                          specular_bcs=spc)
+    assert s._dif_on and s._spc_on
+    res = s.solve(tol=0, max_iter=5, verbose=False)
+    uo, Tco, *_ = solve_oracle(ops, quad, tables, bcs, tol=0, max_iter=5,
+                               part=_slab_part(s, ops.num_elements),
+                               diffuse=dif, specular=spc)
+    np.testing.assert_allclose(res.Tc_global(), Tco, rtol=1e-11,
+                               atol=1e-13 * np.abs(Tco).max())
+
+
+def test_slab_reflective_converges_to_single_device():
+    """Reflective slab fixed point == single-device fixed point (lagging
+    vanishes at convergence)."""
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    quad = ang.build(ang.AngularOptions(dimension=3, polar_points=2,
+                                        azimuth_points=4))
+    m = pmesh.make_cartesian_3d(6, 4, 4, "hex").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1, face_mode="consistent")
+    attrs = sorted(int(a) for a in np.unique(ops.face_attr[ops.neighbor < 0]))
+    bcs = {attrs[0]: -0.5, attrs[-1]: 0.5}
+    dif = [a for a in attrs if a not in bcs]
+    s = SlabLatticeSolver(ops, quad, tables, bcs, device_mesh=_mesh2x4(),
+                          dtype=jnp.float64, diffuse_bcs=dif)
+    r = s.solve(tol=1e-12, max_iter=1500, verbose=False, check_every=100)
+    sd = SourceIterationSolver(ops, quad, tables, bcs, dtype=jnp.float64,
+                               diffuse_bcs=dif)
+    rd = sd.solve(tol=1e-12, max_iter=1500, verbose=False, check_every=100)
+    Tc_ref = np.asarray(rd.Tc)
+    np.testing.assert_allclose(
+        r.Tc_global(), Tc_ref, rtol=0, atol=1e-9 * np.abs(Tc_ref).max()
+    )
