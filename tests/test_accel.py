@@ -152,3 +152,27 @@ def test_bicgstab_checkpoint_and_max_iter_cap(tmp_path):
                       check_every=10, accelerate="bicgstab", state=state)
     Tr, Tc = np.asarray(ref.Tc), np.asarray(resumed.Tc)
     np.testing.assert_allclose(Tc, Tr, rtol=0, atol=1e-7 * np.abs(Tr).max())
+
+
+def test_bicgstab_ring_path_with_reflective():
+    """Same affine-map check on the RING path with reflective closures
+    (the contributions scatter through rhs_extra; still linear in the
+    previous iterate, so the Krylov outer loop applies unchanged)."""
+    m = pmesh.make_cartesian_3d(4, 4, 4, "hex").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1,
+                            face_mode="consistent")
+    quad = ang.build(ang.AngularOptions(dimension=3, polar_points=2,
+                                        azimuth_points=4))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    kw = dict(dtype=jnp.float64, sweep_mode="ring",
+              diffuse_bcs=[1], specular_bcs=[4, 6])
+    bcs = {a: -0.5 for a in (2, 3)} | {5: 0.5}
+    s = SourceIterationSolver(ops, quad, tables, bcs, **kw)
+    assert s.sweep_mode == "ring"
+    r_plain = s.solve(tol=1e-11, max_iter=4000, verbose=False,
+                      check_every=10)
+    r_acc = s.solve(tol=1e-11, max_iter=4000, verbose=False, check_every=10,
+                    accelerate="bicgstab")
+    assert r_acc.iterations * 3 < r_plain.iterations
+    Tp, Ta = np.asarray(r_plain.Tc), np.asarray(r_acc.Tc)
+    np.testing.assert_allclose(Ta, Tp, rtol=0, atol=1e-7 * np.abs(Tp).max())

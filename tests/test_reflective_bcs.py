@@ -304,3 +304,24 @@ def test_reflective_on_mixed_geometry_mesh():
     r = s.solve(tol=0, max_iter=5, verbose=False)
     np.testing.assert_allclose(np.asarray(r.Tc), Tco, rtol=1e-11,
                                atol=1e-14)
+
+
+def test_diffuse_with_periodic_ring_shares_rhs_extra():
+    """Periodic wraps and reflective closures both scatter into the ring's
+    rhs_extra — they must accumulate, not clobber."""
+    m = pmesh.make_cartesian_2d(8, 8, "quad").scaled(1e-6)
+    m = pmesh.make_periodic(m, [0])
+    ops = assembly.assemble(pmesh.connect(m), order=1,
+                            face_mode="consistent")
+    quad = ang.build(ang.AngularOptions(dimension=2, azimuth_points=8))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    attrs = sorted(int(a) for a in np.unique(ops.face_attr[ops.neighbor < 0]))
+    bcs = {attrs[0]: 0.5}
+    dif = [a for a in attrs[1:]]
+    uo, Tco, *_ = solve_oracle(ops, quad, tables, bcs, tol=0, max_iter=6,
+                               diffuse=dif)
+    s = SourceIterationSolver(ops, quad, tables, bcs, diffuse_bcs=dif,
+                              sweep_mode="ring", dtype=jnp.float64)
+    assert s.sweep_mode == "ring" and s.has_periodic
+    r = s.solve(tol=0, max_iter=6, verbose=False)
+    np.testing.assert_allclose(np.asarray(r.Tc), Tco, rtol=1e-11, atol=1e-14)
