@@ -1434,14 +1434,20 @@ class SourceIterationSolver:
         # (..., D, D) minor dims, which the (8, 128) tile padding inflates
         # ~6x at D=20; across all G groups under one vmap this OOM'd the
         # legacy tet shape. Above the budget, groups run sequentially.
+        # PBTE_SEQ_GROUPS=1 forces sequential groups for ANY scan policy:
+        # per-group window buffers (neighbor gathers, tile-padded einsum
+        # temporaries) scale with the vmapped group count, and the full
+        # 16x24-angle legacy tet shape (G*Km = 1128 slots) exhausts a
+        # single chip under the all-groups vmap even with window-local rhs
+        # assembly — lax.map trades that peak for one extra level of
+        # sequencing (directions inside a group stay batched).
         inv_ws = (
             3 * G * Km * BS * self.W
             * (-(-D // 8) * 8) * 128 * np.dtype(np_dtype).itemsize
         )
-        self._seq_groups = (
-            self.sweep_mode != "ring"
-            and cache_policy == "on-the-fly"
-            and inv_ws > 6e9
+        self._seq_groups = self.sweep_mode != "ring" and (
+            (cache_policy == "on-the-fly" and inv_ws > 6e9)
+            or os.environ.get("PBTE_SEQ_GROUPS", "") == "1"
         )
 
         def _win_slices(a, l_axis=0):

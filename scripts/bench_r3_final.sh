@@ -40,6 +40,18 @@ done
 echo "=== tet ring A/B ===" | tee -a "$out"
 env PBTE_TET_SWEEP=ring PBTE_TET_STEPS=5 timeout -k 30 2400 \
     python scripts/bench_tet.py 2>>"$out" | tee -a "$out"
+# 5c. FULL 16x24-angle legacy tet quadrature. The all-groups vmap
+#     RESOURCE_EXHAUSTED here in the r3 measurement (the subset row
+#     extrapolates); sequential groups (lax.map) trade the per-group
+#     window working set for one level of sequencing. First row records
+#     the actual OOM buffer (or a surprise pass), second the seq path.
+echo "=== tet full-K (vmap groups; expect OOM) ===" | tee -a "$out"
+env PBTE_TET_POLAR=16 PBTE_TET_AZIMUTH=24 PBTE_TET_STEPS=3 \
+    timeout -k 30 2400 python scripts/bench_tet.py 2>>"$out" | tee -a "$out"
+echo "=== tet full-K sequential groups ===" | tee -a "$out"
+env PBTE_TET_POLAR=16 PBTE_TET_AZIMUTH=24 PBTE_TET_STEPS=3 \
+    PBTE_SEQ_GROUPS=1 timeout -k 30 2400 \
+    python scripts/bench_tet.py 2>>"$out" | tee -a "$out"
 # 6. Krylov-accelerated flagship convergence (the other half of the
 #    north-star: wall time to residual 1e-8). BiCGStab holds ~8 state
 #    copies (~9 GB f32 at hex-16^3) — if it OOMs the row just fails.
