@@ -367,11 +367,15 @@ class SourceIterationSolver:
         bc_T = np.zeros((ne, nf))
         for attr, T in bc_temps.items():
             bc_T[ops.face_attr == int(attr)] = float(T)
-        # Dirichlet face integrals: g * int_F phi_i (constant g per attr)
+        # Dirichlet face integrals: g * int_F phi_i (constant g per attr);
+        # dval keeps the scalar g per face for the class-compressed stream
+        # mode (the face integral is then rebuilt from the class cache)
         dvec = np.zeros((ne, nf, D))
+        dval = np.zeros((ne, nf))
         for attr, gval in dirichlet_bcs.items():
             sel = ops.face_attr == int(attr)
             dvec[sel] = float(gval) * ops.face_int[sel]
+            dval[sel] = float(gval)
 
         # ---- sweep plan, slot-major (G, Km) layout -------------------------
         # periodic faces are EXCLUDED from the upwind DAG (they would close
@@ -734,6 +738,47 @@ class SourceIterationSolver:
                     [int(np.flatnonzero(cls == c)[0]) for c in range(ncls)]
                 )
 
+        # ---- class-compressed operator streams (opt-in, scan path) ---------
+        # The per-element mass/coupling/face-integral streams are replicated
+        # per direction group (gperm below): coupling alone is G*nf*D^2*ne
+        # floats — ~10 GB at a refined-tet production growth shape (G=34,
+        # ne=48k, p=3). When every element of a class shares these tensors
+        # (translation-invariant meshes; VERIFIED below, not assumed), the
+        # level body instead rebuilds each window from an (ncls, ...) cache
+        # with the same tiny one-hot matmul the class-full factor cache
+        # uses, and the G-replicated streams ship as 1-wide dummies.
+        # Scope: the class-full factor policy (supplies the one-hot), no
+        # periodic/reflective couplings (those scatter into the hoisted rhs
+        # base, which this mode drops — the point is a window-local working
+        # set). Opt-in via PBTE_SCAN_CLASS_OPS=1 until measured on hardware.
+        self._scan_cls_ops = False
+        if (
+            self._cls is not None
+            and cache_policy == "full"
+            and not self.has_periodic
+            and not (self._dif_on or self._spc_on)
+            and os.environ.get("PBTE_SCAN_CLASS_OPS", "") == "1"
+        ):
+            cpl_cls_s = _assembly.class_coupling(ops, self._cls)
+            ok_cls = cpl_cls_s is not None
+            if ok_cls:
+                for arr in (ops.mass, ops.face_int):
+                    ref = arr[self._cls_reps][self._cls]
+                    scale = max(float(np.abs(arr).max()), 1e-300)
+                    if float(np.abs(arr - ref).max()) > 1e-10 * scale:
+                        ok_cls = False
+                        break
+            if ok_cls:
+                self._scan_cls_ops = True
+                self._cls_massT = np.swapaxes(
+                    ops.mass[self._cls_reps], -1, -2
+                )  # (ncls, D, D)
+                self._cls_cpl = cpl_cls_s  # (ncls, nf, D, D)
+                self._cls_fint = ops.face_int[self._cls_reps]  # (ncls,nf,D)
+                # the whole point is a window-local working set: no
+                # (G, Km, BS, D, ne) hoisted rhs/relax temporaries
+                self._hoist_rhs = False
+
         # neighbor positions per group: (G, nf, ne_pad), -1 boundary/padding
         # (from the periodic-masked table: in-sweep gathers must never read a
         # periodic partner — those arrive lagged through the rhs base)
@@ -978,14 +1023,25 @@ class SourceIterationSolver:
             )
             return np.ascontiguousarray(np.moveaxis(g, 1, -1))
 
-        face_int_g = gperm(ops.face_int, None)  # (G, nf, D, ne_pad)
+        if self._scan_cls_ops:
+            face_int_g = np.zeros((G, 1, 1, 1))  # rebuilt from cls_fint
+            # Dirichlet ships the scalar g per face; the face integral is
+            # rebuilt from the class cache inside the body
+            dvec_g = gperm(dval, None) if self.has_dirichlet else None
+        else:
+            face_int_g = gperm(ops.face_int, None)  # (G, nf, D, ne_pad)
+            dvec_g = gperm(dvec, None) if self.has_dirichlet else None
         bc_T_g = gperm(bc_T, None)  # (G, nf, ne_pad)
-        dvec_g = gperm(dvec, None) if self.has_dirichlet else None
         basis_int_g = gperm(ops.basis_int, None)  # (G, D, ne_pad)
         # ring mode replaces the per-element mass/coupling streams with
         # class-compressed factors; ship 1-wide dummies to keep the consts
         # pytree uniform without the HBM (1.2GB coupling at hex-16^3)
-        if self.sweep_mode == "ring":
+        if self._scan_cls_ops:
+            # class-compressed streams: the body rebuilds window operators
+            # from (ncls, ...) caches; ship 1-wide dummies like ring mode
+            mass_t_g = np.zeros((G, 1, 1, 1))
+            coupling_g = np.zeros((G, 1, 1, 1, 1))
+        elif self.sweep_mode == "ring":
             mass_t_g = np.zeros((G, 1, 1, 1))
             if self._ring_ccpl:
                 coupling_g = np.zeros((G, 1, 1, 1, 1))
@@ -1092,7 +1148,7 @@ class SourceIterationSolver:
 
         # ---- transport operator (host, float64, chunked batched inverse) ---
         vg_s = vg / self.dt_inv  # non-dimensionalized group velocity
-        if self.sweep_mode == "ring":
+        if self.sweep_mode == "ring" or self._scan_cls_ops:
             mass_g = np.zeros((G, 1, 1, 1))  # class factors replace these
         else:
             stiff_g = ops.stiff[perm_safe]  # (G, ne_pad, dim, D, D)
@@ -1520,6 +1576,14 @@ class SourceIterationSolver:
                 }
                 if self._spc_on else {}
             ),
+            **(
+                {
+                    "cls_massT": put(self._cls_massT),  # (ncls, D, D)
+                    "cls_cpl": put(self._cls_cpl),  # (ncls, nf, D, D)
+                    "cls_fint": put(self._cls_fint),  # (ncls, nf, D)
+                }
+                if self._scan_cls_ops else {}
+            ),
             mass_t=put(mass_t_g),  # (G, D, D, ne_pad): Mt[g,i,j,p]=mass[e_p,j,i]
             mass=put(np.moveaxis(mass_g, 1, -1)),  # (G, D, D, ne_pad)
             basis_int=put(basis_int_g),  # (G, D, ne_pad)
@@ -1881,17 +1945,45 @@ class SourceIterationSolver:
             if self._spc_on:
                 spc_pos_g, spc_con_g = ex.pop(0), ex.pop(0)
 
-            t_tc = jnp.einsum("ijE,jE->iE", mass_t, TcT_g)  # (D, ne)
             cin_all = jnp.minimum(fdot, 0.0)  # (Km, nf, ne)
             is_b_all = nbr_pos < 0  # (nf, ne)
             cin_bnd_all = jnp.where(is_b_all[None], cin_all, 0.0)
-            bsrc = jnp.einsum(
-                "kfE,fE,fiE->kiE", cin_bnd_all, bc_T, face_int
-            )  # (Km, D, ne) — BS-free, cheap to keep hoisted
-            if self.has_dirichlet:
-                dsrc = jnp.einsum("kfE,fiE->kiE", cin_bnd_all, dvec_gl)
-            else:
+            if self._scan_cls_ops:
+                # class-compressed streams: mass_t/face_int args are dummies;
+                # rebuild the (still-hoisted, BS-free) small terms by class
+                # masking against the factor cache's one-hot (mats[1])
+                oh_all = mats[1]  # (ncls, ne_pad)
+                t_tc = None
+                bsrc = None
                 dsrc = None
+                for ci in range(self.ncls):
+                    t_c = jnp.einsum(
+                        "ij,jE->iE", c["cls_massT"][ci], TcT_g
+                    ) * oh_all[ci]
+                    b_c = jnp.einsum(
+                        "kfE,fE,fi->kiE",
+                        cin_bnd_all, bc_T * oh_all[ci][None],
+                        c["cls_fint"][ci],
+                    )
+                    t_tc = t_c if t_tc is None else t_tc + t_c
+                    bsrc = b_c if bsrc is None else bsrc + b_c
+                    if self.has_dirichlet:
+                        # dvec_gl carries the SCALAR g per face here
+                        d_c = jnp.einsum(
+                            "kfE,fE,fi->kiE",
+                            cin_bnd_all, dvec_gl * oh_all[ci][None],
+                            c["cls_fint"][ci],
+                        )
+                        dsrc = d_c if dsrc is None else dsrc + d_c
+            else:
+                t_tc = jnp.einsum("ijE,jE->iE", mass_t, TcT_g)  # (D, ne)
+                bsrc = jnp.einsum(
+                    "kfE,fE,fiE->kiE", cin_bnd_all, bc_T, face_int
+                )  # (Km, D, ne) — BS-free, cheap to keep hoisted
+                if self.has_dirichlet:
+                    dsrc = jnp.einsum("kfE,fiE->kiE", cin_bnd_all, dvec_gl)
+                else:
+                    dsrc = None
             if self._hoist_rhs:
                 t_old = jnp.einsum(
                     "ijE,kbjE->kbiE", mass_t, u_g
@@ -1954,8 +2046,19 @@ class SourceIterationSolver:
                     else:
                         # window-local rhs assembly (memory-tight problems:
                         # no (Km, BS, D, ne)-sized hoisted temporaries)
+                        if self._scan_cls_ops:
+                            # rebuild the window mass from the class cache
+                            # (tiny ncls x Ws one-hot matmul, same trick as
+                            # the class-full factor cache below)
+                            ohw0 = lax.dynamic_slice_in_dim(
+                                mats[1], offc, Ws, axis=-1)
+                            mass_t_w = jnp.einsum(
+                                "cij,cw->ijw", c["cls_massT"], ohw0,
+                                precision=jax.lax.Precision.HIGHEST)
+                        else:
+                            mass_t_w = sl(mass_t)
                         t_old_w = jnp.einsum(
-                            "ijw,kbjw->kbiw", sl(mass_t), u_e
+                            "ijw,kbjw->kbiw", mass_t_w, u_e
                         )
                         rhs = (
                             c["src_w"][None, :, None, None]
@@ -1975,9 +2078,17 @@ class SourceIterationSolver:
                     npos = sl(nbr_pos)  # (nf, Ws) neighbor position or -1
                     is_b = npos < 0  # boundary
                     u_nbr = u_g[:, :, :, jnp.where(is_b, 0, npos)]  # (Km,BS,D,nf,Ws)
+                    if self._scan_cls_ops:
+                        ohw0 = lax.dynamic_slice_in_dim(
+                            mats[1], offc, Ws, axis=-1)
+                        cpl_w = jnp.einsum(
+                            "cfij,cw->fijw", c["cls_cpl"], ohw0,
+                            precision=jax.lax.Precision.HIGHEST)
+                    else:
+                        cpl_w = sl(coupling)
                     interior = jnp.einsum(
                         "fijw,kfw,kbjfw->kbiw",
-                        sl(coupling), sl(cin_int_all), u_nbr,
+                        cpl_w, sl(cin_int_all), u_nbr,
                     )  # (Km, BS, D, Ws)
                     rhs = rhs - c["vg"][None, :, None, None] * interior
                     if self.cache_policy == "eigen":

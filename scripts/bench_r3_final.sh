@@ -52,6 +52,18 @@ echo "=== tet full-K sequential groups ===" | tee -a "$out"
 env PBTE_TET_POLAR=16 PBTE_TET_AZIMUTH=24 PBTE_TET_STEPS=3 \
     PBTE_SEQ_GROUPS=1 timeout -k 30 2400 \
     python scripts/bench_tet.py 2>>"$out" | tee -a "$out"
+# 5d. class-compressed operator streams A/B on the tet subset row (kills
+#     the O(G*ne) coupling/mass/face-int streams; window ops rebuilt from
+#     (ncls, ...) caches via the one-hot). Needs cache_policy=full.
+echo "=== tet class-ops A/B ===" | tee -a "$out"
+env PBTE_TET_POLICY=full PBTE_TET_STEPS=5 timeout -k 30 2400 \
+    python scripts/bench_tet.py 2>>"$out" | tee -a "$out"
+env PBTE_TET_POLICY=full PBTE_TET_STEPS=5 PBTE_SCAN_CLASS_OPS=1 \
+    timeout -k 30 2400 python scripts/bench_tet.py 2>>"$out" | tee -a "$out"
+echo "=== tet full-K seq + class-ops ===" | tee -a "$out"
+env PBTE_TET_POLAR=16 PBTE_TET_AZIMUTH=24 PBTE_TET_STEPS=3 \
+    PBTE_TET_POLICY=full PBTE_SEQ_GROUPS=1 PBTE_SCAN_CLASS_OPS=1 \
+    timeout -k 30 2400 python scripts/bench_tet.py 2>>"$out" | tee -a "$out"
 # 6. Krylov-accelerated flagship convergence (the other half of the
 #    north-star: wall time to residual 1e-8). BiCGStab holds ~8 state
 #    copies (~9 GB f32 at hex-16^3) — if it OOMs the row just fails.

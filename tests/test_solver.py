@@ -390,3 +390,42 @@ def test_2d_mesh_with_3d_angles():
     uo, Tco, *_ = solve_oracle(ops, quad, tables, bcs, tol=0, max_iter=4)
     np.testing.assert_allclose(np.asarray(res.Tc), Tco, rtol=1e-12,
                                atol=1e-14 * np.abs(Tco).max())
+
+
+def test_class_compressed_streams_match_per_element(monkeypatch):
+    """PBTE_SCAN_CLASS_OPS=1 replaces the G-replicated per-element
+    mass/coupling/face-integral streams (~10 GB at refined-tet production
+    shapes) with (ncls, ...) caches expanded per level window through the
+    class-full one-hot — iterates must match the per-element streams to
+    fp noise, with and without Dirichlet, and compose with seq groups."""
+    import jax.numpy as jnp
+
+    m = pmesh.make_cartesian_3d(3, 3, 3, "tet").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=3,
+                            face_mode="consistent")
+    quad = ang.build(ang.AngularOptions(dimension=3, polar_points=2,
+                                        azimuth_points=4))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    bcs = {a: -0.5 for a in range(1, 6)}
+    kw = dict(dtype=jnp.float64, sweep_mode="scan", cache_policy="full",
+              dirichlet_bcs={6: 0.02})
+    s0 = SourceIterationSolver(ops, quad, tables, bcs, **kw)
+    assert not s0._scan_cls_ops
+    r0 = s0.solve(tol=0, max_iter=4, verbose=False)
+    monkeypatch.setenv("PBTE_SCAN_CLASS_OPS", "1")
+    s1 = SourceIterationSolver(ops, quad, tables, bcs, **kw)
+    assert s1._scan_cls_ops and s1.ncls > 1 and not s1._hoist_rhs
+    # the per-element streams really are gone (1-wide dummies)
+    assert s1.consts["coupling"].size == s1.G
+    assert s1.consts["mass_t"].size == s1.G
+    assert s1.consts["face_int"].size == s1.G
+    r1 = s1.solve(tol=0, max_iter=4, verbose=False)
+    T0 = np.asarray(r0.Tc)
+    np.testing.assert_allclose(np.asarray(r1.Tc), T0, rtol=0,
+                               atol=1e-11 * np.abs(T0).max())
+    monkeypatch.setenv("PBTE_SEQ_GROUPS", "1")
+    s2 = SourceIterationSolver(ops, quad, tables, bcs, **kw)
+    assert s2._scan_cls_ops and s2._seq_groups
+    r2 = s2.solve(tol=0, max_iter=4, verbose=False)
+    np.testing.assert_allclose(np.asarray(r2.Tc), T0, rtol=0,
+                               atol=1e-11 * np.abs(T0).max())
