@@ -396,6 +396,10 @@ class SlabLatticeSolver:
                 np.isin(ops.face_attr, attrs)
                 & (ops.neighbor < 0) & ops.face_valid
             )
+            if len(rows) == 0:
+                # no boundary face carries the attr: the closure is inert
+                # (mirrors SourceIterationSolver, which disables it)
+                return None
             e_a, f_a = rows[:, 0], rows[:, 1]
             own_f = owner[e_a]
             Pf = max(int(np.bincount(own_f, minlength=P).max()), 1)
@@ -421,7 +425,11 @@ class SlabLatticeSolver:
         self._refl_tabs = None
         rt = {}
         if self._dif_on:
-            e_p, f_p, vld, sdotn, pl, pw = _part_face_tables(diffuse_bcs)
+            tbl = _part_face_tables(diffuse_bcs)
+            if tbl is None:
+                self._dif_on = False
+        if self._dif_on:
+            e_p, f_p, vld, sdotn, pl, pw = tbl
             fint_p = ops.face_int[e_p, f_p] * vld[..., None]  # (P, Pf, D)
             cn = (
                 w_glob[:, None, None] * np.maximum(
@@ -443,9 +451,13 @@ class SlabLatticeSolver:
                       * vld).astype(np_dtype),
             )
         if self._spc_on:
+            tbl = _part_face_tables(specular_bcs)
+            if tbl is None:
+                self._spc_on = False
+        if self._spc_on:
             from pbte_tpu.validation.oracle import mirror_direction_map
 
-            e_p, f_p, vld, sdotn, pl, pw = _part_face_tables(specular_bcs)
+            e_p, f_p, vld, sdotn, pl, pw = tbl
             n_s = ops.normals[e_p, f_p]
             ax_ok = np.abs(np.abs(n_s).max(axis=-1) - 1.0) < 1e-9
             if not bool((ax_ok | ~vld).all()):
@@ -454,11 +466,7 @@ class SlabLatticeSolver:
             mirror = mirror_direction_map(
                 quad, dim, axes=set(int(a) for a in np.unique(ax_p[vld]))
             )  # (dim, K)
-            g_of_dir = np.zeros(quad.num_directions, dtype=np.int64)
-            k_of_dir = np.zeros(quad.num_directions, dtype=np.int64)
-            gg, kk = np.nonzero(dir_valid)
-            g_of_dir[dirs_pad[gg, kk]] = gg
-            k_of_dir[dirs_pad[gg, kk]] = kk
+            g_of_dir, k_of_dir = planner.dir_slot_maps(dirs_pad)
             km_glob = mirror[
                 ax_p[:, None, None, :], dirs_safe[None, :, :, None]
             ]  # (P, G, Km, Pf)

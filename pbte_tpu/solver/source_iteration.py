@@ -889,11 +889,7 @@ class SourceIterationSolver:
                     quad, self.dim, axes=set(int(a) for a in ax_p)
                 )  # (dim, K) global-direction map
                 # global direction -> (group, slot)
-                g_of_dir = np.zeros(quad.num_directions, dtype=np.int64)
-                k_of_dir = np.zeros(quad.num_directions, dtype=np.int64)
-                gg, kk = np.nonzero(dir_valid)
-                g_of_dir[dirs_pad[gg, kk]] = gg
-                k_of_dir[dirs_pad[gg, kk]] = kk
+                g_of_dir, k_of_dir = planner.dir_slot_maps(dirs_pad)
                 km_glob = mirror[ax_p[None, None, :], dirs_safe[..., None]]
                 km_glob = np.where(
                     dir_valid[..., None], km_glob, 0

@@ -114,6 +114,22 @@ class SweepPlan:
         return 1.0 - real / total
 
 
+def dir_slot_maps(dirs_pad: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of the padded (group, slot) -> global-direction table: per
+    global direction its group and slot indices, so consumers can build flat
+    ``g * Km + k`` lookups into (G*Km, ...)-reshaped slot tensors (the
+    specular mirror gather in the ring and slab solvers). Entries for
+    directions absent from `dirs_pad` (impossible for a complete plan) stay
+    zero."""
+    K = int(dirs_pad.max()) + 1
+    g_of = np.zeros(K, dtype=np.int64)
+    k_of = np.zeros(K, dtype=np.int64)
+    gg, kk = np.nonzero(dirs_pad >= 0)
+    g_of[dirs_pad[gg, kk]] = gg
+    k_of[dirs_pad[gg, kk]] = kk
+    return g_of, k_of
+
+
 def build_plan(
     neighbor: np.ndarray, normals: np.ndarray, directions: np.ndarray
 ) -> SweepPlan:

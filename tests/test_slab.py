@@ -204,3 +204,22 @@ def test_slab_reflective_converges_to_single_device():
     np.testing.assert_allclose(
         r.Tc_global(), Tc_ref, rtol=0, atol=1e-9 * np.abs(Tc_ref).max()
     )
+
+
+def test_slab_reflective_attr_without_faces_is_inert():
+    """A diffuse/specular attr matching no boundary face must disable the
+    closure (SourceIterationSolver semantics), not crash table building."""
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    quad = ang.build(ang.AngularOptions(dimension=3, polar_points=2,
+                                        azimuth_points=4))
+    m = pmesh.make_cartesian_3d(6, 4, 4, "hex").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1, face_mode="consistent")
+    s = SlabLatticeSolver(ops, quad, tables, BCS3, device_mesh=_mesh2x4(),
+                          dtype=jnp.float64, diffuse_bcs=[99],
+                          specular_bcs=[98], require_bcs=False)
+    assert not s._dif_on and not s._spc_on and s._refl_tabs is None
+    res = s.solve(tol=0, max_iter=3, verbose=False)
+    uo, Tco, *_ = solve_oracle(ops, quad, tables, BCS3, tol=0, max_iter=3,
+                               part=_slab_part(s, ops.num_elements))
+    np.testing.assert_allclose(res.Tc_global(), Tco, rtol=1e-12,
+                               atol=1e-13 * np.abs(Tco).max())
