@@ -264,6 +264,12 @@ class SourceIterationSolver:
         use_lattice: bool = True,  # shift-structured ring on Cartesian
         # lattice meshes (False forces the general one-hot selection; kept
         # selectable so both ring variants stay testable on every mesh)
+        supercell: str = "auto",  # "auto" | "on" | "off": merge simplex
+        # lattice macro cells (6-tet / 2-tri splits) into block super
+        # elements and ring-sweep the macro lattice (fem/supercell.py).
+        # "auto" engages for ne >= 512 when detection verifies the
+        # structure; "on" forces the attempt on any size (tests); "off"
+        # keeps the fine-mesh paths.
         use_pallas: str = "auto",  # "auto" | "on" | "off": Pallas VMEM ring
         # kernel for the single-class lattice sweep (ops/lattice_ring.py).
         # MEASURED SLOWER than the XLA ring at the flagship (22.9 ms/bucket
@@ -364,6 +370,69 @@ class SourceIterationSolver:
             raise ValueError(
                 f"boundary attributes without isothermal BC: {sorted(missing)}"
             )
+
+        # ---- supercell merge: simplex lattices as block box lattices --------
+        # The 6-tet (3D) / 2-tri (2D) splits of Cartesian lattices levelize
+        # into many ragged direction groups on the fine mesh — the scan
+        # path's worst regime (one-hot selection, ~3x slot padding; the
+        # full 16x24-angle legacy tet quadrature exceeded single-chip HBM,
+        # BASELINE.md r3). Merging each macro cell into ONE super element
+        # with gsz*D DOFs (fem/supercell.py) restores the exact box-lattice
+        # structure: 2^dim octant groups, zero slot padding on symmetric
+        # quadratures, unit upwind gap, and the shift-structured ring with
+        # (1+dim)*gsz*D-wide folded contractions. The block solve is exact
+        # (intra-cell upwind couplings move into the block-triangular
+        # A_super), so semantics match the fine-mesh sweep to roundoff.
+        self._super = None
+        if supercell not in ("auto", "on", "off"):
+            raise ValueError(f"unknown supercell={supercell!r}")
+        cls_sc = self._cls_cache
+        if supercell == "on" and cls_sc is None:
+            # forced mode on small meshes: canonicalize + classify here
+            # (the ne >= 512 gate above skipped it)
+            ops = _assembly.permute_faces(
+                ops, _assembly.canonical_face_perm(ops)
+            )
+            cls_sc = _assembly.element_classes(ops)
+            self._cls_cache = cls_sc
+        if (
+            supercell != "off"
+            and sweep_mode in ("auto", "ring")
+            and use_lattice
+            and cls_sc is not None
+            and 2 <= int(cls_sc.max()) + 1 <= 8
+            and not dirichlet_bcs
+            and not (diffuse_bcs or specular_bcs)
+            and not ops.periodic.any()
+        ):
+            from pbte_tpu.fem import supercell as _supercell
+
+            sc = _supercell.detect(ops, cls_sc)
+            if sc is not None and _supercell.verify_acyclic(
+                sc, quad.directions
+            ):
+                # affordability mirror of the lattice-ring gate below (the
+                # scan path cannot run on super ops — intra couplings live
+                # only in the ring factor build)
+                dims_sc = np.sort(np.asarray(sc.lat_dims, dtype=np.int64))
+                L_sc = int(dims_sc.sum()) - len(dims_sc) + 1
+                W_sc = int(np.prod(dims_sc[:-1]))
+                state_sc = (
+                    (self.K + 2 ** self.dim) * BS * sc.Dp * L_sc * W_sc
+                    * np.dtype(np_dtype).itemsize
+                )
+                if sweep_mode == "ring" or state_sc <= 4.5e9:
+                    self._super = sc
+                    ops = sc.super_ops
+                    self.ne = ne = ops.num_elements
+                    self.D = D = ops.ndof
+                    self.nf = nf = ops.faces_per_elem
+                    self._cls_cache = np.zeros(ne, dtype=np.int64)
+        # fine-element count for Tv/residual semantics (the reference's
+        # residual is over per-ELEMENT cell averages,
+        # ref: src/MacroscopicQuantities.cpp:130-166)
+        self.ne_tv = self._super.ne_fine if self._super else ne
+
         bc_T = np.zeros((ne, nf))
         for attr, T in bc_temps.items():
             bc_T[ops.face_attr == int(attr)] = float(T)
@@ -544,6 +613,13 @@ class SourceIterationSolver:
                     np.swapaxes(ops.mass[reps_r], -1, -2)
                 )  # (ncls, D, D)
 
+        if self._super is not None and self.sweep_mode != "ring":
+            raise ValueError(
+                "supercell merge engaged but the ring sweep was rejected "
+                "(axis-grazing quadrature direction or leveling mismatch); "
+                "pass supercell='off' to use the fine-mesh scan path"
+            )
+
         # ---- Pallas VMEM ring kernel (ops/lattice_ring.py) -----------------
         # Eligible: single-class lattice ring, no periodic wraps, f32,
         # default matmul precision, single device. The kernel's state layout
@@ -555,6 +631,7 @@ class SourceIterationSolver:
             self.sweep_mode == "ring"
             and self._ring_lattice
             and self._ring_ccpl
+            and self._super is None
             and not self.has_periodic
             and not (self._dif_on or self._spc_on)
             and dir_sharding is None
@@ -1226,6 +1303,11 @@ class SourceIterationSolver:
                 G_k = -np.einsum("kd,cdij->ckij", dk, stiff_r) + np.einsum(
                     "ckf,cfij->ckij", np.maximum(fd, 0.0), fmass_r
                 )
+                if self._super is not None:
+                    # intra-cell outflow/inflow of the block super element
+                    # (the inflow coupling moves INTO the block-triangular
+                    # A — the exactness of the supercell merge)
+                    G_k = G_k + self._super.gmat_internal(dk)[None]
                 A = (
                     mass_r[:, None, None]
                     + vg_s[None, None, :, None, None] * G_k[:, :, None]
@@ -1584,6 +1666,16 @@ class SourceIterationSolver:
             mass=put(np.moveaxis(mass_g, 1, -1)),  # (G, D, D, ne_pad)
             basis_int=put(basis_int_g),  # (G, D, ne_pad)
             basis_int_glob=put(ops.basis_int),  # (ne, D) global layout
+            **(
+                {
+                    # fine-element basis integrals + block->fine scatter
+                    # for the per-element Tv reduction
+                    "super_basis": put(self._super.basis_int_cells),
+                    "super_scat": iput(self._super.scatter_fine()),
+                }
+                if self._super is not None
+                else {}
+            ),
             face_int=put(face_int_g),  # (G, nf, D, ne_pad)
             coupling=put(coupling_g),  # (G, nf, D, D, ne_pad)
             nbr_pos=iput(nbr_pos),  # (G, nf, ne_pad), -1 bdry/pad
@@ -1825,7 +1917,7 @@ class SourceIterationSolver:
                         for gs, km_b in self._ring_buckets
                     ),
                     jnp.zeros((self.ne, self.D), dtype=self.dtype),
-                    jnp.zeros((self.ne,), dtype=self.dtype),
+                    jnp.zeros((self.ne_tv,), dtype=self.dtype),
                 )
             sdt = (
                 jnp.bfloat16 if self._ring_state_bf16 else self.dtype
@@ -1859,7 +1951,7 @@ class SourceIterationSolver:
                     for gs, km_b in self._ring_buckets
                 )
             Tc = jnp.zeros((self.ne, self.D), dtype=self.dtype)
-            Tv = jnp.zeros((self.ne,), dtype=self.dtype)
+            Tv = jnp.zeros((self.ne_tv,), dtype=self.dtype)
             return u, Tc, Tv
         else:
             shape = (self.G, self.Km, self.BS, self.D, self.ne_pad)
@@ -1876,7 +1968,7 @@ class SourceIterationSolver:
         else:
             u = jnp.zeros(shape, dtype=self.dtype)
         Tc = jnp.zeros((self.ne, self.D), dtype=self.dtype)
-        Tv = jnp.zeros((self.ne,), dtype=self.dtype)
+        Tv = jnp.zeros((self.ne_tv,), dtype=self.dtype)
         return u, Tc, Tv
 
     # -- one outer iteration ----------------------------------------------
@@ -2221,7 +2313,7 @@ class SourceIterationSolver:
         partial = jnp.einsum("gkb,gkbip->gip", c["macro_w"], u)  # (G, D, ne_pad)
         pos = c["pos_of_elem"]  # (G, ne)
         Tc_new = jax.vmap(lambda pg, po: pg[:, po])(partial, pos).sum(0).T  # (ne, D)
-        Tv_new = macroscopic.compute_tv(Tc_new, c["basis_int_glob"])
+        Tv_new = self._tv_from_tc(c, Tc_new)
         res = macroscopic.residual(Tv_new, Tv_prev)
         return u, Tc_new, Tv_new, res
 
@@ -2272,7 +2364,7 @@ class SourceIterationSolver:
         pos = c["pos_of_elem"]  # (G, ne)
         Tc_v = jax.vmap(lambda pg, po: pg[:, po])(partial, pos).sum(0).T
         Tc_new = jnp.einsum("eij,ej->ei", c["ring_invMT"], Tc_v)
-        Tv_new = macroscopic.compute_tv(Tc_new, c["basis_int_glob"])
+        Tv_new = self._tv_from_tc(c, Tc_new)
         res = macroscopic.residual(Tv_new, Tv_prev)
         return tuple(v_new), Tc_new, Tv_new, res
 
@@ -2451,7 +2543,7 @@ class SourceIterationSolver:
             )(part, po)
             Tc_v = Tc_v + got.sum(0).T
         Tc_new = jnp.einsum("eij,ej->ei", c["ring_invMT"], Tc_v)
-        Tv_new = macroscopic.compute_tv(Tc_new, c["basis_int_glob"])
+        Tv_new = self._tv_from_tc(c, Tc_new)
         res = macroscopic.residual(Tv_new, Tv_prev)
         return tuple(v_new), Tc_new, Tv_new, res
 
@@ -2792,9 +2884,41 @@ class SourceIterationSolver:
         Tc_v = jax.vmap(lambda pg, po: pg[:, po])(partial, pos).sum(0).T
         # v = M^T u  =>  Tc_u[e] = M_e^-T Tc_v[e]
         Tc_new = jnp.einsum("eij,ej->ei", c["ring_invMT"], Tc_v)
-        Tv_new = macroscopic.compute_tv(Tc_new, c["basis_int_glob"])
+        Tv_new = self._tv_from_tc(c, Tc_new)
         res = macroscopic.residual(Tv_new, Tv_prev)
         return tuple(v_new), Tc_new, Tv_new, res
+
+    def _tv_from_tc(self, c, Tc_new):
+        """Cell-average temperatures for the residual. Supercell problems
+        reduce per FINE element (the reference's residual is over
+        per-element averages, ref: src/MacroscopicQuantities.cpp:130-166);
+        otherwise the plain basis-integral contraction."""
+        import jax.numpy as jnp
+
+        if self._super is not None:
+            sc = self._super
+            tvc = jnp.einsum(
+                "egi,egi->eg",
+                Tc_new.reshape(sc.ncell, sc.gsz, sc.D),
+                c["super_basis"],
+            )
+            return (
+                jnp.zeros((sc.ne_fine,), Tc_new.dtype)
+                .at[c["super_scat"]]
+                .set(tvc.reshape(-1))
+            )
+        return macroscopic.compute_tv(Tc_new, c["basis_int_glob"])
+
+    def Tc_fine(self, Tc):
+        """Per-(fine-)element temperature coefficients (ne, D). Identity on
+        non-supercell problems; de-blocks (ncell, gsz*D) otherwise."""
+        Tc = np.asarray(Tc)
+        if self._super is None:
+            return Tc
+        sc = self._super
+        out = np.zeros((sc.ne_fine, sc.D), Tc.dtype)
+        out[sc.scatter_fine()] = Tc.reshape(sc.ncell * sc.gsz, sc.D)
+        return out
 
     # -- outer loop ---------------------------------------------------------
 
@@ -2884,7 +3008,7 @@ class SourceIterationSolver:
             # allocate the full multi-GB u tuple
             save_ckpt = accel_ckpt_saver(
                 checkpoint_path, self,
-                jnp.zeros((self.ne,), dtype=self.dtype),
+                jnp.zeros((self.ne_tv,), dtype=self.dtype),
             )
 
         def step_fn(u, Tc, Tv_prev):
@@ -2959,7 +3083,16 @@ class SourceIterationSolver:
         if self.sweep_mode == "ring":
             # ring state is v = M^T u: convert to physical coefficients
             out = np.einsum("eij,kbej->kbei", self._ring_invMT, out)
-        return out[:, : self.BS_orig]  # drop band-shard padding
+        out = out[:, : self.BS_orig]  # drop band-shard padding
+        if self._super is not None:
+            sc = self._super
+            blk = out.reshape(self.K, -1, sc.ncell * sc.gsz, sc.D)
+            fine = np.zeros(
+                (self.K, blk.shape[1], sc.ne_fine, sc.D), blk.dtype
+            )
+            fine[:, :, sc.scatter_fine()] = blk
+            out = fine
+        return out
 
     def heat_flux(self, u):
         """Qc (dim, ne, D) and Qv (dim, ne) from slot-major coefficients."""
@@ -2975,6 +3108,22 @@ class SourceIterationSolver:
         if self.sweep_mode == "ring":
             # ring state is v = M^T u: convert the flux coefficients
             Qc = jnp.einsum("eij,dej->dei", self.consts["ring_invMT"], Qc)
+        if self._super is not None:
+            sc = self._super
+            scat = self.consts["super_scat"]
+            Qcb = Qc.reshape(self.dim, sc.ncell * sc.gsz, sc.D)
+            Qv_c = jnp.einsum(
+                "degi,egi->deg",
+                Qc.reshape(self.dim, sc.ncell, sc.gsz, sc.D),
+                self.consts["super_basis"],
+            ).reshape(self.dim, -1)
+            Qc_f = jnp.zeros(
+                (self.dim, sc.ne_fine, sc.D), Qc.dtype
+            ).at[:, scat].set(Qcb)
+            Qv_f = jnp.zeros(
+                (self.dim, sc.ne_fine), Qc.dtype
+            ).at[:, scat].set(Qv_c)
+            return Qc_f, Qv_f
         Qv = jnp.einsum("dei,ei->de", Qc, self.consts["basis_int_glob"])
         return Qc, Qv
 
