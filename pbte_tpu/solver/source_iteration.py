@@ -523,6 +523,7 @@ class SourceIterationSolver:
         # batched dense A^-1 apply) and a small upwind level gap H.
         self.sweep_mode = "scan"
         self.ncls_ring = 0
+        self._ring_fold = False
         self._ring_ccpl = False
         self._ring_ccpl_arr = None
         self._ring_lattice = False
@@ -1158,14 +1159,17 @@ class SourceIterationSolver:
             # slices hit contiguous memory (a G-major layout costs a full
             # relayout copy inside every step)
             bsrc0 = np.einsum(
-                "gkfE,gfE,gfiE->gkiE", cin_bnd_np, bc_T_g, face_int_g
+                "gkfE,gfE,gfiE->gkiE", cin_bnd_np, bc_T_g, face_int_g,
+                optimize=True,
             )
             ring_bsrc0 = np.ascontiguousarray(
                 bsrc0.reshape(G, Km, D, L, W).transpose(3, 0, 1, 2, 4)
             )  # (L, G, Km, D, W)
             ring_dsrc0 = None
             if self.has_dirichlet:
-                dsrc0 = np.einsum("gkfE,gfiE->gkiE", cin_bnd_np, dvec_g)
+                dsrc0 = np.einsum(
+                    "gkfE,gfiE->gkiE", cin_bnd_np, dvec_g, optimize=True
+                )
                 ring_dsrc0 = np.ascontiguousarray(
                     dsrc0.reshape(G, Km, D, L, W).transpose(3, 0, 1, 2, 4)
                 )  # (L, G, Km, D, W)
@@ -1312,8 +1316,10 @@ class SourceIterationSolver:
                     mass_r[:, None, None]
                     + vg_s[None, None, :, None, None] * G_k[:, :, None]
                 )  # (ncls, Km, BS, D, D)
-                a_cls[g] = np.einsum(
-                    "cij,ckbjl->ckbil", massT_r, np.linalg.inv(A)
+                # batched BLAS matmul: the einsum form ran single-thread
+                # without BLAS (~44 s of the legacy-tet setup)
+                a_cls[g] = np.matmul(
+                    massT_r[:, None, None], np.linalg.inv(A)
                 ).astype(np_dtype)
             # per-element M^-T (by class) for output-time v -> u conversion
             # and the macroscopic closure
@@ -1345,7 +1351,18 @@ class SourceIterationSolver:
                 ccpl_G = np.einsum(
                     "fij,jk->fik", ccpl[0], invMT_r[0]
                 ).astype(np_dtype)[self._ring_act_f]  # (G, nf_act, D, D)
-                if self._ring_lattice:
+                # Supercell problems skip the folded factor: at D' = gsz*D
+                # the concatenated bcat is (1+dim)*gsz times B (14 GB at the
+                # legacy full-K tet shape) while the coupling C is GEOMETRY-
+                # ONLY (shared over k, b) — the body then applies C as its
+                # own (D', nf*D') GEMM with (Km*BS*W)-wide free dims and B
+                # as the per-(k,b) factor. PBTE_SUPER_FOLD=1 forces the
+                # folded form for A/B at subset shapes.
+                fold_ok = (
+                    self._super is None
+                    or os.environ.get("PBTE_SUPER_FOLD", "") == "1"
+                )
+                if self._ring_lattice and fold_ok:
                     # FOLDED + CONCATENATED neighbor factors for the
                     # lattice ring:
                     #   sol = B @ rhs,  rhs = base - sum_f vg C_f @ un_f
@@ -1373,6 +1390,7 @@ class SourceIterationSolver:
                         G, Km, BS, D, -1
                     ).astype(np_dtype)  # (G, Km, BS, D, (1+nf_act)*D)
                     bcv_G = bcat_G
+                self._ring_fold = bcv_G is not None
             # per-BUCKET factor tuples (groups sliced, Km trimmed)
             mats = tuple(
                 (
@@ -2420,8 +2438,8 @@ class SourceIterationSolver:
         def win_group(v_segs, cin_segs, bsrc_segs, pwin_segs, vwin_segs,
                       mats_g, macro_w_g, *extra):
             massT0 = mats_g[2][0]  # (D, D): single geometry class
-            bcat = mats_g[4]  # (Km_b, BS, D, (1+nf_act)*D)
-            km_b = bcat.shape[0]
+            bcat = mats_g[4] if self._ring_fold else None
+            km_b = mats_g[0].shape[1]
             dsrc_segs = extra[0] if extra else None
 
             carry = None
@@ -2457,21 +2475,36 @@ class SourceIterationSolver:
                                 - c["vg"][None, None, :, None]
                                 * dsrc_l[:, :, None]
                             )
-                        parts = [rhs.astype(st) if st else rhs]
+                        parts = [] if bcat is None else [
+                            rhs.astype(st) if st else rhs
+                        ]
                         for fi, s in enumerate(rel):
                             unf = (
                                 _shift(ring, s)
                                 * cin_l[fi][:, None, None, :]
                             )
                             parts.append(unf.astype(st) if st else unf)
-                        xcat = jnp.concatenate(parts, axis=1)
-                        if st:
-                            sol = jnp.einsum(
-                                "kbiJ,kJbw->kibw", bcat, xcat,
-                                preferred_element_type=jnp.float32,
-                            )
+                        if bcat is not None:
+                            xcat = jnp.concatenate(parts, axis=1)
+                            if st:
+                                sol = jnp.einsum(
+                                    "kbiJ,kJbw->kibw", bcat, xcat,
+                                    preferred_element_type=jnp.float32,
+                                )
+                            else:
+                                sol = jnp.einsum("kbiJ,kJbw->kibw", bcat, xcat)
                         else:
-                            sol = jnp.einsum("kbiJ,kJbw->kibw", bcat, xcat)
+                            # two-matmul supercell variant (see _step_ring)
+                            stack = jnp.stack(parts, axis=1)
+                            cc = mats_g[3].astype(stack.dtype)
+                            term = jnp.einsum(
+                                "fij,kfjbw->kibw", cc, stack,
+                                preferred_element_type=rhs.dtype,
+                            )
+                            rhs2 = rhs - c["vg"][None, None, :, None] * term
+                            sol = jnp.einsum(
+                                "kbij,kjbw->kibw", mats_g[0][0], rhs2
+                            )
                         m_l = jnp.einsum("kb,kibw->iw", macro_w_g, sol)
                         sol_c = sol.astype(st) if st else sol
                         return sol_c, (
@@ -2694,7 +2727,10 @@ class SourceIterationSolver:
                     * bsrc_l[:, :, None]
                     + ex_l
                 )
-                if self._ring_lattice and self._ring_ccpl:
+                if (
+                    self._ring_lattice and self._ring_ccpl
+                    and self._ring_fold
+                ):
                     # static shift selection (lattice meshes), FOLDED +
                     # CONCATENATED form:
                     #   sol = [B | -vg B C_0 | ...] @ [rhs; un_0; un_1; ...]
@@ -2748,7 +2784,33 @@ class SourceIterationSolver:
                     return ring, (
                         sol_c if self._ring_state_bf16 else sol, m_l
                     )
-                if self._ring_lattice:
+                if self._ring_lattice and self._ring_ccpl:
+                    # TWO-MATMUL supercell variant (no folded bcat — it is
+                    # (1+dim)*gsz times B at D' = gsz*D): the class coupling
+                    # C is GEOMETRY-ONLY, so one (D', nf_act*D') GEMM with
+                    # (Km*BS*W)-wide free dims applies every neighbor term
+                    # at near-peak MXU shapes, then the per-(k,b) factor B
+                    # applies through the shared tail below.
+                    st = (
+                        jnp.bfloat16 if self._ring_stage_bf16 else None
+                    )
+                    parts = []
+                    for fi, s in enumerate(self._ring_shift_vals):
+                        yf = ring
+                        if s:
+                            yf = jnp.pad(
+                                yf[..., :-s],
+                                ((0, 0), (0, 0), (0, 0), (s, 0)),
+                            )
+                        unf = yf * cin_l[fi][:, None, None, :]
+                        parts.append(unf.astype(st) if st else unf)
+                    stack = jnp.stack(parts, axis=1)  # (Km,nf_act,D,BS,W)
+                    cc = mats_g[3].astype(stack.dtype)
+                    term = jnp.einsum(
+                        "fij,kfjbw->kibw", cc, stack,
+                        preferred_element_type=rhs.dtype,
+                    )
+                elif self._ring_lattice:
                     # multi-class lattice: per-element couplings applied to
                     # the unshifted ring (matrices pre-shifted at setup so
                     # out[w] = C[w] @ ring[w-s]), outputs shifted + masked
@@ -2787,13 +2849,20 @@ class SourceIterationSolver:
                     )
                 # fused macroscopic partial: read sol while it is hot
                 m_l = jnp.einsum("kb,kibw->iw", macro_w_g, sol)
+                # bf16 staging (two-matmul variant): the carry stays bf16
+                sol_c = (
+                    sol.astype(ring.dtype)
+                    if sol.dtype != ring.dtype else sol
+                )
                 if Hn == 1:
-                    ring = sol
+                    ring = sol_c
                 else:
                     ring = lax.dynamic_update_slice_in_dim(
-                        ring, sol, off, axis=-1
+                        ring, sol_c, off, axis=-1
                     )
-                return ring, (sol, m_l)
+                return ring, (
+                    sol_c if self._ring_state_bf16 else sol, m_l
+                )
 
             Km_b = v_g.shape[1]
             ring0 = jnp.zeros(
