@@ -87,6 +87,10 @@ def main(argv=None) -> int:
     ap.add_argument("--platform", choices=["default", "cpu"], default="default")
     ap.add_argument("--out", default="output")
     ap.add_argument("--vtu", action="store_true", help="write ParaView VTU output")
+    ap.add_argument("--vtu-every", type=int, default=0, metavar="N",
+                    help="write a ParaView time-series collection (.pvd + "
+                         "cycle directories, like the reference's "
+                         "ParaViewDataCollection) every N outer iterations")
     ap.add_argument("--no-dumps", action="store_true",
                     help="skip golden-format log dumps")
     ap.add_argument("--check-every", type=int, default=1)
@@ -298,6 +302,21 @@ def main(argv=None) -> int:
         # both domain-decomposed solvers accept accelerate= too (lagged
         # ppermute halos are linear in the previous iterate; accel.py)
         solve_kw["accelerate"] = args.accelerate
+    pv_coll = None
+    if args.vtu_every > 0:
+        from pbte_tpu.io.vtu import ParaViewCollection
+
+        pv_coll = ParaViewCollection(
+            m, rc.order, name="pbte_fields",
+            root=os.path.join(rc.output_dir, "vis"),
+        )
+
+        def _cycle_hook(it, u_c, Tc_c, Tv_c):
+            Qc_c = np.asarray(solver.heat_flux(u_c)[0])
+            pv_coll.save({"T": solver.Tc_fine(Tc_c)}, {"Q": Qc_c}, cycle=it)
+
+        solve_kw["cycle_hook"] = _cycle_hook
+        solve_kw["cycle_every"] = args.vtu_every
     t1 = time.time()
     if args.profile:
         with jax.profiler.trace(args.profile):
@@ -324,7 +343,9 @@ def main(argv=None) -> int:
 
     # outputs are identical regardless of --parallel (the reference gathers
     # per-rank blocks for multi-rank-comparable dumps, src/Utils.cpp:100-148)
-    Tc_out = res.Tc_global() if args.parallel else res.Tc
+    Tc_out = (
+        res.Tc_global() if args.parallel else solver.Tc_fine(res.Tc)
+    )
     if not args.no_dumps:
         writers.write_temperature(Tc_out, os.path.join(log_dir, "Tc_all.txt"))
         writers.write_coefficients(res.u_dirs(), quad, tables.num_branches,
@@ -359,6 +380,10 @@ def main(argv=None) -> int:
             write_3d_line_slice(m, rc.order, Tc_out, Qc3, int(axis),
                                 c1 * scale, c2 * scale, path)
             print(f"[pbte_tpu] 3D line slice written to {path}")
+    if pv_coll is not None:
+        Qc = np.asarray(solver.heat_flux(res.u)[0])
+        pvd = pv_coll.save({"T": Tc_out}, {"Q": Qc}, cycle=res.iterations)
+        print(f"[pbte_tpu] ParaView collection written to {pvd}")
     if args.vtu:
         from pbte_tpu.io.vtu import write_vtu
 

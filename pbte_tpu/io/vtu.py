@@ -181,3 +181,72 @@ def write_vtu(mesh, order, scalar_fields=None, vector_fields=None,
         f.write("      </PointData>\n")
         f.write("    </Piece>\n  </UnstructuredGrid>\n</VTKFile>\n")
     return path
+
+
+class ParaViewCollection:
+    """Time-series ParaView collection mirroring mfem::ParaViewDataCollection
+    (ref: src/MacroscopicQuantities.cpp:168-271 writes a collection with
+    SetPrefixPath + cycle directories). Layout:
+
+        <root>/<name>/<name>.pvd
+        <root>/<name>/Cycle%06d/data.pvtu
+        <root>/<name>/Cycle%06d/proc000000.vtu
+
+    The .pvd indexes every saved cycle with its time value; each cycle's
+    .pvtu wraps the single-process piece, so the tree opens in ParaView
+    exactly like the reference's output. save() may be called with any
+    monotonically increasing cycle numbers (e.g. outer-iteration counts)."""
+
+    def __init__(self, mesh, order, name="pbte_fields", root="output/vis",
+                 lod=None):
+        self.mesh = mesh
+        self.order = order
+        self.name = name
+        self.base = os.path.join(root, name)
+        self.lod = lod
+        self._cycles = []  # (cycle, time)
+
+    def save(self, scalar_fields=None, vector_fields=None, cycle=0,
+             time=None):
+        """Write one cycle and refresh the .pvd index. Returns the pvd path."""
+        time = float(cycle) if time is None else float(time)
+        cdir = os.path.join(self.base, f"Cycle{cycle:06d}")
+        os.makedirs(cdir, exist_ok=True)
+        vtu_path = write_vtu(
+            self.mesh, self.order, scalar_fields, vector_fields,
+            prefix=os.path.join(cdir, "proc000000"), lod=self.lod,
+        )
+        # minimal .pvtu wrapper (one piece) so the layout matches MFEM's
+        names_s = list((scalar_fields or {}).keys())
+        names_v = list((vector_fields or {}).keys())
+        with open(os.path.join(cdir, "data.pvtu"), "w") as f:
+            f.write('<?xml version="1.0"?>\n')
+            f.write('<VTKFile type="PUnstructuredGrid" version="0.1" '
+                    'byte_order="LittleEndian">\n')
+            f.write('  <PUnstructuredGrid GhostLevel="0">\n')
+            f.write('    <PPoints>\n      <PDataArray type="Float64" '
+                    'NumberOfComponents="3" Name="Points"/>\n    </PPoints>\n')
+            f.write("    <PPointData>\n")
+            for nm in names_s:
+                f.write(f'      <PDataArray type="Float64" Name="{nm}"/>\n')
+            for nm in names_v:
+                f.write(f'      <PDataArray type="Float64" Name="{nm}" '
+                        'NumberOfComponents="3"/>\n')
+            f.write("    </PPointData>\n")
+            f.write('    <Piece Source="proc000000.vtu"/>\n')
+            f.write("  </PUnstructuredGrid>\n</VTKFile>\n")
+        self._cycles.append((int(cycle), time))
+        pvd = os.path.join(self.base, f"{self.name}.pvd")
+        with open(pvd, "w") as f:
+            f.write('<?xml version="1.0"?>\n')
+            f.write('<VTKFile type="Collection" version="0.1" '
+                    'byte_order="LittleEndian">\n')
+            f.write("  <Collection>\n")
+            for cyc, t in self._cycles:
+                f.write(
+                    f'    <DataSet timestep="{t:.16g}" group="" part="0" '
+                    f'file="Cycle{cyc:06d}/data.pvtu"/>\n'
+                )
+            f.write("  </Collection>\n</VTKFile>\n")
+        return pvd
+

@@ -3006,6 +3006,8 @@ class SourceIterationSolver:
         checkpoint_path: str | None = None,
         checkpoint_every: int = 25,
         accelerate: str | None = None,
+        cycle_hook=None,
+        cycle_every: int = 0,
     ):
         """Outer source iteration (ref: src/PBTESolver.cpp:208-332).
 
@@ -3046,6 +3048,10 @@ class SourceIterationSolver:
                     break
             prev_Tv = Tv_new
             Tc = Tc_new
+            if cycle_hook and cycle_every > 0 and it % cycle_every == 0:
+                # field-output cadence (ParaView collection cycles etc.);
+                # receives the live device state
+                cycle_hook(it, u, Tc, prev_Tv)
             if checkpoint_path and it % checkpoint_every == 0:
                 from pbte_tpu.io.checkpoint import save_checkpoint
 

@@ -141,7 +141,7 @@ def main() -> None:
           f"({flops/levels/1e9:.3f} GF/level) at {tf:.1f} TF/s = "
           f"{tf*1e12/MEASURED_F32_PEAK:.1%} of measured f32 peak",
           file=sys.stderr)
-    print(json.dumps({
+    rec = {
         "metric": "sweep_kernel_tf_per_s",
         "value": tf,
         "unit": "TF/s",
@@ -149,7 +149,17 @@ def main() -> None:
         "order": order,
         "shape": {"Km": Km, "D": D, "J": J, "BS": BS, "W": W},
         "frac_f32_peak": tf * 1e12 / MEASURED_F32_PEAK,
-    }))
+        "best_ms": best * 1e3,
+        "levels": levels,
+    }
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench_artifacts", f"kernel_mfu_{mode}_p{order}.json",
+    )
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(rec, f, indent=2)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

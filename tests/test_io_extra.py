@@ -1,5 +1,7 @@
 """gmsh parser, legacy angular patterns, checkpoint/resume, VTU."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -248,3 +250,62 @@ def test_2d_slice_tq(tmp_path):
     rows = open(tmp_path / "tq.txt").readlines()
     assert rows[1].strip() == "x y T Qx Qy"
     assert len(rows) == 2 + 400
+
+
+def test_paraview_collection(tmp_path):
+    """Time-series .pvd collection mirrors the reference's
+    ParaViewDataCollection layout (ref: src/MacroscopicQuantities.cpp:168-271
+    + SetPrefixPath/cycle dirs): <root>/<name>/<name>.pvd indexing
+    Cycle%06d/data.pvtu wrapping proc000000.vtu pieces."""
+    import xml.etree.ElementTree as ET
+
+    from pbte_tpu.io.vtu import ParaViewCollection
+
+    m = pmesh.make_cartesian_2d(2, 2, pmesh.GEOM_QUAD)
+    ops = assembly.assemble(pmesh.connect(m), order=1, face_mode="consistent")
+    rng = np.random.default_rng(1)
+    coll = ParaViewCollection(m, 1, name="pbte_fields", root=str(tmp_path))
+    for cyc in (0, 25):
+        T = rng.normal(size=(m.num_elements, ops.ndof))
+        Q = rng.normal(size=(2, m.num_elements, ops.ndof))
+        pvd = coll.save({"T": T}, {"Q": Q}, cycle=cyc, time=float(cyc))
+    root = ET.parse(pvd).getroot()
+    assert root.get("type") == "Collection"
+    sets = root.findall(".//DataSet")
+    assert [d.get("file") for d in sets] == [
+        "Cycle000000/data.pvtu", "Cycle000025/data.pvtu"
+    ]
+    assert [float(d.get("timestep")) for d in sets] == [0.0, 25.0]
+    for cyc in (0, 25):
+        cdir = tmp_path / "pbte_fields" / f"Cycle{cyc:06d}"
+        pv = ET.parse(cdir / "data.pvtu").getroot()
+        assert pv.find(".//Piece").get("Source") == "proc000000.vtu"
+        names = [a.get("Name") for a in pv.findall(".//PPointData/PDataArray")]
+        assert names == ["T", "Q"]
+        vt = ET.parse(cdir / "proc000000.vtu").getroot()
+        arr = [a.get("Name") for a in vt.findall(".//PointData/DataArray")]
+        assert arr == ["T", "Q"]
+
+
+def test_cli_vtu_every(tmp_path):
+    """--vtu-every writes collection cycles during the solve plus a final
+    cycle, and the supercell-aware Tc path feeds fine-element coefficients."""
+    import subprocess
+    import sys as _sys
+
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [_sys.executable, "-m", "pbte_tpu.cli", "-m", "unit-square-quad",
+         "-o", "1", "--max-iter", "6", "--vtu-every", "3",
+         "--no-dumps", "--out", str(out)],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": os.path.dirname(os.path.dirname(
+                 os.path.abspath(__file__)))},
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    pvd = out / "vis" / "pbte_fields" / "pbte_fields.pvd"
+    assert pvd.exists(), r.stdout + r.stderr[-2000:]
+    text = pvd.read_text()
+    assert "Cycle000003/data.pvtu" in text and "Cycle000006/data.pvtu" in text
