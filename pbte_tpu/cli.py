@@ -59,7 +59,8 @@ def main(argv=None) -> int:
                          "MXU neighbor selection (the TPU fast path, "
                          "auto-selected at scale); 'scan' = compact "
                          "level-window scan")
-    ap.add_argument("--matmul-precision", choices=["default", "highest"],
+    ap.add_argument("--matmul-precision",
+                    choices=["default", "high", "highest", "selective"],
                     default="default",
                     help="'highest' removes the TPU MXU's bf16 truncation of "
                          "f32 einsums (~2e-3 relative) at ~3-6x matmul cost")

@@ -299,6 +299,14 @@ class SourceIterationSolver:
         # which puts ~2e-3 relative noise on every contraction (measured on
         # both solver paths vs CPU truth). "highest" switches every matmul
         # in the step to the bf16x6 exact passes at ~3-6x matmul cost.
+        # "high" is the global bf16x3 middle tier. "selective" raises ONLY
+        # the ring transport contractions (factor apply + neighbor
+        # coupling) to exact passes and leaves the small closure einsums at
+        # default — the per-step truncation of the state recurrence is what
+        # the fixed point amplifies by ~1/(1-rho) (BASELINE.md r3 row).
+        self._sel_hi = matmul_precision == "selective"
+        if self._sel_hi:
+            matmul_precision = None
         self.matmul_precision = matmul_precision
 
         self.ne = ne = ops.num_elements
@@ -638,6 +646,7 @@ class SourceIterationSolver:
             and dir_sharding is None
             and np_dtype == np.float32
             and matmul_precision in (None, "default")
+            and not self._sel_hi
         ):
             env = os.environ.get("PBTE_PALLAS", "")
             mode = env if env else use_pallas
@@ -667,6 +676,7 @@ class SourceIterationSolver:
             and not self._use_pallas_ring
             and np_dtype == np.float32
             and matmul_precision in (None, "default")
+            and not self._sel_hi
             and os.environ.get("PBTE_RING_BF16", "") != "0"
         )
 
@@ -2409,6 +2419,7 @@ class SourceIterationSolver:
         G, D, BS = self.G, self.D, self.BS
         segs = self._ring_segs
         st = jnp.bfloat16 if self._ring_stage_bf16 else None
+        hi_p = jax.lax.Precision.HIGHEST if self._sel_hi else None
         TcT = Tc.T  # (D, ne)
 
         def _shift(x, s):
@@ -2492,7 +2503,10 @@ class SourceIterationSolver:
                                     preferred_element_type=jnp.float32,
                                 )
                             else:
-                                sol = jnp.einsum("kbiJ,kJbw->kibw", bcat, xcat)
+                                sol = jnp.einsum(
+                                    "kbiJ,kJbw->kibw", bcat, xcat,
+                                    precision=hi_p,
+                                )
                         else:
                             # two-matmul supercell variant (see _step_ring)
                             stack = jnp.stack(parts, axis=1)
@@ -2500,10 +2514,12 @@ class SourceIterationSolver:
                             term = jnp.einsum(
                                 "fij,kfjbw->kibw", cc, stack,
                                 preferred_element_type=rhs.dtype,
+                                precision=hi_p,
                             )
                             rhs2 = rhs - c["vg"][None, None, :, None] * term
                             sol = jnp.einsum(
-                                "kbij,kjbw->kibw", mats_g[0][0], rhs2
+                                "kbij,kjbw->kibw", mats_g[0][0], rhs2,
+                                precision=hi_p,
                             )
                         m_l = jnp.einsum("kb,kibw->iw", macro_w_g, sol)
                         sol_c = sol.astype(st) if st else sol
@@ -2596,6 +2612,8 @@ class SourceIterationSolver:
         BS = self.BS
         ncls = self.ncls_ring
         Hn = self._ring_H
+        # selective precision: exact passes on the transport contractions
+        hi_p = jax.lax.Precision.HIGHEST if self._sel_hi else None
 
         TcT = Tc.T  # (D, ne)
         # (L, G, D, W) slab view of the lagged temperature (tiny array);
@@ -2769,7 +2787,9 @@ class SourceIterationSolver:
                             preferred_element_type=jnp.float32,
                         )
                     else:
-                        sol = jnp.einsum("kbiJ,kJbw->kibw", bcat, xcat)
+                        sol = jnp.einsum(
+                            "kbiJ,kJbw->kibw", bcat, xcat, precision=hi_p
+                        )
                     # fused macroscopic partial: read sol while it is hot
                     m_l = jnp.einsum("kb,kibw->iw", macro_w_g, sol)
                     sol_c = sol.astype(st) if st else sol
@@ -2809,6 +2829,7 @@ class SourceIterationSolver:
                     term = jnp.einsum(
                         "fij,kfjbw->kibw", cc, stack,
                         preferred_element_type=rhs.dtype,
+                        precision=hi_p,
                     )
                 elif self._ring_lattice:
                     # multi-class lattice: per-element couplings applied to
@@ -2842,10 +2863,13 @@ class SourceIterationSolver:
                         term = jnp.einsum("fijw,fkjbw->kibw", cpl_l, unc)
                 rhs = rhs - c["vg"][None, None, :, None] * term
                 if ncls == 1:
-                    sol = jnp.einsum("kbij,kjbw->kibw", b_cls[0], rhs)
+                    sol = jnp.einsum(
+                        "kbij,kjbw->kibw", b_cls[0], rhs, precision=hi_p
+                    )
                 else:
                     sol = jnp.einsum(
-                        "ckbij,kjbw,cw->kibw", b_cls, rhs, coh_l
+                        "ckbij,kjbw,cw->kibw", b_cls, rhs, coh_l,
+                        precision=hi_p,
                     )
                 # fused macroscopic partial: read sol while it is hot
                 m_l = jnp.einsum("kb,kibw->iw", macro_w_g, sol)

@@ -4,19 +4,17 @@ Shape from the reference's production config (ref: Reference Project/config/
 control/Control.yaml:13-21): cuboid 5x5x5 gmsh 6-tet mesh (750 tets), p=3
 DG (D=20), 16x24 product angular quadrature (384 directions), full non-gray
 2x20-band silicon spectrum. Reports element-ordinate DOF/s and the sweep
-path the solver chose (6-tet meshes levelize into many direction groups —
-34 on refined meshes — and multiple geometry classes, so the planner may
-pick the compact scan over the ring; this script records whichever engages).
+path the solver chose. Since r4 the SUPERCELL merge (fem/supercell.py)
+turns the 6-tet mesh into a 125-cell block lattice swept by the
+shift-structured ring (8 octant groups, D'=120), replacing the r3 scan
+path (24 ragged signature groups, 2.9x slot padding, full-K OOM).
 
 Writes bench_artifacts/tet_bench.json and prints one JSON line.
 
-Memory note (measured): at the full 16x24 = 384-direction legacy quadrature
-the 24 signature groups pad to G*Km = 1128 slots (2.94x) and the scan path's
-hoisted per-group rhs/relax temporaries push peak HBM past the single chip —
-RESOURCE_EXHAUSTED. The default here is the 8x12 = 96-direction subset with
-the IDENTICAL 3.0x group padding; directions are independent (they couple
-only through the lagged Tc, outside the sweep), so per-direction throughput
-extrapolates to the full K exactly like bench.py's C++ subset baseline.
+Memory note: the macro slab plane is W=25 slots, which TPU lane tiling
+pads to 128 — at the full 384-direction quadrature the f32 state exceeds
+a 16 GB chip; run full-K with PBTE_RING_STATE_BF16=1 PBTE_RING_DONATE=1
+(the converge_tet.py defaults). The 96-direction default fits in f32.
 
 Env overrides: PBTE_TET_N (default 5), PBTE_TET_ORDER (3),
 PBTE_TET_POLAR (8), PBTE_TET_AZIMUTH (12), PBTE_TET_NSPEC (20),
