@@ -132,6 +132,9 @@ def main() -> None:
     )
     os.makedirs(os.path.dirname(art), exist_ok=True)
     suffix = precision + (f"_{accel}" if accel else "")
+    nx_env = int(os.environ.get("PBTE_CONV_NX", 16))
+    if nx_env != 16:
+        suffix += f"_nx{nx_env}"  # never overwrite the flagship artifacts
     # field snapshot for cross-run error comparison
     npz = art.replace(".json", f"_{suffix}.npz")
     np.savez_compressed(npz, Tc=Tc_f32)

@@ -178,3 +178,75 @@ def test_forced_ring_unsupported_bcs_fall_back():
         dtype=jnp.float64, supercell="on",
     )
     assert s._super is None
+
+
+def test_gmsh_asset_supercell(reference_root):
+    """The supercell merge must detect the structure of the reference's
+    actual gmsh production meshes (generator: Reference Project/config/mesh/
+    mesh_generator/cuboid_uniform_mesh.py), not just the builtins — the
+    detection is connectivity-based, never element-order-based."""
+    path = reference_root / "Reference Project/config/mesh/cuboid_2x2x2.msh"
+    if not path.exists():
+        pytest.skip("gmsh asset missing")
+    m = pmesh.load_mesh(str(path)).scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1, face_mode="consistent")
+    quad = ang.build(
+        ang.AngularOptions(dimension=3, polar_points=2, azimuth_points=4)
+    )
+    bcs = {a: (0.5 if a == 6 else -0.5) for a in range(1, 7)}
+    s_sup = SourceIterationSolver(
+        ops, quad, TABLES, bcs, dtype=jnp.float64,
+        supercell="on", sweep_mode="ring",
+    )
+    assert s_sup._super is not None and s_sup.G == 8
+    s_ref = SourceIterationSolver(
+        ops, quad, TABLES, bcs, dtype=jnp.float64,
+        supercell="off", sweep_mode="scan",
+    )
+
+    def run(s, n=3):
+        u, Tc, Tv = s.initial_state()
+        for _ in range(n):
+            u, Tc, Tv, r = s.step(u, Tc, Tv)
+        return Tc, float(r)
+
+    Tc_s, r_s = run(s_sup)
+    Tc_r, r_r = run(s_ref)
+    scale = np.abs(np.asarray(Tc_r)).max()
+    assert np.abs(s_sup.Tc_fine(Tc_s) - np.asarray(Tc_r)).max() < 1e-12 * scale
+    assert abs(r_s - r_r) < 1e-12
+
+
+def test_supercell_fold_ab_matches():
+    """PBTE_SUPER_FOLD=1 (dense folded bcat) and the default two-matmul
+    body must produce identical iterates."""
+    import os as _os
+
+    m = pmesh.make_cartesian_3d(2, 2, 2, "tet").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1, face_mode="consistent")
+    quad = ang.build(
+        ang.AngularOptions(dimension=3, polar_points=2, azimuth_points=4)
+    )
+    bcs = {a: (0.5 if a == 6 else -0.5) for a in range(1, 7)}
+
+    def run(env):
+        _os.environ.update(env)
+        try:
+            s = SourceIterationSolver(
+                ops, quad, TABLES, bcs, dtype=jnp.float64,
+                supercell="on", sweep_mode="ring",
+            )
+            assert s._super is not None
+            u, Tc, Tv = s.initial_state()
+            for _ in range(3):
+                u, Tc, Tv, r = s.step(u, Tc, Tv)
+            return np.asarray(Tc), float(r)
+        finally:
+            for k in env:
+                _os.environ.pop(k, None)
+
+    Tc_a, r_a = run({})
+    Tc_b, r_b = run({"PBTE_SUPER_FOLD": "1"})
+    scale = np.abs(Tc_a).max()
+    assert np.abs(Tc_a - Tc_b).max() < 1e-12 * scale
+    assert abs(r_a - r_b) < 1e-13
