@@ -46,4 +46,6 @@ run PBTE_BENCH_CPP_ITERS=0 PBTE_BENCH_UNROLL=2 timeout -k 30 1500 python bench.p
 # 5. supercell fold A/B at the 96-dir subset (two-matmul default vs the
 #    dense folded bcat)
 run PBTE_TET_STEPS=10 PBTE_SUPER_FOLD=1 timeout -k 30 1500 python scripts/bench_tet.py
+# 6. HBM roofline of the flagship step (VERDICT item 2 alternative bar)
+run timeout -k 30 1800 python scripts/roofline_flagship.py
 date | tee -a "$out"
