@@ -43,6 +43,9 @@ def _fingerprint(solver) -> dict:
         # per-segment widths; only added when engaged, so full-slab
         # checkpoints keep their round-3 fingerprint layout
         fp["ring_windowed"] = 1
+    if getattr(solver, "_ring_wd", False):
+        # supercell WD layout (L, G, Km, BS, W, D') — D' on lanes
+        fp["ring_wd"] = 1
     return fp
 
 
@@ -66,6 +69,11 @@ def _expected_u_shape(solver):
         # bucketed state: a LIST of per-bucket shapes; the Pallas kernel
         # path stores band-major (BS before D) — load_checkpoint transposes
         # between the two layouts using the saved u_layout tag
+        if getattr(solver, "_ring_wd", False):
+            return [
+                (solver.L, len(gs), km_b, solver.BS, solver.W, solver.D)
+                for gs, km_b in solver._ring_buckets
+            ]
         if getattr(solver, "_use_pallas_ring", False):
             return [
                 (solver.L, len(gs), km_b, solver.BS, solver.D, solver.W)

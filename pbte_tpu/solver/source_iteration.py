@@ -739,6 +739,30 @@ class SourceIterationSolver:
                 self._ring_windowed = True
                 self._ring_segs = segs_w
 
+        # ---- WD layout for the supercell ring --------------------------------
+        # The macro plane W is tiny on production tet cuboids (5^3 -> W=25),
+        # and W is the MINOR axis of every ring operand: TPU lane tiling
+        # pads it to 128 (5.1x state memory — the f32 full-K state would
+        # not fit) and the factor matmul's output lanes fill 25/128 = 20%.
+        # The WD layout puts D' = gsz*D on lanes instead (120 -> 128, 94%
+        # fill) and W on sublanes (25 -> 32): state (L, G, Km, BS, W, D'),
+        # per-(k,b) solve (W, J) @ (J, D') with near-full output lanes.
+        # Scope: supercell two-matmul ring (no periodic/reflective/
+        # Dirichlet closures there by construction). PBTE_SUPER_WD=0
+        # disables for A/B; hull windows are mutually exclusive (their
+        # lane quantum is W-based — a sublane-quantum variant is possible
+        # but unprofitable at these W).
+        self._ring_wd = (
+            self.sweep_mode == "ring"
+            and self._super is not None
+            and not self._use_pallas_ring
+            and os.environ.get("PBTE_SUPER_FOLD", "") != "1"
+            and os.environ.get("PBTE_SUPER_WD", "") != "0"
+        )
+        if self._ring_wd:
+            self._ring_windowed = False
+            self._ring_segs = None
+
         # scan-path rhs hoisting: precomputing the (Km, BS, D, ne) rhs base
         # and relaxation term for all G groups costs ~2 state-sized
         # temporaries under the vmap — the legacy 16x24-angle tet shape
@@ -1172,9 +1196,14 @@ class SourceIterationSolver:
                 "gkfE,gfE,gfiE->gkiE", cin_bnd_np, bc_T_g, face_int_g,
                 optimize=True,
             )
-            ring_bsrc0 = np.ascontiguousarray(
-                bsrc0.reshape(G, Km, D, L, W).transpose(3, 0, 1, 2, 4)
-            )  # (L, G, Km, D, W)
+            if getattr(self, "_ring_wd", False):
+                ring_bsrc0 = np.ascontiguousarray(
+                    bsrc0.reshape(G, Km, D, L, W).transpose(3, 0, 1, 4, 2)
+                )  # (L, G, Km, W, D) — WD layout (D on lanes)
+            else:
+                ring_bsrc0 = np.ascontiguousarray(
+                    bsrc0.reshape(G, Km, D, L, W).transpose(3, 0, 1, 2, 4)
+                )  # (L, G, Km, D, W)
             ring_dsrc0 = None
             if self.has_dirichlet:
                 dsrc0 = np.einsum(
@@ -1962,7 +1991,26 @@ class SourceIterationSolver:
                     )
                 return z
 
-            if self._ring_windowed:
+            if self._ring_wd:
+                # WD layout: D' minor (lanes), W on sublanes
+                def _zeros_wd(shape):
+                    z = jnp.zeros(shape, dtype=sdt)
+                    if self._dir_sharding is not None:
+                        z = jax.device_put(
+                            z,
+                            self._slot_sharding(
+                                np.empty(shape), km_axis=2, band_axis=3
+                            ),
+                        )
+                    return z
+
+                u = tuple(
+                    _zeros_wd(
+                        (self.L, len(gs), km_b, self.BS, self.W, self.D)
+                    )
+                    for gs, km_b in self._ring_buckets
+                )
+            elif self._ring_windowed:
                 # per-bucket TUPLE over hull-window segments
                 u = tuple(
                     tuple(
@@ -2025,6 +2073,8 @@ class SourceIterationSolver:
         if self.sweep_mode == "ring":
             if self._use_pallas_ring:
                 return self._step_ring_pallas(c, u, Tc, Tv_prev)
+            if self._ring_wd:
+                return self._step_ring_wd(c, u, Tc, Tv_prev)
             if self._ring_windowed:
                 return self._step_ring_win(c, u, Tc, Tv_prev)
             return self._step_ring(c, u, Tc, Tv_prev)
@@ -2596,6 +2646,118 @@ class SourceIterationSolver:
         res = macroscopic.residual(Tv_new, Tv_prev)
         return tuple(v_new), Tc_new, Tv_new, res
 
+    def _step_ring_wd(self, c, u, Tc, Tv_prev):
+        """Supercell ring step in the WD layout: state is a tuple of
+        per-bucket (L, G_b, Km_b, BS, W, D') arrays with the super-DOF axis
+        MINOR (lanes) and the small macro plane W on sublanes — see the
+        layout rationale at the _ring_wd decision in __init__. Two-matmul
+        body: the geometry-only coupling C applies as one
+        (D', nf*D') x (nf*D', Km*BS*W) GEMM, the per-(k,b) factor B as a
+        (W, D') x (D', D') batched GEMM with ~94% output-lane fill."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        G, W, L, D, BS = self.G, self.W, self.L, self.D, self.BS
+        hi_p = jax.lax.Precision.HIGHEST if self._sel_hi else None
+        st = jnp.bfloat16 if self._ring_stage_bf16 else None
+
+        TcT = Tc.T  # (D, ne)
+        # (L, G, W, D) lagged-temperature slab; padded slots zeroed
+        tc_slab = (
+            jnp.transpose(TcT[:, c["perm"]].reshape(D, G, L, W), (2, 1, 3, 0))
+            * c["valid_slab"][:, :, :, None]
+        )
+
+        def ring_group(v_g, tc_g, bsrc0_g, cin_g, mats_g, macro_w_g):
+            # v_g (L, Km_b, BS, W, D); tc_g (L, W, D); bsrc0_g (L, Km, W, D)
+            b_cls, massT_c = mats_g[0], mats_g[2]
+            ccpl_gl = mats_g[3]  # (nf_act, D, D)
+            # t_tc[l, w, i] = sum_j massT[i, j] tc[l, w, j]
+            t_tc = jnp.einsum("ij,lwj->lwi", massT_c[0], tc_g)
+
+            def body(ring, xs):
+                v_l, ttc_l, bsrc_l, cin_l = xs
+                rhs = (
+                    c["src_w"][None, :, None, None] * ttc_l[None, None]
+                    + c["relax_w"][None, :, None, None] * v_l
+                    - (c["vg"] * c["bc_w"])[None, :, None, None]
+                    * bsrc_l[:, None]
+                )
+                parts = []
+                for fi, s in enumerate(self._ring_shift_vals):
+                    yf = ring
+                    if s:
+                        yf = jnp.pad(
+                            yf[..., :-s, :],
+                            ((0, 0), (0, 0), (s, 0), (0, 0)),
+                        )
+                    unf = yf * cin_l[fi][:, None, :, None]
+                    parts.append(unf.astype(st) if st else unf)
+                stack = jnp.stack(parts, axis=1)  # (Km, nf, BS, W, D)
+                cc = ccpl_gl.astype(stack.dtype)
+                term = jnp.einsum(
+                    "fij,kfbwj->kbwi", cc, stack,
+                    preferred_element_type=rhs.dtype,
+                    precision=hi_p,
+                )
+                rhs = rhs - c["vg"][None, :, None, None] * term
+                sol = jnp.einsum(
+                    "kbij,kbwj->kbwi", b_cls[0], rhs, precision=hi_p
+                )
+                m_l = jnp.einsum("kb,kbwi->wi", macro_w_g, sol)
+                sol_c = (
+                    sol.astype(ring.dtype)
+                    if sol.dtype != ring.dtype else sol
+                )
+                return sol_c, (
+                    sol_c if self._ring_state_bf16 else sol, m_l
+                )
+
+            Km_b = v_g.shape[1]
+            ring0 = jnp.zeros(
+                (Km_b, BS, W, D), st if st else v_g.dtype
+            )
+            _, (ys, ms) = lax.scan(
+                body, ring0, (v_g, t_tc, bsrc0_g, cin_g),
+                unroll=self.scan_unroll,
+            )
+            return ys, ms  # (L, Km_b, BS, W, D), (L, W, D)
+
+        m_parts = []
+        v_new = []
+        for bi, (gs, km_b) in enumerate(self._ring_buckets):
+            cb = c["ring_b"][bi]
+            # cin arrives (L, G_b, nf_act, Km_b, W); the body wants
+            # (L, nf_act, Km_b, W) per group with nf leading after vmap
+            cin_b = cb["cin"]
+            vb, mb = jax.vmap(
+                ring_group,
+                in_axes=(1, 1, 1, 1, tuple(
+                    1 if i == 1 else 0 for i in range(len(c["mats"][bi]))
+                ), 0),
+                out_axes=(1, 0),
+            )(
+                u[bi], tc_slab[:, gs], cb["bsrc0"], cin_b,
+                c["mats"][bi], cb["macro_w"],
+            )
+            v_new.append(vb)
+            m_parts.append(mb)
+
+        order = np.concatenate([gs for gs, _ in self._ring_buckets])
+        inv_order = np.empty(G, dtype=np.int32)
+        inv_order[order] = np.arange(G)
+        m_cat = jnp.concatenate(m_parts, axis=0)[inv_order]  # (G, L, W, D)
+        partial = jnp.transpose(
+            m_cat.reshape(G, self.ne_pad, D), (0, 2, 1)
+        )  # (G, D, ne_pad)
+        pos = c["pos_of_elem"]  # (G, ne)
+        Tc_v = jax.vmap(lambda pg, po: pg[:, po])(partial, pos).sum(0).T
+        Tc_new = jnp.einsum("eij,ej->ei", c["ring_invMT"], Tc_v)
+        Tv_new = self._tv_from_tc(c, Tc_new)
+        res = macroscopic.residual(Tv_new, Tv_prev)
+        return tuple(v_new), Tc_new, Tv_new, res
+
     def _step_ring(self, c, u, Tc, Tv_prev):
         """Ring sweep step on the bucketed slab-major state: u is a tuple of
         per-Km-bucket arrays (L, G_b, Km_b, D, BS, W) — see _ring_buckets.
@@ -3152,7 +3314,14 @@ class SourceIterationSolver:
                     len(gs), km_b, self.BS, self.D, self.ne_pad
                 )
                 continue
-            if self._use_pallas_ring:
+            if self._ring_wd:
+                ub = np.asarray(u[bi])  # (L, Gb, Km_b, BS, W, D)
+                if ub.dtype.name == "bfloat16":
+                    ub = ub.astype(np.float32)
+                ub = ub.transpose(1, 2, 3, 5, 0, 4).reshape(
+                    len(gs), km_b, self.BS, self.D, self.ne_pad
+                )
+            elif self._use_pallas_ring:
                 ub = np.asarray(u[bi])  # (L, Gb, Km_b, BS, D, W)
                 ub = ub.transpose(1, 2, 3, 4, 0, 5).reshape(
                     len(gs), km_b, self.BS, self.D, self.ne_pad

@@ -13,6 +13,15 @@ run() {
   env "$@" 2>>"$out" | tee -a "$out"
 }
 date | tee -a "$out"
+# 0. full-resolution tet convergence RERUN on the WD layout (D' on lanes:
+#    f32 state fits without bf16/donation; factor matmul ~94% lane fill
+#    vs 20% W-minor) — refreshes tet_fullres.json
+run timeout -k 30 3000 python scripts/converge_tet.py
+run PBTE_TET_POLAR=16 PBTE_TET_AZIMUTH=24 PBTE_TET_STEPS=10 \
+    timeout -k 30 2400 python scripts/bench_tet.py
+run PBTE_TET_STEPS=10 timeout -k 30 1500 python scripts/bench_tet.py
+# 0b. WD vs W-minor A/B at the 96-dir subset
+run PBTE_TET_STEPS=10 PBTE_SUPER_WD=0 timeout -k 30 1500 python scripts/bench_tet.py
 # 1. Krylov retry in isolation (the in-sweep row hit RESOURCE_EXHAUSTED
 #    right after the 12 GB full-K tet job — suspected relay memory carry)
 run PBTE_CONV_ACCEL=bicgstab PBTE_CONV_PRECISION=highest \

@@ -27,12 +27,13 @@ sys.path.insert(
 
 
 def main() -> None:
-    # state/donation defaults sized for the 16 GB chip: the W=25 macro
-    # plane pads to 128 lanes, so the f32 two-buffer state would exceed
-    # HBM — bf16 state + donation fit comfortably
-    os.environ.setdefault("PBTE_RING_STATE_BF16",
-                          os.environ.get("PBTE_TETC_STATE_BF16", "1"))
-    if os.environ.get("PBTE_TETC_DONATE", "1") == "1":
+    # The WD state layout (D' on lanes, W on sublanes — 1.37x padding
+    # instead of the W-minor layout's 5.1x) lets the full-K f32 state fit
+    # the 16 GB chip without bf16 state or forced donation; both stay
+    # available as overrides for A/B.
+    if os.environ.get("PBTE_TETC_STATE_BF16", "0") == "1":
+        os.environ.setdefault("PBTE_RING_STATE_BF16", "1")
+    if os.environ.get("PBTE_TETC_DONATE", "0") == "1":
         os.environ.setdefault("PBTE_RING_DONATE", "1")
     import jax
 

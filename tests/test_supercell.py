@@ -250,3 +250,41 @@ def test_supercell_fold_ab_matches():
     scale = np.abs(Tc_a).max()
     assert np.abs(Tc_a - Tc_b).max() < 1e-12 * scale
     assert abs(r_a - r_b) < 1e-13
+
+
+def test_supercell_wd_ab_matches():
+    """PBTE_SUPER_WD=0 (W-minor layout) and the default WD layout (D'
+    on lanes) must produce identical iterates and outputs."""
+    import os as _os
+
+    m = pmesh.make_cartesian_3d(3, 2, 2, "tet").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1, face_mode="consistent")
+    quad = ang.build(
+        ang.AngularOptions(dimension=3, polar_points=2, azimuth_points=4)
+    )
+    bcs = {a: (0.5 if a == 6 else -0.5) for a in range(1, 7)}
+
+    def run(env):
+        _os.environ.update(env)
+        try:
+            s = SourceIterationSolver(
+                ops, quad, TABLES, bcs, dtype=jnp.float64,
+                supercell="on", sweep_mode="ring",
+            )
+            u, Tc, Tv = s.initial_state()
+            for _ in range(3):
+                u, Tc, Tv, r = s.step(u, Tc, Tv)
+            return s, u, np.asarray(Tc), float(r)
+        finally:
+            for k in env:
+                _os.environ.pop(k, None)
+
+    s_wd, u_wd, Tc_a, r_a = run({})
+    s_wm, u_wm, Tc_b, r_b = run({"PBTE_SUPER_WD": "0"})
+    assert s_wd._ring_wd and not s_wm._ring_wd
+    scale = np.abs(Tc_a).max()
+    assert np.abs(Tc_a - Tc_b).max() < 1e-12 * scale
+    assert abs(r_a - r_b) < 1e-13
+    ud_a = s_wd.u_by_direction(u_wd)
+    ud_b = s_wm.u_by_direction(u_wm)
+    assert np.abs(ud_a - ud_b).max() < 1e-12 * max(np.abs(ud_b).max(), 1e-300)
