@@ -752,16 +752,49 @@ class SourceIterationSolver:
         # disables for A/B; hull windows are mutually exclusive (their
         # lane quantum is W-based — a sublane-quantum variant is possible
         # but unprofitable at these W).
+        # MEASURED (r4b A/B on TPU v5e): the WD layout is ~5% slower at
+        # the 96-dir subset (11.0 vs 10.4 ms/step, both f32) and loses to
+        # W-minor + bf16 state at full-K (64.2 vs 55.8 ms) — the lane-fill
+        # gain is eaten by operand relayouts around the stacked coupling
+        # GEMM. Kept OPT-IN (PBTE_SUPER_WD=1) as the measured alternative;
+        # the default full-K memory answer is the auto bf16-state policy
+        # below.
         self._ring_wd = (
             self.sweep_mode == "ring"
             and self._super is not None
             and not self._use_pallas_ring
             and os.environ.get("PBTE_SUPER_FOLD", "") != "1"
-            and os.environ.get("PBTE_SUPER_WD", "") != "0"
+            and os.environ.get("PBTE_SUPER_WD", "") == "1"
         )
         if self._ring_wd:
             self._ring_windowed = False
             self._ring_segs = None
+
+        # ---- auto memory policy for small-W lattices -----------------------
+        # W is the minor (lane) axis of the ring state: TPU tiling pads it
+        # to 128, so small macro planes (full-K legacy tet: W=25, 5.1x)
+        # can push the two in-flight f32 state buffers past a 16 GB chip.
+        # When the PADDED two-buffer estimate exceeds the budget, store the
+        # state bf16 (numerically the same class as the MXU's own operand
+        # truncation — see _ring_state_bf16 above) and donate the input
+        # buffer. Explicit PBTE_RING_STATE_BF16=0 keeps f32.
+        self._auto_mem = False
+        if (
+            self.sweep_mode == "ring"
+            and not self._ring_wd
+            and not self._ring_windowed
+            and self._ring_stage_bf16
+            and not self._ring_state_bf16
+            and os.environ.get("PBTE_RING_STATE_BF16", "") != "0"
+        ):
+            padded_W = -(-self.W // 128) * 128
+            state2 = (
+                2 * (sum(sizes) + G) * BS * D * L * padded_W
+                * np.dtype(np_dtype).itemsize
+            )
+            if state2 > 11e9:
+                self._ring_state_bf16 = True
+                self._auto_mem = True
 
         # scan-path rhs hoisting: precomputing the (Km, BS, D, ne) rhs base
         # and relaxation term for all G groups costs ~2 state-sized
@@ -1340,7 +1373,8 @@ class SourceIterationSolver:
             massT_r = np.swapaxes(mass_r, -1, -2)
             invMT_r = self._ring_invMT_cls  # (ncls, D, D)
             a_cls = np.empty((G, ncls, Km, BS, D, D), dtype=np_dtype)
-            for g in range(G):
+
+            def _factor_group(g):
                 dk = dirs_np[dirs_safe[g]]  # (Km, dim)
                 fd = np.einsum("cfd,kd->ckf", norm_r, dk)
                 G_k = -np.einsum("kd,cdij->ckij", dk, stiff_r) + np.einsum(
@@ -1360,6 +1394,14 @@ class SourceIterationSolver:
                 a_cls[g] = np.matmul(
                     massT_r[:, None, None], np.linalg.inv(A)
                 ).astype(np_dtype)
+
+            # LAPACK releases the GIL: thread the per-group f64 inverse
+            # batches (the dominant setup cost at the legacy full-K tet
+            # shape — 20k dense 120x120 inverses)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(G, 8)) as tp:
+                list(tp.map(_factor_group, range(G)))
             # per-element M^-T (by class) for output-time v -> u conversion
             # and the macroscopic closure
             self._ring_invMT = invMT_r[self._ring_cls]  # (ne, D, D)
@@ -1923,9 +1965,15 @@ class SourceIterationSolver:
                 if self._ring_windowed
                 else L * self.W
             )
+            w_pad = (
+                (-(-self.W // 128) * 128) / max(self.W, 1)
+                if not (self._ring_windowed or self._ring_wd) else 1.0
+            )
+            st_isize = 2 if self._ring_state_bf16 else np.dtype(
+                np_dtype).itemsize
             state_b = (
                 sum(sizes) + G
-            ) * BS * D * slot_tot * np.dtype(np_dtype).itemsize
+            ) * BS * D * slot_tot * st_isize * w_pad
             donate_ring = state_b > 5.5e9
         self._step = _jit(
             self._step_impl,

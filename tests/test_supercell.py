@@ -279,8 +279,8 @@ def test_supercell_wd_ab_matches():
             for k in env:
                 _os.environ.pop(k, None)
 
-    s_wd, u_wd, Tc_a, r_a = run({})
-    s_wm, u_wm, Tc_b, r_b = run({"PBTE_SUPER_WD": "0"})
+    s_wd, u_wd, Tc_a, r_a = run({"PBTE_SUPER_WD": "1"})
+    s_wm, u_wm, Tc_b, r_b = run({})
     assert s_wd._ring_wd and not s_wm._ring_wd
     scale = np.abs(Tc_a).max()
     assert np.abs(Tc_a - Tc_b).max() < 1e-12 * scale
