@@ -64,6 +64,15 @@ Parity evidence: with face_mode="mfem-parity" assembly, the 2D demo
 (unit-square-iso, p=1, 24 dirs, 2x20 bands, 101 iterations) reproduces the
 reference's committed Tc_all.txt and coeff_all.txt byte-for-byte at %g
 precision and T_slice.txt to 2.5e-15.
+
+Simplex lattice meshes (the reference's production 6-tet cuboids and 2D
+2-tri splits) are additionally merged into macro-cell SUPER ELEMENTS
+(fem/supercell.py, the `supercell=` option): the intra-cell upwind
+couplings move into the block-triangular transport factor (exact), the
+macro adjacency is a verified box lattice, and this same ring machinery
+runs on it with 2^dim octant groups, D' = gsz*D DOFs and a two-matmul
+body — the path that runs the reference's FULL legacy production
+configuration on one chip (bench_artifacts/tet_fullres.json).
 """
 
 from __future__ import annotations
@@ -733,7 +742,15 @@ class SourceIterationSolver:
             vm = vmask_all.any(axis=0)
             win_lo = np.argmax(vm, axis=1)
             win_hi = vm.shape[1] - 1 - np.argmax(vm[:, ::-1], axis=1)
-            segs_w = _pick_ring_windows(win_lo, win_hi, self.W)
+            # PBTE_RING_MAX_SEGS caps the hull-window segment count — each
+            # segment compiles its own scan body, so fewer segments trade a
+            # few % step time for proportionally less COLD-compile work
+            # (the warm persistent cache makes recompiles ~18 s; see the
+            # BASELINE.md compile-time row)
+            segs_w = _pick_ring_windows(
+                win_lo, win_hi, self.W,
+                max_segments=int(os.environ.get("PBTE_RING_MAX_SEGS", 8)),
+            )
             slot_tot = sum((l1 - l0) * Ws for l0, l1, _, _, Ws in segs_w)
             if slot_tot < 0.95 * L * self.W:
                 self._ring_windowed = True
