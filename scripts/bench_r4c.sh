@@ -19,4 +19,14 @@ run PBTE_BENCH_CPP_ITERS=0 PBTE_RING_STATE_BF16=1 timeout -k 30 1500 python benc
 #    self-select bf16 state + donation and run at the W-minor rate
 run PBTE_TET_POLAR=16 PBTE_TET_AZIMUTH=24 PBTE_TET_STEPS=10 \
     timeout -k 30 2400 python scripts/bench_tet.py
+# 3. Krylov at exact precision on the largest hex shape whose ~8 BiCGStab
+#    state trees fit one chip (nx=10: 0.87 GB/tree; 16^3 and 12^3 both
+#    RESOURCE_EXHAUSTED — recorded in r4b_sweep) + the plain-highest
+#    comparison at the same shape
+run PBTE_CONV_NX=10 PBTE_CONV_ACCEL=bicgstab PBTE_CONV_PRECISION=highest \
+    PBTE_CONV_TOL=1e-7 PBTE_CONV_PROBE=1e-7 PBTE_CONV_MAXIT=900 \
+    timeout -k 30 3600 python scripts/converge_flagship.py
+run PBTE_CONV_NX=10 PBTE_CONV_PRECISION=highest PBTE_CONV_TOL=1e-7 \
+    PBTE_CONV_PROBE=1e-7 PBTE_CONV_MAXIT=2500 \
+    timeout -k 30 3600 python scripts/converge_flagship.py
 date | tee -a "$out"
