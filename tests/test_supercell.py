@@ -288,3 +288,33 @@ def test_supercell_wd_ab_matches():
     ud_a = s_wd.u_by_direction(u_wd)
     ud_b = s_wm.u_by_direction(u_wm)
     assert np.abs(ud_a - ud_b).max() < 1e-12 * max(np.abs(ud_b).max(), 1e-300)
+
+
+def test_supercell_checkpoint_roundtrip(tmp_path):
+    """Supercell ring state saves/loads (fingerprint tags the layout);
+    resumed run == uninterrupted run."""
+    from pbte_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    m = pmesh.make_cartesian_3d(3, 2, 2, "tet").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1, face_mode="consistent")
+    quad = ang.build(
+        ang.AngularOptions(dimension=3, polar_points=2, azimuth_points=4)
+    )
+    bcs = {a: (0.5 if a == 6 else -0.5) for a in range(1, 7)}
+    s = SourceIterationSolver(
+        ops, quad, TABLES, bcs, dtype=jnp.float64,
+        supercell="on", sweep_mode="ring",
+    )
+    assert s._super is not None
+    full = s.solve(tol=0, max_iter=6, verbose=False)
+    half = s.solve(tol=0, max_iter=3, verbose=False)
+    ck = str(tmp_path / "super.npz")
+    save_checkpoint(ck, s, half.u, half.Tc, half.Tv, 3, half.residual)
+    state, it, _ = load_checkpoint(ck, s)
+    assert it == 3
+    resumed = s.solve(tol=0, max_iter=3, verbose=False, state=state)
+    np.testing.assert_allclose(
+        np.asarray(resumed.Tc), np.asarray(full.Tc), rtol=1e-12, atol=1e-18
+    )
+    # Tv is per FINE element in supercell mode
+    assert np.asarray(full.Tv).shape == (s.ne_tv,)
