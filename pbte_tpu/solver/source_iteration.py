@@ -421,6 +421,13 @@ class SourceIterationSolver:
             and not dirichlet_bcs
             and not (diffuse_bcs or specular_bcs)
             and not ops.periodic.any()
+            # axis-grazing directions (e.g. the 3D polar=1 in-plane rule)
+            # make the octant sign pattern ill-defined — the lattice ring
+            # rejects them, so the merge must not engage (the scan path
+            # handles grazing fine on the raw ops)
+            and float(
+                np.abs(quad.directions[:, : ops.dim]).min()
+            ) > 1e-14
         ):
             from pbte_tpu.fem import supercell as _supercell
 
@@ -2471,6 +2478,8 @@ class SourceIterationSolver:
 
         from pbte_tpu.ops.lattice_ring import lattice_ring_sweep
 
+        hi_p = None  # the Pallas path is gated off under "selective"
+
         G, W, L, D = self.G, self.W, self.L, self.D
         TcT = Tc.T  # (D, ne)
         tc_slab = (
@@ -2506,7 +2515,7 @@ class SourceIterationSolver:
         )
         pos = c["pos_of_elem"]  # (G, ne)
         Tc_v = jax.vmap(lambda pg, po: pg[:, po])(partial, pos).sum(0).T
-        Tc_new = jnp.einsum("eij,ej->ei", c["ring_invMT"], Tc_v)
+        Tc_new = jnp.einsum("eij,ej->ei", c["ring_invMT"], Tc_v, precision=hi_p)
         Tv_new = self._tv_from_tc(c, Tc_new)
         res = macroscopic.residual(Tv_new, Tv_prev)
         return tuple(v_new), Tc_new, Tv_new, res
@@ -2636,7 +2645,7 @@ class SourceIterationSolver:
                                 "kbij,kjbw->kibw", mats_g[0][0], rhs2,
                                 precision=hi_p,
                             )
-                        m_l = jnp.einsum("kb,kibw->iw", macro_w_g, sol)
+                        m_l = jnp.einsum("kb,kibw->iw", macro_w_g, sol, precision=hi_p)
                         sol_c = sol.astype(st) if st else sol
                         return sol_c, (
                             sol_c if self._ring_state_bf16 else sol, m_l
@@ -2706,7 +2715,7 @@ class SourceIterationSolver:
                 )
             )(part, po)
             Tc_v = Tc_v + got.sum(0).T
-        Tc_new = jnp.einsum("eij,ej->ei", c["ring_invMT"], Tc_v)
+        Tc_new = jnp.einsum("eij,ej->ei", c["ring_invMT"], Tc_v, precision=hi_p)
         Tv_new = self._tv_from_tc(c, Tc_new)
         res = macroscopic.residual(Tv_new, Tv_prev)
         return tuple(v_new), Tc_new, Tv_new, res
@@ -2739,7 +2748,9 @@ class SourceIterationSolver:
             b_cls, massT_c = mats_g[0], mats_g[2]
             ccpl_gl = mats_g[3]  # (nf_act, D, D)
             # t_tc[l, w, i] = sum_j massT[i, j] tc[l, w, j]
-            t_tc = jnp.einsum("ij,lwj->lwi", massT_c[0], tc_g)
+            t_tc = jnp.einsum(
+                "ij,lwj->lwi", massT_c[0], tc_g, precision=hi_p
+            )
 
             def body(ring, xs):
                 v_l, ttc_l, bsrc_l, cin_l = xs
@@ -2770,7 +2781,7 @@ class SourceIterationSolver:
                 sol = jnp.einsum(
                     "kbij,kbwj->kbwi", b_cls[0], rhs, precision=hi_p
                 )
-                m_l = jnp.einsum("kb,kbwi->wi", macro_w_g, sol)
+                m_l = jnp.einsum("kb,kbwi->wi", macro_w_g, sol, precision=hi_p)
                 sol_c = (
                     sol.astype(ring.dtype)
                     if sol.dtype != ring.dtype else sol
@@ -2818,7 +2829,7 @@ class SourceIterationSolver:
         )  # (G, D, ne_pad)
         pos = c["pos_of_elem"]  # (G, ne)
         Tc_v = jax.vmap(lambda pg, po: pg[:, po])(partial, pos).sum(0).T
-        Tc_new = jnp.einsum("eij,ej->ei", c["ring_invMT"], Tc_v)
+        Tc_new = jnp.einsum("eij,ej->ei", c["ring_invMT"], Tc_v, precision=hi_p)
         Tv_new = self._tv_from_tc(c, Tc_new)
         res = macroscopic.residual(Tv_new, Tv_prev)
         return tuple(v_new), Tc_new, Tv_new, res
@@ -2917,7 +2928,9 @@ class SourceIterationSolver:
             b_cls, cls_oh, massT_c = mats_g[0], mats_g[1], mats_g[2]
 
             # lagged-temperature term (tiny: (L, D, W))
-            t_tc = jnp.einsum("ij,ljw->liw", massT_c[0], tc_g)
+            t_tc = jnp.einsum(
+                "ij,ljw->liw", massT_c[0], tc_g, precision=hi_p
+            )
             if ncls > 1:
                 t_tc = t_tc * cls_oh[:, 0][:, None, :]
                 for ci in range(1, ncls):
@@ -3018,7 +3031,7 @@ class SourceIterationSolver:
                             "kbiJ,kJbw->kibw", bcat, xcat, precision=hi_p
                         )
                     # fused macroscopic partial: read sol while it is hot
-                    m_l = jnp.einsum("kb,kibw->iw", macro_w_g, sol)
+                    m_l = jnp.einsum("kb,kibw->iw", macro_w_g, sol, precision=hi_p)
                     sol_c = sol.astype(st) if st else sol
                     if Hn == 1:
                         ring = sol_c
@@ -3099,7 +3112,7 @@ class SourceIterationSolver:
                         precision=hi_p,
                     )
                 # fused macroscopic partial: read sol while it is hot
-                m_l = jnp.einsum("kb,kibw->iw", macro_w_g, sol)
+                m_l = jnp.einsum("kb,kibw->iw", macro_w_g, sol, precision=hi_p)
                 # bf16 staging (two-matmul variant): the carry stays bf16
                 sol_c = (
                     sol.astype(ring.dtype)
@@ -3203,7 +3216,7 @@ class SourceIterationSolver:
         pos = c["pos_of_elem"]  # (G, ne)
         Tc_v = jax.vmap(lambda pg, po: pg[:, po])(partial, pos).sum(0).T
         # v = M^T u  =>  Tc_u[e] = M_e^-T Tc_v[e]
-        Tc_new = jnp.einsum("eij,ej->ei", c["ring_invMT"], Tc_v)
+        Tc_new = jnp.einsum("eij,ej->ei", c["ring_invMT"], Tc_v, precision=hi_p)
         Tv_new = self._tv_from_tc(c, Tc_new)
         res = macroscopic.residual(Tv_new, Tv_prev)
         return tuple(v_new), Tc_new, Tv_new, res
