@@ -29,4 +29,10 @@ run PBTE_CONV_NX=10 PBTE_CONV_ACCEL=bicgstab PBTE_CONV_PRECISION=highest \
 run PBTE_CONV_NX=10 PBTE_CONV_PRECISION=highest PBTE_CONV_TOL=1e-7 \
     PBTE_CONV_PROBE=1e-7 PBTE_CONV_MAXIT=2500 \
     timeout -k 30 3600 python scripts/converge_flagship.py
+# 4. selective-v2 re-measure (closure einsums now exact too) + refreshed
+#    field-bias table
+run PBTE_CONV_PRECISION=selective PBTE_CONV_TOL=1e-7 PBTE_CONV_PROBE=1e-7 \
+    PBTE_CONV_MAXIT=2500 timeout -k 30 3600 python scripts/converge_flagship.py
+echo "=== field-bias table (v2) ===" | tee -a "$out"
+timeout -k 30 600 python bench_artifacts/compare_fields.py 2>>"$out" | tee -a "$out" || true
 date | tee -a "$out"
