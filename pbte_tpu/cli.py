@@ -59,6 +59,11 @@ def main(argv=None) -> int:
                          "MXU neighbor selection (the TPU fast path, "
                          "auto-selected at scale); 'scan' = compact "
                          "level-window scan")
+    ap.add_argument("--polish", type=int, default=0, metavar="N",
+                    help="after convergence, run N exact-precision "
+                         "(bf16x6) iterations from the converged state — "
+                         "contracts the default-precision field bias by "
+                         "rho^N at a fraction of a full exact solve")
     ap.add_argument("--matmul-precision",
                     choices=["default", "high", "highest", "selective"],
                     default="default",
@@ -303,6 +308,8 @@ def main(argv=None) -> int:
         # both domain-decomposed solvers accept accelerate= too (lagged
         # ppermute halos are linear in the previous iterate; accel.py)
         solve_kw["accelerate"] = args.accelerate
+    if args.polish > 0:
+        solve_kw["polish_iters"] = args.polish
     pv_coll = None
     if args.vtu_every > 0:
         from pbte_tpu.io.vtu import ParaViewCollection

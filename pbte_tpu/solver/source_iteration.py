@@ -3272,6 +3272,8 @@ class SourceIterationSolver:
         accelerate: str | None = None,
         cycle_hook=None,
         cycle_every: int = 0,
+        polish_iters: int = 0,
+        polish_precision: str = "highest",
     ):
         """Outer source iteration (ref: src/PBTESolver.cpp:208-332).
 
@@ -3321,6 +3323,32 @@ class SourceIterationSolver:
 
                 save_checkpoint(checkpoint_path, self, u, Tc, prev_Tv, it,
                                 res if np.isfinite(res) else float(res_dev))
+        if polish_iters > 0:
+            # PRECISION POLISH: the default-precision fixed point carries a
+            # bf16-amplified field bias (~8e-2 rel-L2 at the flagship,
+            # BASELINE.md); running N exact-precision iterations FROM the
+            # converged default state contracts that bias by rho^N at a
+            # fraction of a full exact solve — e.g. 300 highest-precision
+            # iterations shrink 8.1e-2 to ~3e-4 for ~1.2x the default solve
+            # cost instead of the ~14x of converging at `highest` from zero.
+            import jax as _jax
+
+            prec = polish_precision
+
+            def _polish_fn(c_, u_, Tc_, Tv_):
+                with _jax.default_matmul_precision(prec):
+                    return self._step_impl(c_, u_, Tc_, Tv_)
+
+            polish_step = _jax.jit(_polish_fn)
+            for _ in range(polish_iters):
+                u, Tc, prev_Tv, res_dev = polish_step(
+                    self.consts, u, Tc, prev_Tv
+                )
+                it += 1
+            res = float(res_dev)
+            if verbose:
+                print(f"[pbte_tpu] polish({prec}) x{polish_iters}: "
+                      f"residual = {res:.6e}")
         return SolveResult(
             u=u, Tc=Tc, Tv=prev_Tv, residual=res, iterations=it, solver=self
         )

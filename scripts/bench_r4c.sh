@@ -36,3 +36,17 @@ run PBTE_CONV_PRECISION=selective PBTE_CONV_TOL=1e-7 PBTE_CONV_PROBE=1e-7 \
 echo "=== field-bias table (v2) ===" | tee -a "$out"
 timeout -k 30 600 python bench_artifacts/compare_fields.py 2>>"$out" | tee -a "$out" || true
 date | tee -a "$out"
+# 5. PRECISION POLISH recipe: default converge + 300 exact iterations —
+#    targets <=1e-3 field bias at ~1.2-2x the default solve cost
+run PBTE_CONV_POLISH=300 PBTE_CONV_TOL=1e-7 PBTE_CONV_PROBE=1e-7 \
+    PBTE_CONV_MAXIT=1200 timeout -k 30 3600 python scripts/converge_flagship.py
+echo "=== polish field bias ===" | tee -a "$out"
+timeout -k 30 300 python - <<'PYEOF' 2>>"$out" | tee -a "$out"
+import numpy as np
+a = np.load("bench_artifacts/converge_flagship_default_polish300.npz")["Tc"]
+b = np.load("bench_artifacts/converge_flagship_highest.npz")["Tc"]
+print("polish300 vs highest: rel_l2",
+      np.linalg.norm(a - b) / np.linalg.norm(b),
+      "rel_max", np.abs(a - b).max() / np.abs(b).max())
+PYEOF
+date | tee -a "$out"

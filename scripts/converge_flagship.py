@@ -57,7 +57,7 @@ def build(dtype, matmul_precision, platform=None):
     )
 
 
-def run_to_tol(solver, tol, probe, max_iter, check_every=10):
+def run_to_tol(solver, tol, probe, max_iter, check_every=10, polish=0):
     curve = []
     t0 = time.time()
     probe_hit = None
@@ -71,7 +71,7 @@ def run_to_tol(solver, tol, probe, max_iter, check_every=10):
     accel = os.environ.get("PBTE_CONV_ACCEL", "") or None
     res = solver.solve(tol=tol, max_iter=max_iter, verbose=True,
                        check_every=check_every, callback=cb,
-                       accelerate=accel)
+                       accelerate=accel, polish_iters=polish)
     wall = time.time() - t0
     return res, curve, probe_hit, wall
 
@@ -103,7 +103,10 @@ def main() -> None:
     print(f"[converge] f32 ring ({precision}): sweep={solver.sweep_mode} "
           f"lattice={getattr(solver, '_ring_lattice', False)}",
           file=sys.stderr)
-    res, curve, probe_hit, wall = run_to_tol(solver, probe, probe, max_iter)
+    polish = int(os.environ.get("PBTE_CONV_POLISH", 0))
+    res, curve, probe_hit, wall = run_to_tol(
+        solver, probe, probe, max_iter, polish=polish
+    )
     tol_hit = next((it for it, r in curve if r < tol), None)
     accel = os.environ.get("PBTE_CONV_ACCEL", "")
     rec = {
@@ -132,6 +135,8 @@ def main() -> None:
     )
     os.makedirs(os.path.dirname(art), exist_ok=True)
     suffix = precision + (f"_{accel}" if accel else "")
+    if polish:
+        suffix += f"_polish{polish}"
     nx_env = int(os.environ.get("PBTE_CONV_NX", 16))
     if nx_env != 16:
         suffix += f"_nx{nx_env}"  # never overwrite the flagship artifacts

@@ -436,3 +436,22 @@ def test_ring_state_bf16_close_to_f32():
             np.asarray(state[0][0][0], dtype=np.float32),
             np.asarray(r_b.u[0][0], dtype=np.float32),
         )
+
+
+def test_polish_equals_extra_steps_f64():
+    """solve(polish_iters=N) at f64 (where every precision is exact) must
+    equal N extra plain iterations — the polish recipe's correctness; its
+    VALUE is on TPU, where the exact-precision tail contracts the
+    default-precision field bias by rho^N (BASELINE.md precision tiers)."""
+    m = pmesh.make_cartesian_3d(4, 4, 4, "hex").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1, face_mode="consistent")
+    quad = ang.build(ang.AngularOptions(dimension=3, polar_points=2,
+                                        azimuth_points=4))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    s = SourceIterationSolver(ops, quad, tables, BCS3, dtype=jnp.float64,
+                              sweep_mode="ring")
+    r1 = s.solve(tol=0, max_iter=105, verbose=False)
+    r2 = s.solve(tol=0, max_iter=100, verbose=False, polish_iters=5)
+    scale = np.abs(np.asarray(r1.Tc)).max()
+    assert np.abs(np.asarray(r1.Tc) - np.asarray(r2.Tc)).max() < 1e-14 * scale
+    assert r2.iterations == 105
