@@ -50,12 +50,22 @@ def main() -> None:
     from __graft_entry__ import _build_problem
 
     # ---- (a) HBM copy bandwidth ----------------------------------------
+    # R chained full-buffer passes inside ONE jit: a single-pass timing is
+    # dominated by the relay RPC latency (~30 ms round trip measured),
+    # which under-reads a 512 MB stream by ~25x
+    from jax import lax
+
     n = int(os.environ.get("PBTE_ROOF_COPY_MB", 512)) * (1 << 20) // 4
+    reps = int(os.environ.get("PBTE_ROOF_COPY_REPS", 24))
     x = jnp.arange(n, dtype=jnp.float32)
 
     @jax.jit
     def copy(x):
-        return x * 1.000001  # stream read + write, no fusion shortcut
+        def body(c, _):
+            return c * 1.000001, None  # stream read + write per pass
+
+        c, _ = lax.scan(body, x, None, length=reps)
+        return c
 
     _ = float(copy(x)[0])
     best = float("inf")
@@ -63,7 +73,7 @@ def main() -> None:
         t0 = time.time()
         _ = float(copy(x)[-1])
         best = min(best, time.time() - t0)
-    bw = 2.0 * n * 4 / best
+    bw = 2.0 * n * 4 * reps / best
     print(f"[roofline] HBM copy bandwidth: {bw/1e9:.0f} GB/s "
           f"({n*4/1e6:.0f} MB buffer)", file=sys.stderr)
 
