@@ -59,6 +59,11 @@ def main(argv=None) -> int:
                          "MXU neighbor selection (the TPU fast path, "
                          "auto-selected at scale); 'scan' = compact "
                          "level-window scan")
+    ap.add_argument("--polish-extrapolate", action="store_true",
+                    help="after --polish, Aitken-extrapolate the slow "
+                         "quasi-neutral mode's geometric tail (2 extra "
+                         "exact steps) — removes the offset-family bias "
+                         "plain polish cannot contract")
     ap.add_argument("--polish", type=int, default=0, metavar="N",
                     help="after convergence, run N exact-precision "
                          "(bf16x6) iterations from the converged state — "
@@ -310,6 +315,7 @@ def main(argv=None) -> int:
         solve_kw["accelerate"] = args.accelerate
     if args.polish > 0:
         solve_kw["polish_iters"] = args.polish
+        solve_kw["polish_extrapolate"] = args.polish_extrapolate
     pv_coll = None
     if args.vtu_every > 0:
         from pbte_tpu.io.vtu import ParaViewCollection

@@ -50,3 +50,18 @@ print("polish300 vs highest: rel_l2",
       "rel_max", np.abs(a - b).max() / np.abs(b).max())
 PYEOF
 date | tee -a "$out"
+# 6. polish + Aitken extrapolation of the quasi-neutral mode (the plain
+#    300-step polish removed <5% of the bias — r4c row above)
+run PBTE_CONV_POLISH=60 PBTE_CONV_POLISH_EXTRAP=1 PBTE_CONV_TOL=1e-7 \
+    PBTE_CONV_PROBE=1e-7 PBTE_CONV_MAXIT=1200 \
+    timeout -k 30 3600 python scripts/converge_flagship.py
+echo "=== polish-extrap field bias ===" | tee -a "$out"
+timeout -k 30 300 python - <<'PYEOF' 2>>"$out" | tee -a "$out"
+import numpy as np
+a = np.load("bench_artifacts/converge_flagship_default_polish60.npz")["Tc"]
+b = np.load("bench_artifacts/converge_flagship_highest.npz")["Tc"]
+print("polish60+extrap vs highest: rel_l2",
+      np.linalg.norm(a - b) / np.linalg.norm(b),
+      "rel_max", np.abs(a - b).max() / np.abs(b).max())
+PYEOF
+date | tee -a "$out"

@@ -71,7 +71,9 @@ def run_to_tol(solver, tol, probe, max_iter, check_every=10, polish=0):
     accel = os.environ.get("PBTE_CONV_ACCEL", "") or None
     res = solver.solve(tol=tol, max_iter=max_iter, verbose=True,
                        check_every=check_every, callback=cb,
-                       accelerate=accel, polish_iters=polish)
+                       accelerate=accel, polish_iters=polish,
+                       polish_extrapolate=os.environ.get(
+                           "PBTE_CONV_POLISH_EXTRAP", "") == "1")
     wall = time.time() - t0
     return res, curve, probe_hit, wall
 

@@ -455,3 +455,25 @@ def test_polish_equals_extra_steps_f64():
     scale = np.abs(np.asarray(r1.Tc)).max()
     assert np.abs(np.asarray(r1.Tc) - np.asarray(r2.Tc)).max() < 1e-14 * scale
     assert r2.iterations == 105
+
+
+def test_polish_extrapolation_accelerates_slow_modes():
+    """Aitken extrapolation of the polish tail lands much closer to the
+    fixed point than the same number of plain steps (the quasi-neutral
+    offset family contracts at lambda ~= 1 and dominates the remaining
+    error; two extra steps estimate its geometric ratio and jump to the
+    limit)."""
+    m = pmesh.make_cartesian_3d(4, 4, 4, "hex").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1, face_mode="consistent")
+    quad = ang.build(ang.AngularOptions(dimension=3, polar_points=2,
+                                        azimuth_points=4))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    s = SourceIterationSolver(ops, quad, tables, BCS3, dtype=jnp.float64,
+                              sweep_mode="ring")
+    ref = np.asarray(s.solve(tol=1e-13, max_iter=3000, verbose=False).Tc)
+    plain = s.solve(tol=0, max_iter=200, verbose=False)
+    extr = s.solve(tol=0, max_iter=180, verbose=False, polish_iters=18,
+                   polish_extrapolate=True)
+    e_plain = np.abs(np.asarray(plain.Tc) - ref).max()
+    e_extr = np.abs(np.asarray(extr.Tc) - ref).max()
+    assert e_extr < 0.1 * e_plain
