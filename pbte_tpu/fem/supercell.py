@@ -350,6 +350,86 @@ def detect(ops, cls: np.ndarray | None = None) -> SuperCell | None:
     )
 
 
+def block_triangular_factor(
+    sc: SuperCell, A: np.ndarray, dirs: np.ndarray, massT: np.ndarray
+) -> np.ndarray:
+    """B = blockdiag(massT_c) @ A^{-1} via BLOCK FORWARD SUBSTITUTION.
+
+    A (Km, BS, Dp, Dp) is the super transport operator for Km directions
+    (dirs (Km, dim)); it is block lower-triangular in each direction's
+    intra-cell topological class order with at most two sub-diagonal
+    blocks per row (the intra faces form a cycle through the cell), so
+    A^{-1} costs gsz dense DxD inverses + a handful of DxD matmuls per
+    (k, b) instead of one dense (gsz*D)^3 inverse — ~10x fewer flops and
+    all of it batched 20x20 BLAS. This was the dominant setup cost of the
+    legacy full-K tet config (~150 s of np.linalg.inv on 20480 dense
+    120x120 matrices; measured r4).
+
+    massT (gsz, D, D) are the per-class M^T blocks (the ring carries
+    v = M^T u). Directions are grouped by their intra-face sign pattern
+    (each pattern fixes the topo order); A rows/cols stay in CLASS order
+    throughout — only the elimination order varies.
+    """
+    Km, BS, Dp, _ = A.shape
+    gsz, D = sc.gsz, sc.D
+    assert Dp == gsz * D
+    fd = dirs[:, : sc.int_normals.shape[1]] @ sc.int_normals.T  # (Km, n_int)
+    inflow = fd < -1e-14  # dst depends on src
+    pats, pat_of = np.unique(inflow, axis=0, return_inverse=True)
+    out = np.empty_like(A)
+    for pi in range(len(pats)):
+        ks = np.flatnonzero(pat_of == pi)
+        # dependency edges dst <- src for this pattern
+        dep = [[] for _ in range(gsz)]
+        for j in np.flatnonzero(pats[pi]):
+            dep[int(sc.int_dst[j])].append(int(sc.int_src[j]))
+        # topological order (acyclic by verify_acyclic)
+        rank = [None] * gsz
+        for _ in range(gsz + 1):
+            ch = False
+            for c in range(gsz):
+                vals = [rank[d] for d in dep[c]]
+                if any(v is None for v in vals):
+                    continue
+                r = max(vals) + 1 if vals else 0
+                if rank[c] != r:
+                    rank[c] = r
+                    ch = True
+            if not ch:
+                break
+        order = sorted(range(gsz), key=lambda c: rank[c])
+        Ak = A[ks]  # (nk, BS, Dp, Dp)
+
+        def blk(i, j):
+            return Ak[..., i * D : (i + 1) * D, j * D : (j + 1) * D]
+
+        X = {}  # (i, j) -> (nk, BS, D, D) inverse blocks
+        done = []
+        Bk = np.zeros_like(Ak)
+        for i in order:
+            Lii_inv = np.linalg.inv(blk(i, i))
+            X[(i, i)] = Lii_inv
+            for j in done:
+                # S = sum_k L_ik X_kj over already-eliminated k with a
+                # nonzero L_ik (only the <=2 intra-face sources of i)
+                S = None
+                for k in dep[i]:
+                    if (k, j) in X:
+                        t = np.matmul(blk(i, k), X[(k, j)])
+                        S = t if S is None else S + t
+                if S is not None:
+                    X[(i, j)] = -np.matmul(Lii_inv, S)
+            done.append(i)
+            # B rows of class i: massT_i @ X_ij
+            for j in done:
+                if (i, j) in X:
+                    Bk[..., i * D : (i + 1) * D, j * D : (j + 1) * D] = (
+                        np.matmul(massT[i], X[(i, j)])
+                    )
+        out[ks] = Bk
+    return out
+
+
 def verify_acyclic(sc: SuperCell, directions: np.ndarray) -> bool:
     """The block solve is equivalent to the fine-mesh sweep only when the
     intra-cell upwind graph is acyclic for every quadrature direction (a

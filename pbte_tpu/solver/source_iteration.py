@@ -1394,6 +1394,8 @@ class SourceIterationSolver:
             # pseudo-time term is relax*v (no per-step mass matmul — that
             # stream measured 14 ms/step at hex-16^3), the apply factor is
             # B = M^T A^-1, and M^-T folds into the neighbor couplings.
+            from pbte_tpu.fem import supercell as _supercell_mod
+
             massT_r = np.swapaxes(mass_r, -1, -2)
             invMT_r = self._ring_invMT_cls  # (ncls, D, D)
             a_cls = np.empty((G, ncls, Km, BS, D, D), dtype=np_dtype)
@@ -1413,11 +1415,28 @@ class SourceIterationSolver:
                     mass_r[:, None, None]
                     + vg_s[None, None, :, None, None] * G_k[:, :, None]
                 )  # (ncls, Km, BS, D, D)
-                # batched BLAS matmul: the einsum form ran single-thread
-                # without BLAS (~44 s of the legacy-tet setup)
-                a_cls[g] = np.matmul(
-                    massT_r[:, None, None], np.linalg.inv(A)
-                ).astype(np_dtype)
+                if self._super is not None:
+                    # block forward substitution on the block-triangular
+                    # super operator: gsz DxD inverses + a few DxD matmuls
+                    # per (k, b) instead of a dense (gsz*D)^3 inverse —
+                    # the dominant setup cost at the legacy full-K shape
+                    # (~150 s of dense 120x120 np.linalg.inv, r4 profile)
+                    sc_ = self._super
+                    massT_blk = np.swapaxes(
+                        ops.mass[reps][0], -1, -2
+                    ).reshape(sc_.gsz, sc_.D, sc_.gsz, sc_.D)
+                    massT_blocks = np.stack(
+                        [massT_blk[c, :, c, :] for c in range(sc_.gsz)]
+                    )
+                    a_cls[g] = _supercell_mod.block_triangular_factor(
+                        sc_, A[0], dk, massT_blocks
+                    )[None].astype(np_dtype)
+                else:
+                    # batched BLAS matmul: the einsum form ran single-
+                    # thread without BLAS (~44 s of the legacy-tet setup)
+                    a_cls[g] = np.matmul(
+                        massT_r[:, None, None], np.linalg.inv(A)
+                    ).astype(np_dtype)
 
             # LAPACK releases the GIL: thread the per-group f64 inverse
             # batches (the dominant setup cost at the legacy full-K tet
