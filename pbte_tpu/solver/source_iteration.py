@@ -445,7 +445,12 @@ class SourceIterationSolver:
                     (self.K + 2 ** self.dim) * BS * sc.Dp * L_sc * W_sc
                     * np.dtype(np_dtype).itemsize
                 )
-                if sweep_mode == "ring" or state_sc <= 4.5e9:
+                # affordability mirrors the ring gate PLUS the auto bf16-
+                # state + donation policy (one padded bf16 buffer must fit
+                # next to the factors): the 10^3 192-direction config is
+                # 10.7e9 f32 two-buffer but 6.9 GB as a single padded bf16
+                # buffer — well inside one chip
+                if sweep_mode == "ring" or state_sc <= 12e9:
                     self._super = sc
                     ops = sc.super_ops
                     self.ne = ne = ops.num_elements
@@ -573,7 +578,9 @@ class SourceIterationSolver:
                 W_lat = lat_tabs.shape[2]
                 oh_bytes = 0
                 state_bytes = (sum(sizes) + G) * BS * D * L * W_lat * itemsize
-                ok = ncls_r <= 8 and state_bytes <= 4.5e9
+                # budget includes the auto bf16-state + donation fallback
+                # (one padded bf16 buffer; see the auto memory policy below)
+                ok = ncls_r <= 8 and state_bytes <= 12e9
                 if sweep_mode == "ring":
                     ok = True
             else:
