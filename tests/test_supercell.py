@@ -318,3 +318,24 @@ def test_supercell_checkpoint_roundtrip(tmp_path):
     )
     # Tv is per FINE element in supercell mode
     assert np.asarray(full.Tv).shape == (s.ne_tv,)
+
+
+@pytest.mark.slow
+def test_auto_memory_policy_at_production_shape():
+    """The legacy FULL production config (5^3 6-tet, p=3, 16x24=384 dirs,
+    2x20 bands) must build out of the box: supercell merge engaged, and
+    the auto memory policy selecting bf16 state + donation (the lane-
+    padded f32 two-buffer state exceeds a 16 GB chip)."""
+    m = pmesh.make_cartesian_3d(5, 5, 5, "tet").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=3,
+                            face_mode="consistent")
+    quad = ang.build(ang.AngularOptions(
+        dimension=3, polar_points=16, azimuth_points=24))
+    tables = mat.build_tables(mat.SILICON, num_spectral=20)
+    bcs = {a: (0.5 if a == 6 else -0.5) for a in range(1, 7)}
+    s = SourceIterationSolver(ops, quad, tables, bcs, dtype=jnp.float32)
+    assert s._super is not None and s.sweep_mode == "ring"
+    assert s.G == 8 and s.K == 384 and s.D == 120
+    assert s._ring_state_bf16 and s._auto_mem
+    u, Tc, Tv = s.initial_state()
+    assert u[0].dtype == jnp.bfloat16
