@@ -1493,6 +1493,12 @@ class SourceIterationSolver:
                     self._super is None
                     or os.environ.get("PBTE_SUPER_FOLD", "") == "1"
                 )
+                # PBTE_RING_FOLD=0 forces the two-matmul body on ANY
+                # lattice (A/B: it beat the folded bcat 10.4 vs 16.2 ms
+                # on the supercell subset — geometry-shared C as one big
+                # GEMM + per-(k,b) B)
+                if os.environ.get("PBTE_RING_FOLD", "") == "0":
+                    fold_ok = False
                 if self._ring_lattice and fold_ok:
                     # FOLDED + CONCATENATED neighbor factors for the
                     # lattice ring:
