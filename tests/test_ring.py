@@ -477,3 +477,48 @@ def test_polish_extrapolation_accelerates_slow_modes():
     e_plain = np.abs(np.asarray(plain.Tc) - ref).max()
     e_extr = np.abs(np.asarray(extr.Tc) - ref).max()
     assert e_extr < 0.1 * e_plain
+
+
+def test_ring_fold_env_two_matmul_matches(monkeypatch):
+    """PBTE_RING_FOLD=0 (two-matmul body on any lattice) must match the
+    default folded body exactly — the measured shape-dependent A/B lever
+    (fold wins on hex, two-matmul on supercells; BASELINE.md r4c)."""
+    m = pmesh.make_cartesian_3d(8, 8, 8, "hex").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1, face_mode="consistent")
+    quad = ang.build(ang.AngularOptions(dimension=3, polar_points=2,
+                                        azimuth_points=4))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    monkeypatch.setenv("PBTE_RING_FOLD", "0")
+    s = SourceIterationSolver(ops, quad, tables, BCS3, dtype=jnp.float64,
+                              sweep_mode="ring")
+    assert not s._ring_fold
+    r = s.solve(tol=0, max_iter=4, verbose=False)
+    monkeypatch.delenv("PBTE_RING_FOLD")
+    s2 = SourceIterationSolver(ops, quad, tables, BCS3, dtype=jnp.float64,
+                               sweep_mode="ring")
+    assert s2._ring_fold
+    r2 = s2.solve(tol=0, max_iter=4, verbose=False)
+    scale = np.abs(np.asarray(r2.Tc)).max()
+    assert np.abs(np.asarray(r.Tc) - np.asarray(r2.Tc)).max() < 1e-13 * scale
+
+
+def test_ring_max_segs_env(monkeypatch):
+    """PBTE_RING_MAX_SEGS caps the hull-window segment count (the measured
+    cold-compile lever: 525 -> 109 s at +5% step time, BASELINE.md) and
+    the capped solver still produces identical iterates."""
+    m = pmesh.make_cartesian_3d(8, 8, 8, "hex").scaled(1e-6)
+    ops = assembly.assemble(pmesh.connect(m), order=1, face_mode="consistent")
+    quad = ang.build(ang.AngularOptions(dimension=3, polar_points=2,
+                                        azimuth_points=4))
+    tables = mat.build_tables(mat.SILICON, num_spectral=2)
+    s_def = SourceIterationSolver(ops, quad, tables, BCS3,
+                                  dtype=jnp.float64, sweep_mode="ring")
+    monkeypatch.setenv("PBTE_RING_MAX_SEGS", "2")
+    s_cap = SourceIterationSolver(ops, quad, tables, BCS3,
+                                  dtype=jnp.float64, sweep_mode="ring")
+    if s_def._ring_windowed:
+        assert s_cap._ring_segs is None or len(s_cap._ring_segs) <= 2
+    r1 = s_def.solve(tol=0, max_iter=4, verbose=False)
+    r2 = s_cap.solve(tol=0, max_iter=4, verbose=False)
+    scale = np.abs(np.asarray(r1.Tc)).max()
+    assert np.abs(np.asarray(r1.Tc) - np.asarray(r2.Tc)).max() < 1e-13 * scale
