@@ -45,6 +45,20 @@ def main(argv=None) -> int:
     ap.add_argument("-c", "--config", default="config/config.yaml")
     ap.add_argument("-o", "--order", type=int, default=1)
     ap.add_argument("-r", "--refine", type=int, default=0)
+    # angle overrides, negative/empty = use config (ref README.md:56;
+    # src/PhononBTE.cpp option table)
+    ap.add_argument("-ad", "--angle-dim", type=int, default=-1,
+                    help="angular dimension override: 2 (in-plane) or 3")
+    ap.add_argument("-ap", "--polar-pts", type=int, default=-1,
+                    help="polar point count override")
+    ap.add_argument("-az", "--azimuth-pts", type=int, default=-1,
+                    help="azimuth point count override")
+    ap.add_argument("-aps", "--polar-scheme", default="",
+                    choices=["", "gauss", "uniform"],
+                    help="polar scheme override")
+    ap.add_argument("-aas", "--azimuth-scheme", default="",
+                    choices=["", "gauss", "uniform"],
+                    help="azimuth scheme override")
     ap.add_argument("--tol", type=float, default=None)
     ap.add_argument("--max-iter", type=int, default=None)
     ap.add_argument("--dtype", choices=["f32", "f64"], default="f64")
@@ -151,6 +165,25 @@ def main(argv=None) -> int:
 
         rc = RunConfig()
         print(f"[pbte_tpu] config {args.config} not found; using defaults")
+    # CLI angle overrides take precedence over the YAML block (negative /
+    # empty = keep config), mirroring the reference's -ad/-ap/-az/-aps/-aas
+    # (README.md:56); applied before the BC defaulting below, which keys
+    # off the angular dimension
+    import dataclasses as _dc
+
+    ang_over = {}
+    if args.angle_dim > 0:
+        ang_over["dimension"] = args.angle_dim
+    if args.polar_pts > 0:
+        ang_over["polar_points"] = args.polar_pts
+    if args.azimuth_pts > 0:
+        ang_over["azimuth_points"] = args.azimuth_pts
+    if args.polar_scheme:
+        ang_over["polar_scheme"] = args.polar_scheme
+    if args.azimuth_scheme:
+        ang_over["azimuth_scheme"] = args.azimuth_scheme
+    if ang_over:
+        rc.angles = _dc.replace(rc.angles, **ang_over)
     if not rc.bc_temps:
         # default isothermal BCs for builtin Cartesian meshes: top boundary
         # hot (+0.5), all others cold (-0.5) — the reference demo's setup

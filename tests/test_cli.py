@@ -192,3 +192,57 @@ def test_cli_parallel_accelerate(tmp_path):
     assert na.shape == nb.shape
     np.testing.assert_allclose(nb, na, rtol=0,
                                atol=1e-6 * float(np.abs(na).max()))
+
+
+def test_cli_angle_override_flags(tmp_path):
+    """-ad/-ap/-az/-aps/-aas override the config's angles block (ref
+    README.md:56); the angles log name + direction count must reflect the
+    override, and negative/empty values keep the config."""
+    proc = _run_cli(
+        ["-m", "unit-square-tri", "-o", "1", "--face-mode", "consistent",
+         "--max-iter", "2", "--tol", "0",
+         "-ad", "2", "-ap", "1", "-az", "8", "-aas", "uniform"],
+        cwd=tmp_path,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    log = tmp_path / "output/log/angles_dim2_np1_gauss_na8_uniform.txt"
+    assert log.exists(), sorted(
+        p.name for p in (tmp_path / "output/log").iterdir())
+    assert "K=8" in proc.stdout or "K=8" in proc.stderr
+
+    # -ad lifts a 2D config to full 3D solid angle on a 3D mesh
+    proc3 = _run_cli(
+        ["-m", "unit-cube-hex", "-o", "1", "--face-mode", "consistent",
+         "--max-iter", "1", "--tol", "0",
+         "-ad", "3", "-ap", "2", "-az", "4"],
+        cwd=tmp_path,
+    )
+    assert proc3.returncode == 0, proc3.stderr[-2000:]
+    assert (tmp_path / "output/log/angles_dim3_np2_gauss_na4_uniform.txt"
+            ).exists() or (
+        tmp_path / "output/log/angles_dim3_np2_gauss_na4_gauss.txt").exists()
+
+
+def test_validation_entry_point(tmp_path):
+    """`python -m pbte_tpu.validation N` is the operational analog of the
+    reference's TestMeshPartition binary (exit code 0 = all 7 invariant
+    checks pass, 1 = failure; TestMeshPartition.cpp:126-164)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-m", "pbte_tpu.validation", "4",
+         "--mesh", "unit-cube-tet", "--refine", "1",
+         "--method", "multilevel"],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=240,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "all validations passed" in proc.stdout
+    assert "load balance" in proc.stdout
+
+    # invalid partition count -> nonzero exit, like the reference runner
+    bad = subprocess.run(
+        [sys.executable, "-m", "pbte_tpu.validation", "0"],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=60,
+    )
+    assert bad.returncode == 1
