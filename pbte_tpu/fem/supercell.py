@@ -350,6 +350,210 @@ def detect(ops, cls: np.ndarray | None = None) -> SuperCell | None:
     )
 
 
+def detect_box(ops, factor: int = 2) -> SuperCell | None:
+    """Merge factor^dim blocks of a translation-invariant BOX lattice
+    (hex/quad meshes) into super elements with Dp = factor^dim * D DOFs.
+
+    The simplex merge (`detect`) recovers lattice structure a splitting
+    destroyed; this is the complementary move for meshes that are ALREADY
+    box lattices: the p=2 hex flagship's per-element D=27 fills only 21%
+    of the MXU output lanes and pins the step at the HBM roofline
+    (bench_artifacts/roofline_flagship.json, kernel_mfu_staged_p2.json).
+    Grouping 2x2x2 elements into one 216-DOF block super element raises
+    the per-level contraction's arithmetic intensity ~gsz-fold while the
+    state bytes stay constant — the same exact block-triangular solve as
+    the tet merge (the intra-block axis faces form the factor^dim grid
+    DAG, acyclic for every non-grazing direction), so semantics match the
+    fine-mesh sweep (ref hot loop: src/PBTESolver.cpp:256-308) to
+    roundoff.
+
+    Everything is DETECTED and VERIFIED: the mesh must be a Cartesian box
+    lattice (planner.detect_lattice) with extents divisible by `factor`,
+    every operator tensor translation-invariant, and the member faces of
+    each super face must agree on neighbor block and boundary attribute.
+    Any mismatch returns None and the caller keeps the fine-mesh path.
+    """
+    from pbte_tpu.sweep import planner as _planner
+
+    ne, nf = ops.neighbor.shape
+    dim = ops.dim
+    factor = int(factor)
+    gsz = factor ** dim
+    if factor < 2 or gsz > 64 or ne < gsz:
+        return None
+    if ops.periodic.any() or not ops.face_valid.all():
+        return None
+    normals = ops.normals
+    if not _axis_face_mask(normals).all():
+        return None
+    lat = _planner.detect_lattice(ops.neighbor, normals)
+    if lat is None:
+        return None
+    dims = np.asarray(lat.dims, dtype=np.int64)
+    if (dims % factor).any():
+        return None
+
+    # ---- translation invariance of every operator tensor ------------------
+    # (the box merge stores ONE representative block; any position-dependent
+    # operator falls back to the general paths)
+    def _uniform(a):
+        scale = max(float(np.abs(a[0]).max()), 1e-300)
+        return float(np.abs(a - a[0]).max()) <= 1e-9 * scale
+
+    if not (
+        _uniform(ops.mass) and _uniform(ops.stiff)
+        and _uniform(ops.face_mass) and _uniform(ops.face_int)
+        and _uniform(ops.basis_int)
+    ):
+        return None
+    interior = ops.neighbor >= 0
+    for f in range(nf):
+        rows = ops.coupling[interior[:, f], f]
+        if len(rows) == 0:
+            return None  # a face slot with no interior instance
+        scale = max(float(np.abs(rows[0]).max()), 1e-300)
+        if float(np.abs(rows - rows[0]).max()) > 1e-9 * scale:
+            return None
+
+    # ---- classes = position inside the block; cells = block coords --------
+    D = ops.ndof
+    loc = lat.coords % factor  # (ne, dim)
+    blk = lat.coords // factor
+    bdims = dims // factor
+    ncell = int(np.prod(bdims))
+    lstr = np.array(
+        [factor ** (dim - 1 - d) for d in range(dim)], dtype=np.int64
+    )
+    bstr = np.ones(dim, dtype=np.int64)
+    for d in range(dim - 2, -1, -1):
+        bstr[d] = bstr[d + 1] * bdims[d + 1]
+    cls = loc @ lstr
+    cell_of = blk @ bstr
+    elem_at = np.empty((ncell, gsz), dtype=np.int64)
+    elem_at[cell_of, cls] = np.arange(ne)
+    # representative element per class (class 0's instance in cell 0 etc.)
+    reps = elem_at[0]
+
+    # ---- (class, face) -> intra / super-face maps --------------------------
+    nfp = 2 * dim
+    int_rows = []  # (dst_cls, face, src_cls)
+    members = [[] for _ in range(nfp)]  # slot -> [(c, f, src_cls)]
+    loc_of_cls = np.zeros((gsz, dim), dtype=np.int64)
+    loc_of_cls[cls] = loc
+    for c in range(gsz):
+        lc = loc_of_cls[c]
+        for d in range(dim):
+            for sign, f in ((-1, lat.face_minus[d]), (1, lat.face_plus[d])):
+                step = lc[d] + sign
+                if 0 <= step < factor:
+                    src = c + sign * lstr[d]
+                    int_rows.append((c, int(f), int(src)))
+                else:
+                    src = c - sign * (factor - 1) * lstr[d]
+                    members[d * 2 + (1 if sign > 0 else 0)].append(
+                        (c, int(f), int(src))
+                    )
+    if any(len(m) != factor ** (dim - 1) for m in members):
+        return None
+
+    # super neighbor / attrs; member faces must agree per (cell, slot)
+    nbr = ops.neighbor
+    s_nbr = np.full((ncell, nfp), -1, dtype=np.int64)
+    s_attr = np.zeros((ncell, nfp), dtype=ops.face_attr.dtype)
+    for slot, mem in enumerate(members):
+        nbc_all = None
+        att_all = None
+        for (c, f, _src) in mem:
+            els = elem_at[:, c]
+            nb = nbr[els, f]
+            nbc = np.where(nb >= 0, cell_of[np.clip(nb, 0, None)], -1)
+            att = ops.face_attr[els, f]
+            if nbc_all is None:
+                nbc_all, att_all = nbc, att
+            else:
+                if not np.array_equal(nbc_all, nbc):
+                    return None
+                if not np.array_equal(att_all, att):
+                    return None
+        s_nbr[:, slot] = nbc_all
+        s_attr[:, slot] = att_all
+
+    s_normals_row = np.zeros((nfp, dim))
+    for d in range(dim):
+        s_normals_row[d * 2, d] = -1.0
+        s_normals_row[d * 2 + 1, d] = 1.0
+    lat_s = _planner.detect_lattice(
+        s_nbr, np.broadcast_to(s_normals_row, (ncell, nfp, dim))
+    )
+    if lat_s is None:
+        return None
+
+    # ---- merged operator tensors (one representative block, broadcast) ----
+    Dp = gsz * D
+    mass_r = np.zeros((Dp, Dp))
+    stiff_r = np.zeros((dim, Dp, Dp))
+    basis_r = np.zeros(Dp)
+    for c in range(gsz):
+        r = slice(c * D, (c + 1) * D)
+        mass_r[r, r] = ops.mass[reps[c]]
+        stiff_r[:, r, r] = ops.stiff[reps[c]]
+        basis_r[r] = ops.basis_int[reps[c]]
+    fmass_r = np.zeros((nfp, Dp, Dp))
+    cpl_r = np.zeros((nfp, Dp, Dp))
+    fint_r = np.zeros((nfp, Dp))
+    for slot, mem in enumerate(members):
+        for (c, f, src_cls) in mem:
+            r = slice(c * D, (c + 1) * D)
+            fmass_r[slot, r, r] = ops.face_mass[reps[c], f]
+            fint_r[slot, r] = ops.face_int[reps[c], f]
+            e0 = elem_at[:, c][nbr[elem_at[:, c], f] >= 0]
+            if len(e0):
+                cpl_r[slot, r, src_cls * D : (src_cls + 1) * D] = (
+                    ops.coupling[e0[0], f]
+                )
+
+    int_normals, int_fm, int_cp, int_dst, int_src = [], [], [], [], []
+    for (c, f, src_cls) in int_rows:
+        int_normals.append(normals[reps[c], f])
+        int_fm.append(ops.face_mass[reps[c], f])
+        # intra faces are interior for every block by construction
+        int_cp.append(ops.coupling[elem_at[0, c], f])
+        int_dst.append(c)
+        int_src.append(src_cls)
+
+    super_ops = _assembly.ElementOps(
+        geom=f"superbox[{ops.geom}x{gsz}]",
+        order=ops.order,
+        dim=dim,
+        basis_int=np.broadcast_to(basis_r, (ncell, Dp)),
+        mass=np.broadcast_to(mass_r, (ncell, Dp, Dp)),
+        stiff=np.broadcast_to(stiff_r, (ncell, dim, Dp, Dp)),
+        face_mass=np.broadcast_to(fmass_r, (ncell, nfp, Dp, Dp)),
+        face_int=np.broadcast_to(fint_r, (ncell, nfp, Dp)),
+        coupling=np.broadcast_to(cpl_r, (ncell, nfp, Dp, Dp)),
+        normals=np.broadcast_to(s_normals_row, (ncell, nfp, dim)),
+        neighbor=s_nbr,
+        face_attr=s_attr,
+    )
+    return SuperCell(
+        gsz=gsz,
+        ncell=ncell,
+        D=D,
+        Dp=Dp,
+        cell_of=cell_of,
+        cls_of=cls,
+        elem_at=elem_at,
+        super_ops=super_ops,
+        int_normals=np.asarray(int_normals),
+        int_fmass=np.asarray(int_fm),
+        int_cpl=np.asarray(int_cp),
+        int_dst=np.asarray(int_dst, dtype=np.int64),
+        int_src=np.asarray(int_src, dtype=np.int64),
+        basis_int_cells=ops.basis_int[elem_at],
+        lat_dims=lat_s.dims,
+    )
+
+
 def block_triangular_factor(
     sc: SuperCell, A: np.ndarray, dirs: np.ndarray, massT: np.ndarray
 ) -> np.ndarray:

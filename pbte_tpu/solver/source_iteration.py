@@ -279,6 +279,20 @@ class SourceIterationSolver:
         # "auto" engages for ne >= 512 when detection verifies the
         # structure; "on" forces the attempt on any size (tests); "off"
         # keeps the fine-mesh paths.
+        supercell_box: int = -1,  # BOX merge (fem/supercell.detect_box):
+        # group factor^dim hex/quad elements into one block super element,
+        # raising the sweep's arithmetic intensity gsz-fold. MEASURED
+        # REFUTED as a throughput win on the p=2 hex flagship (r5 A/B:
+        # factor 2, D'=216 — 62.8 ms/step vs 26.0 fine): the step is bound
+        # by the MANDATORY state streams (~22.6 GB/step, the roofline
+        # artifact), which the merge leaves unchanged, so the 8x extra
+        # dense-apply flops at the measured 19.9% MFU simply stack ~37 ms
+        # of compute on top of the same memory floor. Lane fill was never
+        # the binding constraint — the stream bytes are (the Pallas VMEM
+        # ring is the correct attack). -1 = auto (resolves OFF per that
+        # measurement), 0 = off, n >= 2 = force factor n (exact semantics,
+        # iterate-identical — tests/test_supercell.py). Env PBTE_SUPER_BOX
+        # overrides.
         use_pallas: str = "auto",  # "auto" | "on" | "off": Pallas VMEM ring
         # kernel for the single-class lattice sweep (ops/lattice_ring.py).
         # MEASURED SLOWER than the XLA ring at the flagship (22.9 ms/bucket
@@ -404,6 +418,8 @@ class SourceIterationSolver:
         if supercell not in ("auto", "on", "off"):
             raise ValueError(f"unknown supercell={supercell!r}")
         cls_sc = self._cls_cache
+        env_box = os.environ.get("PBTE_SUPER_BOX", "")
+        box_factor = int(env_box) if env_box else int(supercell_box)
         if supercell == "on" and cls_sc is None:
             # forced mode on small meshes: canonicalize + classify here
             # (the ne >= 512 gate above skipped it)
@@ -416,8 +432,6 @@ class SourceIterationSolver:
             supercell != "off"
             and sweep_mode in ("auto", "ring")
             and use_lattice
-            and cls_sc is not None
-            and 2 <= int(cls_sc.max()) + 1 <= 8
             and not dirichlet_bcs
             and not (diffuse_bcs or specular_bcs)
             and not ops.periodic.any()
@@ -431,7 +445,27 @@ class SourceIterationSolver:
         ):
             from pbte_tpu.fem import supercell as _supercell
 
-            sc = _supercell.detect(ops, cls_sc)
+            sc = None
+            if cls_sc is not None and 2 <= int(cls_sc.max()) + 1 <= 8:
+                sc = _supercell.detect(ops, cls_sc)
+            if sc is None and box_factor != 0:
+                # BOX merge of an already-Cartesian lattice. Auto resolves
+                # OFF: the flagship A/B measured the merge 2.4x SLOWER
+                # (62.8 vs 26.0 ms — see the supercell_box docstring and
+                # BASELINE.md r5), because the step's binding constraint is
+                # the mandatory state stream, not MXU lane fill. Kept as an
+                # explicit lever (exact semantics, iterate-identical).
+                bf = 0 if box_factor < 0 else box_factor
+                if bf >= 2:
+                    if self._cls_cache is None:
+                        ops_cb = _assembly.permute_faces(
+                            ops, _assembly.canonical_face_perm(ops)
+                        )
+                        sc = _supercell.detect_box(ops_cb, bf)
+                        if sc is not None:
+                            ops = ops_cb
+                    else:
+                        sc = _supercell.detect_box(ops, bf)
             if sc is not None and _supercell.verify_acyclic(
                 sc, quad.directions
             ):

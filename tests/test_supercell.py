@@ -339,3 +339,117 @@ def test_auto_memory_policy_at_production_shape():
     assert s._ring_state_bf16 and s._auto_mem
     u, Tc, Tv = s.initial_state()
     assert u[0].dtype == jnp.bfloat16
+
+
+# ---- box merge (detect_box): hex/quad lattices as block super elements ----
+
+
+def test_detect_box_quad_and_rejections():
+    m = pmesh.make_cartesian_2d(4, 4, "quad")
+    ops = assembly.assemble(pmesh.connect(m), order=1, face_mode="consistent")
+    ops = assembly.permute_faces(ops, assembly.canonical_face_perm(ops))
+    sc = supercell.detect_box(ops, 2)
+    assert sc is not None
+    assert sc.gsz == 4 and sc.ncell == 4
+    assert sc.super_ops.ndof == 4 * ops.ndof
+    assert sc.super_ops.faces_per_elem == 4
+    assert sorted(sc.lat_dims) == [2, 2]
+    assert np.array_equal(np.sort(sc.elem_at.reshape(-1)), np.arange(16))
+    # each class has 2 intra face-sides in 2D factor 2
+    assert len(sc.int_dst) == 4 * 2
+    # odd extents are not divisible by the factor
+    m3 = pmesh.make_cartesian_2d(5, 4, "quad")
+    ops3 = assembly.assemble(
+        pmesh.connect(m3), order=1, face_mode="consistent"
+    )
+    ops3 = assembly.permute_faces(ops3, assembly.canonical_face_perm(ops3))
+    assert supercell.detect_box(ops3, 2) is None
+    # simplex meshes have non-axis faces -> the box merge does not apply
+    mt = pmesh.make_cartesian_2d(4, 4, "triangle")
+    opst = assembly.assemble(
+        pmesh.connect(mt), order=1, face_mode="consistent"
+    )
+    opst = assembly.permute_faces(opst, assembly.canonical_face_perm(opst))
+    assert supercell.detect_box(opst, 2) is None
+
+
+def test_box_quad_iterate_exact():
+    m = pmesh.make_cartesian_2d(4, 4, "quad").scaled(1e-6)
+    quad = ang.build(
+        ang.AngularOptions(dimension=2, polar_points=1, azimuth_points=8)
+    )
+    bcs = {1: -0.5, 2: 0.0, 3: 0.5, 4: 0.0}
+    s_ref, u_r, Tc_r, Tv_r, h_r = _run(
+        m, quad, bcs, 1, sweep_mode="scan", supercell="off"
+    )
+    s_sup, u_s, Tc_s, Tv_s, h_s = _run(
+        m, quad, bcs, 1, sweep_mode="ring", supercell_box=2
+    )
+    assert s_sup._super is not None and s_sup.sweep_mode == "ring"
+    assert s_sup._super.gsz == 4 and s_sup.D == 4 * s_ref.D
+    assert s_sup.G == 4
+    np.testing.assert_allclose(h_s, h_r, rtol=1e-12)
+    scale = np.abs(np.asarray(Tc_r)).max()
+    assert (
+        np.abs(s_sup.Tc_fine(Tc_s) - np.asarray(Tc_r)).max() < 1e-13 * scale
+    )
+    ud_r = s_ref.u_by_direction(u_r)
+    ud_s = s_sup.u_by_direction(u_s)
+    assert np.abs(ud_s - ud_r).max() < 1e-13 * np.abs(ud_r).max()
+
+
+def test_box_quad_factor3_iterate_exact():
+    """factor 3 (gsz=9): a deeper intra-block DAG than any simplex split —
+    exercises the block forward substitution beyond 2 sub-diagonal deps."""
+    m = pmesh.make_cartesian_2d(6, 3, "quad").scaled(1e-6)
+    quad = ang.build(
+        ang.AngularOptions(dimension=2, polar_points=1, azimuth_points=4)
+    )
+    bcs = {1: -0.5, 2: 0.0, 3: 0.5, 4: 0.0}
+    s_ref, u_r, Tc_r, Tv_r, h_r = _run(
+        m, quad, bcs, 1, sweep_mode="scan", supercell="off"
+    )
+    s_sup, u_s, Tc_s, Tv_s, h_s = _run(
+        m, quad, bcs, 1, sweep_mode="ring", supercell_box=3
+    )
+    assert s_sup._super is not None and s_sup._super.gsz == 9
+    assert sorted(s_sup._super.lat_dims) == [1, 2]
+    np.testing.assert_allclose(h_s, h_r, rtol=1e-12)
+    scale = np.abs(np.asarray(Tc_r)).max()
+    assert (
+        np.abs(s_sup.Tc_fine(Tc_s) - np.asarray(Tc_r)).max() < 1e-13 * scale
+    )
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_box_hex_iterate_exact(order):
+    m = pmesh.make_cartesian_3d(4, 4, 2, "hex").scaled(1e-6)
+    quad = ang.build(
+        ang.AngularOptions(dimension=3, polar_points=2, azimuth_points=4)
+    )
+    bcs = {a: (0.5 if a == 6 else -0.5) for a in range(1, 7)}
+    s_ref, u_r, Tc_r, Tv_r, h_r = _run(
+        m, quad, bcs, order, sweep_mode="scan", supercell="off"
+    )
+    s_sup, u_s, Tc_s, Tv_s, h_s = _run(
+        m, quad, bcs, order, sweep_mode="ring", supercell_box=2
+    )
+    assert s_sup._super is not None and s_sup.sweep_mode == "ring"
+    assert s_sup._super.gsz == 8 and s_sup.D == 8 * s_ref.D
+    # super lattice 2x2x1: z-sign groups collapse into G=4 distinct orders
+    np.testing.assert_allclose(h_s, h_r, rtol=1e-11)
+    scale = np.abs(np.asarray(Tc_r)).max()
+    assert (
+        np.abs(s_sup.Tc_fine(Tc_s) - np.asarray(Tc_r)).max() < 1e-12 * scale
+    )
+    ud_r = s_ref.u_by_direction(u_r)
+    ud_s = s_sup.u_by_direction(u_s)
+    assert np.abs(ud_s - ud_r).max() < 1e-12 * np.abs(ud_r).max()
+    Qc_r, Qv_r = s_ref.heat_flux(u_r)
+    Qc_s, Qv_s = s_sup.heat_flux(u_s)
+    qs = np.abs(np.asarray(Qv_r)).max()
+    assert np.abs(np.asarray(Qv_s) - np.asarray(Qv_r)).max() < 1e-12 * qs
+    assert (
+        np.abs(np.asarray(Qc_s) - np.asarray(Qc_r)).max()
+        < 1e-12 * np.abs(np.asarray(Qc_r)).max()
+    )
