@@ -155,6 +155,67 @@ def main() -> None:
             print("[bench] C++ baseline unavailable (toolchain)",
                   file=sys.stderr)
 
+    # ---- extra rows: the other committed configurations -------------------
+    # (VERDICT r4 item 5: the headline bench must reflect the best
+    # committed configuration, not only the round-over-round f32 row).
+    # Each row rebuilds the solver under its env and times `steps` steps;
+    # PBTE_BENCH_ROWS=0 skips them (primary row only).
+    rows = {}
+    if os.environ.get("PBTE_BENCH_ROWS", "1") != "0":
+        import gc
+
+        def _row(name, env, **bkw):
+            saved = {k: os.environ.get(k) for k in env}
+            os.environ.update(env)
+            try:
+                t0 = time.time()
+                s2 = _build_problem(
+                    nx=nx, order=bkw.pop("order", order),
+                    polar=bkw.pop("polar", polar),
+                    azimuth=bkw.pop("azimuth", azimuth),
+                    nspec=nspec, dtype=jnp.float32,
+                    geom="hex", dim=3, cache_policy=policy, **bkw,
+                )
+                u2, Tc2b, Tv2b = s2.initial_state()
+                u2, Tc2b, Tv2c, r2 = s2.step(u2, Tc2b, Tv2b)
+                _ = float(r2)
+                tcomp = time.time() - t0
+                t0 = time.time()
+                prev2 = Tv2c
+                for _i in range(steps):
+                    u2, Tc2b, Tv2c, r2 = s2.step(u2, Tc2b, prev2)
+                    prev2 = Tv2c
+                _ = float(r2)
+                dt2 = time.time() - t0
+                d2 = steps * s2.K * s2.BS * s2.ne * s2.D / dt2
+                rows[name] = {
+                    "dof_per_s": d2,
+                    "ms_per_step": dt2 / steps * 1e3,
+                    "compile_first_s": round(tcomp, 1),
+                }
+                print(f"[bench] row {name}: {dt2/steps*1e3:.1f} ms/step "
+                      f"-> {d2:.4g} DOF/s", file=sys.stderr)
+                del s2, u2, Tc2b, Tv2b, Tv2c
+                gc.collect()
+            except Exception as e:  # rows must never break the primary
+                rows[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+                print(f"[bench] row {name} FAILED: {e}", file=sys.stderr)
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
+
+        # best committed configuration (bench_artifacts/pallas_ring_v2_ab)
+        _row("pallas_bf16_state",
+             {"PBTE_PALLAS": "1", "PBTE_RING_STATE_BF16": "1"})
+        # XLA bf16-state tier (BASELINE.md r4c row)
+        _row("xla_bf16_state", {"PBTE_RING_STATE_BF16": "1"})
+        # production-order p=3 row (14.4% whole-step MFU tier;
+        # 4x4 = 16 dirs as in the BASELINE.md r4b row)
+        _row("p3_f32", {}, order=3, polar=4, azimuth=4)
+
     print(
         json.dumps(
             {
@@ -165,6 +226,7 @@ def main() -> None:
                 "frac_f32_peak": frac_peak,
                 "cpp_baseline_dof_per_s": cpp_dofs,
                 "shape": {"ne": ne, "D": D, "K": K, "BS": BS},
+                "rows": rows,
             }
         )
     )

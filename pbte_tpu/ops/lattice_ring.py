@@ -1,32 +1,41 @@
-"""Pallas TPU kernel for the lattice-shift ring sweep (EXPERIMENT: measured
-SLOWER than the XLA ring path; kept gated off by default, see below).
+"""Pallas TPU kernel for the lattice-shift ring sweep.
 
 The XLA scan implementation of the shift-structured ring sweep
 (`solver/source_iteration.py:_step_ring`, lattice branch) is dominated by
 data movement the compiler cannot avoid: per level it materializes the
 shifted+masked copies of the previous solution slab, concatenates them with
 the rhs into the J-wide matmul operand (``xcat``), and streams both through
-HBM.  Profiling at the hex-16^3 flagship put the useful matmuls at ~5 ms
-of a 31.7 ms step — the rest is per-level HBM staging.  This kernel removes
-that staging (xcat lives only in VMEM scratch), cutting HBM traffic per
-step from ~26 GB to ~8.4 GB (a ~10 ms floor at the measured ~820 GB/s).
+HBM.  This kernel removes that staging (xcat lives only in VMEM scratch),
+cutting HBM traffic per step from ~22.6 GB to the mandatory state in/out
+(+ small side inputs).
 
-MEASURED OUTCOME (v5e, flagship shapes L=46, Gb=4, Km=10, BS=40, D=27,
-W=256): 22.9 ms per Km bucket, ~45 ms/step for both buckets — SLOWER than
-the 31.7 ms XLA step it was meant to beat.  The wall is MXU emission, not
-the VPU or HBM: Mosaic lowers the 40 per-band ``(27,108)@(108,256)`` dots
-of each grid step to sequential single-MXU matmuls (~10-12k cycles/step,
-~4.8 TF/s sustained), while XLA's batched-matmul emitter runs the identical
-contraction ("kbiJ,kJbw->kibw") at 27 TF/s.  Vectorizing every VPU stage
-(broadcast weights, full-band rhs) changed nothing — the dots dominate.
-The only formulation that makes the stationary operand band-independent
-(eigen decomposition A_b^-1 = V (I + vg_b L)^-1 V^-1, collapsing the band
-axis into lanes for a K=108, N=10240 dot) is ruled out for production by
-the measured cond(V)~160 bf16-noise amplification (README, precision
-study).  Kept as a tested experiment: a future Mosaic with batched-dot
-emission (or a chip where per-dot weight-load latency hides) flips the
-conclusion; the integration (`use_pallas="on"`) and the CPU-interpreter
-parity tests in tests/test_pallas_ring.py stay green.
+MEASURED HISTORY (v5e, flagship shapes L=46, Gb=4, Km=10, BS=40, D=27,
+W=256):
+
+- r4 (per-band unrolled dots): 22.9 ms/bucket, ~45 ms/step — SLOWER than
+  the 31.7 ms XLA step of the time; attributed to Mosaic's sequential
+  per-band dot emission.
+- r5 re-measure with a chained-dispatch protocol (single-shot timings on
+  the tunneled platform carry ~40 ms of dispatch+fetch overhead that had
+  polluted the r4 numbers): the kernel is 100% DMA-BOUND — a zero-compute
+  passthrough costs the same 15.7 ms/bucket as the full f32 kernel, and
+  one batched ``dot_general`` over the band axis times IDENTICAL to the
+  unrolled loop (15.68 vs 15.68 ms) while compiling ~100x faster (2.9 s
+  vs 228 s cold). The binding constraint is the Pallas DMA pipeline's
+  ~270-380 GB/s effective bandwidth on these blocks (a plain Pallas
+  streaming copy measures 382 GB/s where the XLA copy reaches 814); block
+  enlarging, D-padding to 32, and 2-levels-per-grid-step all measured
+  neutral.
+- r5 WIN: bfloat16 state through the kernel (v/ys blocks) halves the
+  dominant streams — 10.47 ms/bucket, end-to-end flagship 21.5 ms/step =
+  1.32e10 DOF/s vs 25.9 ms XLA f32 / 22.4 ms XLA bf16-state — the best
+  committed flagship configuration (PBTE_PALLAS=1 PBTE_RING_STATE_BF16=1),
+  with BETTER closure numerics than the XLA bf16-state mode: the
+  macroscopic partials leave the kernel in f32, computed from the f32 MXU
+  accumulator before the state cast.
+
+The integration (`use_pallas="on"`) and the CPU-interpreter parity tests
+in tests/test_pallas_ring.py cover both state dtypes.
 
 This kernel keeps the whole per-level working set in VMEM:
 
@@ -127,17 +136,22 @@ def _kernel(v_ref, ttc_ref, bsrc_ref, cin_ref, bcat_ref, mw_ref, wvec_ref,
         rhs = rhs - wvec_ref[0, 3] * dsrc_ref[0, 0, 0][None]
     xcat_ref[:, :D, :] = rhs.astype(op_dtype)
 
-    # per-band MXU transport solve (static unroll: all slices leading-axis)
-    for b in range(BS):
-        sol_b = jnp.dot(
-            bcat_ref[0, 0, b].astype(op_dtype), xcat_ref[b],
-            preferred_element_type=jnp.float32,
-        )                       # (D, J) @ (J, W) -> (D, W)
-        ys_ref[0, 0, 0, b] = sol_b
-        ring_ref[b] = sol_b.astype(op_dtype)
+    # batched MXU transport solve: ONE dot_general over the band axis.
+    # r4 unrolled this loop because Mosaic's batched emission was assumed
+    # broken; the r5 microbench measured the batched form IDENTICAL in
+    # step time (15.68 vs 15.68 ms/bucket — the kernel is DMA-bound either
+    # way) and ~100x faster to compile (2.9 s vs 228 s cold), which is the
+    # structural fix for the cold-compile minutes.
+    sol = jax.lax.dot_general(
+        bcat_ref[0, 0].astype(op_dtype), xcat_ref[...],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                           # (BS, D, J) @ (BS, J, W) -> (BS, D, W)
+    ys_ref[0, 0, 0] = sol.astype(ys_ref.dtype)
+    ring_ref[...] = sol.astype(op_dtype)
 
-    # macroscopic partial: one broadcast multiply + axis-0 reduce
-    sol = ys_ref[0, 0, 0]       # (BS, D, W)
+    # macroscopic partial from the f32 sol (exact even under bf16 state):
+    # one broadcast multiply + axis-0 reduce
     ms_ref[0, 0, 0] = jnp.sum(sol * mw_ref[0, 0], axis=0)
 
 
@@ -166,8 +180,13 @@ def lattice_ring_sweep(v, ttc, bsrc, cin, bcat, macro_w, wvec, *,
       interpret: run the kernel in the Pallas interpreter (CPU).
 
     Returns:
-      ``(ys, ms)``: new state ``(L, Gb, Km, BS, D, W)`` and per-slot
-      macroscopic partials ``(Gb, Km, L, D, W)``.
+      ``(ys, ms)``: new state ``(L, Gb, Km, BS, D, W)`` (same dtype as
+      ``v`` — bfloat16 state halves the kernel's dominant HBM streams:
+      measured 10.47 vs 15.68 ms/bucket at the flagship, r5) and per-slot
+      macroscopic partials ``(Gb, Km, L, D, W)`` in FLOAT32 regardless of
+      the state dtype (computed from the f32 MXU accumulator before the
+      state cast, so the closure precision does not degrade with bf16
+      state — unlike the XLA path's PBTE_RING_STATE_BF16 mode).
     """
     L, Gb, Km, BS, D, W = v.shape
     nf = len(shifts)
@@ -175,6 +194,7 @@ def lattice_ring_sweep(v, ttc, bsrc, cin, bcat, macro_w, wvec, *,
     assert bcat.shape == (Gb, Km, BS, D, J), (bcat.shape, (Gb, Km, BS, D, J))
     has_dirichlet = dsrc is not None
     dtype = v.dtype
+    ms_dtype = jnp.float32 if dtype in (jnp.bfloat16, jnp.float32) else dtype
     op_dtype = jnp.bfloat16 if cast_bf16 else dtype
 
     in_specs = [
@@ -224,7 +244,7 @@ def lattice_ring_sweep(v, ttc, bsrc, cin, bcat, macro_w, wvec, *,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((L, Gb, Km, BS, D, W), dtype),
-            jax.ShapeDtypeStruct((Gb, Km, L, D, W), dtype),
+            jax.ShapeDtypeStruct((Gb, Km, L, D, W), ms_dtype),
         ),
         scratch_shapes=[
             pltpu.VMEM((BS, D, W), op_dtype),   # ring: previous level's sol

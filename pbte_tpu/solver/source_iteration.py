@@ -710,8 +710,20 @@ class SourceIterationSolver:
             if mode in ("1", "on"):
                 self._use_pallas_ring = True
                 self._pallas_interpret = jax.default_backend() == "cpu"
-            # "auto" resolves to OFF: measured slower than the XLA ring
-            # (Mosaic per-band dot emission, see ops/lattice_ring.py)
+        # bf16 STATE through the kernel (same opt-in env as the XLA path):
+        # halves the kernel's dominant HBM streams — measured 10.47 vs
+        # 15.68 ms/bucket at the flagship (r5) — while the macroscopic
+        # partials stay f32 (computed from the f32 MXU accumulator inside
+        # the kernel, better than the XLA bf16-state mode's closures)
+        self._pallas_state_bf16 = (
+            self._use_pallas_ring
+            and not self._pallas_interpret
+            and os.environ.get("PBTE_RING_STATE_BF16", "") == "1"
+        )
+        # "auto" still resolves to OFF for the f32 kernel (r5 re-measure:
+        # ~parity with the XLA ring — the kernel is DMA-bound at Pallas's
+        # ~270 GB/s pipeline ceiling, ops/lattice_ring.py); the WIN is the
+        # PBTE_PALLAS=1 + PBTE_RING_STATE_BF16=1 combination.
 
         # ---- bf16 operand staging for the lattice ring (default ON) --------
         # At default matmul precision the MXU truncates BOTH einsum operands
@@ -2103,11 +2115,14 @@ class SourceIterationSolver:
             # or (Km_b, BS, D, W) on the Pallas-kernel path (band-major so
             # the kernel's per-band MXU dots slice the leading axis)
             if self._use_pallas_ring:
+                pdt = (
+                    jnp.bfloat16 if self._pallas_state_bf16 else self.dtype
+                )
                 return (
                     tuple(
                         jnp.zeros(
                             (self.L, len(gs), km_b, self.BS, self.D, self.W),
-                            dtype=self.dtype,
+                            dtype=pdt,
                         )
                         for gs, km_b in self._ring_buckets
                     ),
@@ -3357,13 +3372,37 @@ class SourceIterationSolver:
         the reference-style Tv residual of one final plain step, and
         `iterations` counts step applications (matvecs) so throughput
         comparisons stay apples-to-apples."""
-        if accelerate not in (None, "none", "bicgstab"):
+        if accelerate not in (None, "none", "bicgstab", "compensated"):
             raise ValueError(f"unknown accelerate={accelerate!r}")
         if accelerate == "bicgstab":
             return self._solve_bicgstab(
                 tol, max_iter, state, verbose, callback, check_every,
                 checkpoint_path, checkpoint_every,
             )
+        if accelerate == "compensated":
+            # double-f32 state via TwoSum over the affine step — the
+            # field-precision mode (accel.compensated_outer); two step
+            # applications per outer iteration
+            from pbte_tpu.solver import accel as _accel
+
+            if getattr(self, "_ring_state_bf16", False) or getattr(
+                self, "_pallas_state_bf16", False
+            ):
+                raise ValueError(
+                    "accelerate='compensated' needs exact-dtype state; "
+                    "unset PBTE_RING_STATE_BF16"
+                )
+
+            def _step_nd(u_, Tc_, Tv_):
+                return self._step_plain(self.consts, u_, Tc_, Tv_)
+
+            u_f, Tc_f, Tv_f, tv_res, nst = _accel.compensated_outer(
+                _step_nd, self.initial_state(), state, tol, max_iter,
+                verbose=verbose, callback=callback,
+                check_every=check_every,
+            )
+            return SolveResult(u=u_f, Tc=Tc_f, Tv=Tv_f, residual=tv_res,
+                               iterations=nst, solver=self)
         u, Tc, Tv = state if state is not None else self.initial_state()
         prev_Tv = Tv
         res = float("inf")

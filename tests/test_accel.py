@@ -176,3 +176,81 @@ def test_bicgstab_ring_path_with_reflective():
     assert r_acc.iterations * 3 < r_plain.iterations
     Tp, Ta = np.asarray(r_plain.Tc), np.asarray(r_acc.Tc)
     np.testing.assert_allclose(Ta, Tp, rtol=0, atol=1e-7 * np.abs(Tp).max())
+
+
+def test_compensated_matches_plain_fixed_point_f64():
+    """accelerate='compensated' (double-f32 TwoSum state, accel.py) in f64:
+    the error part stays ~2^-52 and the converged field must equal the
+    plain fixed point; 2 step applications per outer iteration."""
+    ops, quad, tables = _problem(nx=4)
+    s = SourceIterationSolver(ops, quad, tables, BCS3, dtype=jnp.float64,
+                              sweep_mode="ring", supercell="off")
+    r_plain = s.solve(tol=1e-11, max_iter=2000, verbose=False,
+                      check_every=10)
+    r_comp = s.solve(tol=1e-11, max_iter=2000, verbose=False,
+                     check_every=10, accelerate="compensated")
+    assert r_comp.residual < 1e-10
+    Tp, Tc_ = np.asarray(r_plain.Tc), np.asarray(r_comp.Tc)
+    np.testing.assert_allclose(Tc_, Tp, rtol=0, atol=1e-9 * np.abs(Tp).max())
+
+
+def test_compensated_f32_floor_equals_plain_floor():
+    """MEASURED REFUTATION (VERDICT r4 item 2): in float32 with exact CPU
+    dots, the compensated double-f32 state converges to the IDENTICAL
+    floor as the plain iteration (1.83e-6 rel-L2 vs f64 truth at hex 6^3)
+    — the converged bias is the f32 rounding of the step's own OUTPUTS,
+    not state-storage rounding. Pinned here so the refutation stays
+    reproducible; the output-rounding fix is refined_solve (see
+    test_refined_solve_reaches_1e8)."""
+    ops, quad, tables = _problem(nx=6)
+    s64 = SourceIterationSolver(ops, quad, tables, BCS3, dtype=jnp.float64,
+                                sweep_mode="ring", supercell="off")
+    truth = np.asarray(
+        s64.solve(tol=1e-12, max_iter=4000, verbose=False,
+                  check_every=20).Tc
+    )
+    s32 = SourceIterationSolver(ops, quad, tables, BCS3, dtype=jnp.float32,
+                                sweep_mode="ring", supercell="off")
+    r_plain = s32.solve(tol=0, max_iter=3000, verbose=False, check_every=100)
+    r_comp = s32.solve(tol=0, max_iter=3000, verbose=False, check_every=100,
+                       accelerate="compensated")
+    scale = np.linalg.norm(truth)
+    b_plain = np.linalg.norm(np.asarray(r_plain.Tc, dtype=np.float64)
+                             - truth) / scale
+    b_comp = np.linalg.norm(np.asarray(r_comp.Tc, dtype=np.float64)
+                            - truth) / scale
+    assert b_plain < 5e-6 and b_comp < 5e-6, (b_comp, b_plain)
+    # the refutation: no improvement beyond 20% either way
+    assert abs(b_comp - b_plain) < 0.2 * b_plain, (b_comp, b_plain)
+
+
+def test_refined_solve_reaches_1e8():
+    """Iterative refinement (accel.refined_solve): f32 base solve + ONE
+    f64 defect step + f32 correction solve must land within 1e-8 rel-L2 of
+    the f64 truth — the field-precision north star (BASELINE.json), met
+    with float64 used only for a single step application."""
+    from pbte_tpu.solver import accel
+
+    ops, quad, tables = _problem(nx=6)
+    s64 = SourceIterationSolver(ops, quad, tables, BCS3, dtype=jnp.float64,
+                                sweep_mode="ring", supercell="off")
+    truth = np.asarray(
+        s64.solve(tol=1e-12, max_iter=4000, verbose=False,
+                  check_every=20).Tc
+    )
+    s32 = SourceIterationSolver(ops, quad, tables, BCS3, dtype=jnp.float32,
+                                sweep_mode="ring", supercell="off")
+    out = accel.refined_solve(
+        s32, s64.step, tol=1e-9, max_iter=4000,
+        inner_tol=1e-5, inner_max_iter=2000,
+        verbose=False, check_every=50,
+    )
+    bias = (np.linalg.norm(out["Tc_refined"] - truth)
+            / np.linalg.norm(truth))
+    base_bias = (np.linalg.norm(
+        np.asarray(out["base_result"].Tc, np.float64) - truth)
+        / np.linalg.norm(truth))
+    # base floors ~1.8e-6; refinement must cross the north-star line
+    assert base_bias > 1e-7, base_bias
+    assert bias < 1e-8, (bias, base_bias, out["defect_norm"],
+                         out["correction_relres"])

@@ -111,3 +111,41 @@ def test_pallas_gating():
     s2 = SourceIterationSolver(ops2, quad, tables, bcs, dtype=jnp.float64,
                                sweep_mode="ring", use_pallas="on")
     assert not s2._use_pallas_ring  # f64 -> XLA path
+
+
+def test_pallas_ring_bf16_state_converges():
+    """bf16 state through the kernel (the measured-best flagship config,
+    PBTE_RING_STATE_BF16=1 + PBTE_PALLAS=1): the iteration must converge to
+    the same field within bf16-state resolution, with the macroscopic
+    partials still f32 (computed from the f32 MXU accumulator in-kernel)."""
+    import os
+
+    ops, quad, tables = _problem(nx=8, ny=8, nz=8)
+    os.environ["PBTE_RING_STATE_BF16"] = "1"
+    try:
+        sp = SourceIterationSolver(ops, quad, tables, BCS3,
+                                   dtype=jnp.float32, sweep_mode="ring",
+                                   use_pallas="on")
+        # interpret mode disables the bf16-state flag (CPU tests keep
+        # exact dtypes); force it for this coverage test
+        sp._pallas_state_bf16 = True
+    finally:
+        del os.environ["PBTE_RING_STATE_BF16"]
+    u, Tc, Tv = sp.initial_state()
+    assert u[0].dtype == jnp.bfloat16
+    prev = Tv
+    for _ in range(30):
+        u, Tc, Tv2, r = sp.step(u, Tc, prev)
+        prev = Tv2
+    assert u[0].dtype == jnp.bfloat16
+    assert Tc.dtype == jnp.float32
+    sx = SourceIterationSolver(ops, quad, tables, BCS3, dtype=jnp.float32,
+                               sweep_mode="ring", use_pallas="off")
+    ux, Tcx, Tvx = sx.initial_state()
+    prevx = Tvx
+    for _ in range(30):
+        ux, Tcx, Tvx2, rx = sx.step(ux, Tcx, prevx)
+        prevx = Tvx2
+    scale = float(np.abs(np.asarray(Tcx)).max())
+    assert np.abs(np.asarray(Tc) - np.asarray(Tcx)).max() < 3e-2 * scale
+    assert np.isfinite(float(r))
