@@ -353,14 +353,20 @@ def main(argv=None) -> int:
     if args.vtu_every > 0:
         from pbte_tpu.io.vtu import ParaViewCollection
 
+        # parallel runs write one .vtu piece per partition under each
+        # cycle's .pvtu (the reference's parallel WriteParaView saves
+        # per-rank pieces, ref: src/MacroscopicQuantities.cpp:168-271)
         pv_coll = ParaViewCollection(
             m, rc.order, name="pbte_fields",
             root=os.path.join(rc.output_dir, "vis"),
+            part=(solver.element_partition if args.parallel else None),
         )
 
         def _cycle_hook(it, u_c, Tc_c, Tv_c):
             Qc_c = np.asarray(solver.heat_flux(u_c)[0])
-            pv_coll.save({"T": solver.Tc_fine(Tc_c)}, {"Q": Qc_c}, cycle=it)
+            Tc_c = (solver.gather_Tc(Tc_c) if args.parallel
+                    else solver.Tc_fine(Tc_c))
+            pv_coll.save({"T": Tc_c}, {"Q": Qc_c}, cycle=it)
 
         solve_kw["cycle_hook"] = _cycle_hook
         solve_kw["cycle_every"] = args.vtu_every
@@ -432,11 +438,23 @@ def main(argv=None) -> int:
         pvd = pv_coll.save({"T": Tc_out}, {"Q": Qc}, cycle=res.iterations)
         print(f"[pbte_tpu] ParaView collection written to {pvd}")
     if args.vtu:
-        from pbte_tpu.io.vtu import write_vtu
-
         Qc = np.asarray(solver.heat_flux(res.u)[0])
-        write_vtu(m, rc.order, {"T": Tc_out}, {"Q": Qc},
-                  os.path.join(rc.output_dir, "vis/pbte_fields"))
+        if args.parallel:
+            from pbte_tpu.io.vtu import write_pvtu
+
+            part = solver.element_partition
+            pieces = [
+                (ids, {"T": Tc_out[ids]}, {"Q": Qc[:, ids]})
+                for p in range(int(part.max()) + 1)
+                for ids in (np.flatnonzero(part == p),)
+            ]
+            write_pvtu(m, rc.order, pieces,
+                       os.path.join(rc.output_dir, "vis/pbte_fields"))
+        else:
+            from pbte_tpu.io.vtu import write_vtu
+
+            write_vtu(m, rc.order, {"T": Tc_out}, {"Q": Qc},
+                      os.path.join(rc.output_dir, "vis/pbte_fields"))
         print(f"[pbte_tpu] ParaView output written to {rc.output_dir}/vis/")
     return 0
 

@@ -183,6 +183,73 @@ def write_vtu(mesh, order, scalar_fields=None, vector_fields=None,
     return path
 
 
+def _submesh(mesh, elem_ids):
+    """Element-restricted view of a MeshData (for per-partition pieces)."""
+    import dataclasses
+
+    elem_ids = np.asarray(elem_ids)
+    kw = dict(
+        elem_verts=mesh.elem_verts[elem_ids],
+        elem_attr=mesh.elem_attr[elem_ids],
+    )
+    if mesh.geom == mesh_core.GEOM_MIXED:
+        kw["elem_geom"] = mesh.elem_geom[elem_ids]
+    return dataclasses.replace(mesh, **kw)
+
+
+def write_pvtu(mesh, order, pieces, prefix="fields", lod=None,
+               piece_name=None):
+    """Partitioned ParaView output: one .vtu piece per partition plus the
+    .pvtu index — the analog of the reference's parallel WriteParaView,
+    which saves per-rank ParGridFunction pieces under one collection
+    (ref: src/MacroscopicQuantities.cpp:168-271, parallel branch writing a
+    ParMesh-backed ParaViewDataCollection).
+
+    pieces: list of (elem_ids, scalar_fields, vector_fields) — fields are
+    LOCAL to the piece ({name: (ne_p, D)} / {name: (dim, ne_p, D)}), so a
+    domain-decomposed solver can write each shard's block without ever
+    assembling the global (ne, D) field on the host.
+
+    piece_name: format string with {p} for the piece index; default
+    "{base}.{p:06d}.vtu" next to the .pvtu. Returns the .pvtu path."""
+    path = prefix + ".pvtu"
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    base = os.path.basename(prefix)
+    if piece_name is None:
+        piece_name = base + ".{p:06d}.vtu"
+    names_s, names_v = [], []
+    piece_files = []
+    for p, (elem_ids, sf, vf) in enumerate(pieces):
+        sf, vf = sf or {}, vf or {}
+        if p == 0:
+            names_s, names_v = list(sf.keys()), list(vf.keys())
+        elif list(sf.keys()) != names_s or list(vf.keys()) != names_v:
+            raise ValueError("pvtu pieces must carry identical field sets")
+        fn = piece_name.format(p=p)
+        write_vtu(_submesh(mesh, elem_ids), order, sf, vf,
+                  prefix=os.path.join(d, fn[:-4]), lod=lod)
+        piece_files.append(fn)
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0"?>\n')
+        f.write('<VTKFile type="PUnstructuredGrid" version="0.1" '
+                'byte_order="LittleEndian">\n')
+        f.write('  <PUnstructuredGrid GhostLevel="0">\n')
+        f.write('    <PPoints>\n      <PDataArray type="Float64" '
+                'NumberOfComponents="3" Name="Points"/>\n    </PPoints>\n')
+        f.write("    <PPointData>\n")
+        for nm in names_s:
+            f.write(f'      <PDataArray type="Float64" Name="{nm}"/>\n')
+        for nm in names_v:
+            f.write(f'      <PDataArray type="Float64" Name="{nm}" '
+                    'NumberOfComponents="3"/>\n')
+        f.write("    </PPointData>\n")
+        for fn in piece_files:
+            f.write(f'    <Piece Source="{fn}"/>\n')
+        f.write("  </PUnstructuredGrid>\n</VTKFile>\n")
+    return path
+
+
 class ParaViewCollection:
     """Time-series ParaView collection mirroring mfem::ParaViewDataCollection
     (ref: src/MacroscopicQuantities.cpp:168-271 writes a collection with
@@ -198,43 +265,55 @@ class ParaViewCollection:
     monotonically increasing cycle numbers (e.g. outer-iteration counts)."""
 
     def __init__(self, mesh, order, name="pbte_fields", root="output/vis",
-                 lod=None):
+                 lod=None, part=None):
         self.mesh = mesh
         self.order = order
         self.name = name
         self.base = os.path.join(root, name)
         self.lod = lod
+        # part: (ne,) partition id per element -> distributed layout with one
+        # proc%06d.vtu piece per partition (the reference's parallel
+        # WriteParaView writes one piece per MPI rank,
+        # ref: src/MacroscopicQuantities.cpp:168-271)
+        self.part = None if part is None else np.asarray(part)
         self._cycles = []  # (cycle, time)
 
     def save(self, scalar_fields=None, vector_fields=None, cycle=0,
              time=None):
-        """Write one cycle and refresh the .pvd index. Returns the pvd path."""
+        """Write one cycle and refresh the .pvd index. Returns the pvd path.
+
+        Fields are GLOBAL (ne, D) / (dim, ne, D); with `part` set they are
+        sliced into per-partition pieces. For shard-local data (no global
+        assembly), use save_pieces()."""
+        scalar_fields = scalar_fields or {}
+        vector_fields = vector_fields or {}
+        if self.part is not None:
+            nparts = int(self.part.max()) + 1
+            pieces = []
+            for p in range(nparts):
+                ids = np.flatnonzero(self.part == p)
+                pieces.append((
+                    ids,
+                    {k: np.asarray(v)[ids] for k, v in scalar_fields.items()},
+                    {k: np.asarray(v)[:, ids]
+                     for k, v in vector_fields.items()},
+                ))
+            return self.save_pieces(pieces, cycle=cycle, time=time)
+        pieces = [(np.arange(self.mesh.num_elements), scalar_fields,
+                   vector_fields)]
+        return self.save_pieces(pieces, cycle=cycle, time=time)
+
+    def save_pieces(self, pieces, cycle=0, time=None):
+        """Write one cycle from per-partition LOCAL field blocks (see
+        write_pvtu) and refresh the .pvd index. Returns the pvd path."""
         time = float(cycle) if time is None else float(time)
         cdir = os.path.join(self.base, f"Cycle{cycle:06d}")
         os.makedirs(cdir, exist_ok=True)
-        vtu_path = write_vtu(
-            self.mesh, self.order, scalar_fields, vector_fields,
-            prefix=os.path.join(cdir, "proc000000"), lod=self.lod,
+        write_pvtu(
+            self.mesh, self.order, pieces,
+            prefix=os.path.join(cdir, "data"), lod=self.lod,
+            piece_name="proc{p:06d}.vtu",
         )
-        # minimal .pvtu wrapper (one piece) so the layout matches MFEM's
-        names_s = list((scalar_fields or {}).keys())
-        names_v = list((vector_fields or {}).keys())
-        with open(os.path.join(cdir, "data.pvtu"), "w") as f:
-            f.write('<?xml version="1.0"?>\n')
-            f.write('<VTKFile type="PUnstructuredGrid" version="0.1" '
-                    'byte_order="LittleEndian">\n')
-            f.write('  <PUnstructuredGrid GhostLevel="0">\n')
-            f.write('    <PPoints>\n      <PDataArray type="Float64" '
-                    'NumberOfComponents="3" Name="Points"/>\n    </PPoints>\n')
-            f.write("    <PPointData>\n")
-            for nm in names_s:
-                f.write(f'      <PDataArray type="Float64" Name="{nm}"/>\n')
-            for nm in names_v:
-                f.write(f'      <PDataArray type="Float64" Name="{nm}" '
-                        'NumberOfComponents="3"/>\n')
-            f.write("    </PPointData>\n")
-            f.write('    <Piece Source="proc000000.vtu"/>\n')
-            f.write("  </PUnstructuredGrid>\n</VTKFile>\n")
         self._cycles.append((int(cycle), time))
         pvd = os.path.join(self.base, f"{self.name}.pvd")
         with open(pvd, "w") as f:

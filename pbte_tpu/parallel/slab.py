@@ -862,9 +862,14 @@ class SlabLatticeSolver:
 
     def solve(self, tol=1e-7, max_iter=101, state=None, verbose=True,
               check_every=1, sync_every=10, callback=None,
-              checkpoint_path=None, checkpoint_every=25, accelerate=None):
+              checkpoint_path=None, checkpoint_every=25, accelerate=None,
+              cycle_hook=None, cycle_every=0):
         import jax
 
+        if cycle_hook and cycle_every > 0 and accelerate == "bicgstab":
+            raise ValueError("cycle_hook is a plain-iteration cadence; the "
+                             "Krylov outer loop has no outer iterates to "
+                             "export (use accelerate='none' with --vtu-every)")
         if accelerate not in (None, "none", "bicgstab"):
             raise ValueError(f"unknown accelerate={accelerate!r}")
         if accelerate == "bicgstab":
@@ -919,6 +924,8 @@ class SlabLatticeSolver:
                     break
             prev_Tv = Tv_new
             Tc = Tc_new
+            if cycle_hook and cycle_every > 0 and it % cycle_every == 0:
+                cycle_hook(it, u, Tc, prev_Tv)
             if checkpoint_path and it % checkpoint_every == 0:
                 from pbte_tpu.io.checkpoint import save_checkpoint
 
@@ -936,6 +943,15 @@ class SlabLatticeSolver:
             m = es >= 0
             out[es[m]] = Tc[p, m]
         return out
+
+    @property
+    def element_partition(self) -> np.ndarray:
+        """(ne,) owning slab per element (for partitioned ParaView output)."""
+        part = np.full(self.ne, -1, dtype=np.int32)
+        for p in range(self.P):
+            es = self.elems_p[p]
+            part[es[es >= 0]] = p
+        return part
 
     def u_by_direction(self, u) -> np.ndarray:
         """(P, L, G, Km, D, BS, W) state -> (K, BS, ne, D) global physical

@@ -501,6 +501,8 @@ class SpatialShardedSolver:
         self._quad = quad
         self._tables = tables
         self._basis_int_glob = ops.basis_int.copy()
+        self._mesh_data = topo.mesh
+        self._order = ops.order
         self._step = jax.jit(self._step_impl)
 
     # ------------------------------------------------------------------
@@ -781,10 +783,14 @@ class SpatialShardedSolver:
     def solve(self, tol=1e-7, max_iter=101, state=None, verbose=True,
               check_every=1, sync_every=10, callback=None,
               checkpoint_path=None, checkpoint_every=25,
-              accelerate=None):
+              accelerate=None, cycle_hook=None, cycle_every=0):
         """sync_every bounds the async dispatch depth: the XLA CPU backend's
         in-process collectives deadlock (rendezvous timeout) when thousands of
         collective executions are enqueued without a host sync."""
+        if cycle_hook and cycle_every > 0 and accelerate == "bicgstab":
+            raise ValueError("cycle_hook is a plain-iteration cadence; the "
+                             "Krylov outer loop has no outer iterates to "
+                             "export (use accelerate='none' with --vtu-every)")
         if accelerate not in (None, "none", "bicgstab"):
             raise ValueError(f"unknown accelerate={accelerate!r}")
         if accelerate == "bicgstab":
@@ -843,6 +849,8 @@ class SpatialShardedSolver:
                     break
             prev_Tv = Tv_new
             Tc = Tc_new
+            if cycle_hook and cycle_every > 0 and it % cycle_every == 0:
+                cycle_hook(it, u, Tc, prev_Tv)
             if checkpoint_path and it % checkpoint_every == 0:
                 from pbte_tpu.io.checkpoint import save_checkpoint
 
@@ -891,6 +899,62 @@ class SpatialShardedSolver:
         Qc = np.einsum("dkb,kbei->dei", fw, ud)
         Qv = np.einsum("dei,ei->de", Qc, self._basis_int_glob)
         return Qc, Qv
+
+    @property
+    def element_partition(self) -> np.ndarray:
+        """(ne,) owning partition per element (for ParaView pieces)."""
+        return self.pplan.part
+
+    def paraview_pieces(self, Tc, u=None):
+        """Per-partition LOCAL field blocks for io.vtu.write_pvtu /
+        ParaViewCollection.save_pieces — the distributed-export path: each
+        piece is built from its shard's state block only, never assembling
+        the global (ne, D) field (analog of the reference's per-rank
+        ParGridFunction pieces, ref: src/MacroscopicQuantities.cpp:168-271).
+
+        Returns [(elem_ids, {"T": (ne_p, D)}, {"Q": (dim, ne_p, D)}), ...]
+        ("Q" present only when u is given)."""
+        from pbte_tpu.models import macroscopic as macro
+
+        Tc = np.asarray(Tc)  # (P, ne_max, D)
+        if u is not None:
+            u = np.asarray(u)  # (P, G, Km, BS, D, ne_max)
+            fw = macro.flux_weights(self._quad, self._tables, self.dim)
+            valid = self.dirs_pad >= 0  # (G, Km)
+            # (dim, G, Km, BS) flux weights in slot order, padding zeroed
+            fw_pad = (
+                fw[:, np.where(valid, self.dirs_pad, 0), :]
+                * valid[None, :, :, None]
+            )
+        pieces = []
+        for p in range(self.pplan.nparts):
+            elems = self.pplan.local_elems[p]
+            mask = elems >= 0
+            sf = {"T": Tc[p, mask]}
+            vf = {}
+            if u is not None:
+                Qc_p = np.einsum("dgkb,gkbie->die", fw_pad, u[p])
+                vf["Q"] = Qc_p[:, :, mask].transpose(0, 2, 1)
+            pieces.append((elems[mask], sf, vf))
+        return pieces
+
+    def write_paraview(self, Tc, u=None, name="pbte_fields",
+                       root="output/vis", cycle=0, time=None, lod=None,
+                       collection=None):
+        """Distributed ParaView export: one .vtu piece per partition from
+        shard-local blocks, indexed by data.pvtu + a .pvd collection.
+        Pass `collection` (a ParaViewCollection) to append a cycle to an
+        existing time series; otherwise a fresh collection is created.
+        Returns the .pvd path."""
+        from pbte_tpu.io.vtu import ParaViewCollection
+
+        if collection is None:
+            collection = ParaViewCollection(
+                self._mesh_data, self._order, name=name, root=root, lod=lod,
+            )
+        return collection.save_pieces(
+            self.paraview_pieces(Tc, u), cycle=cycle, time=time
+        )
 
 
 @dataclasses.dataclass

@@ -514,3 +514,44 @@ def test_spatial_class_factors_production_scale():
     assert np.isfinite(rs).all() and rs[2] < rs[1] < rs[0]
     Tc_g = s.gather_Tc(Tc)
     assert np.isfinite(Tc_g).all() and np.abs(Tc_g).max() > 0
+
+
+def test_spatial_sharded_paraview_pieces(problem, tmp_path):
+    """Distributed ParaView export from shard-local blocks: piece T/Q data
+    must reassemble to the global gather_Tc / heat_flux fields (analog of the
+    reference's per-rank ParGridFunction pieces,
+    ref: src/MacroscopicQuantities.cpp:168-271)."""
+    import xml.etree.ElementTree as ET
+
+    from pbte_tpu.parallel.spatial import SpatialShardedSolver
+
+    m, topo, ops, quad, tables = problem
+    mesh = _device_mesh(2, 4)
+    solver = SpatialShardedSolver(
+        ops, quad, tables, BCS2D, device_mesh=mesh, topo=topo
+    )
+    u, Tc, Tv = solver.initial_state()
+    for _ in range(3):
+        u, Tc, Tv, r = solver.step(u, Tc, Tv)
+
+    pieces = solver.paraview_pieces(Tc, u)
+    assert len(pieces) == solver.pplan.nparts
+    Tc_g = solver.gather_Tc(Tc)
+    Qc_g, _ = solver.heat_flux(u)
+    covered = np.zeros(solver.ne, dtype=bool)
+    for ids, sf, vf in pieces:
+        assert not covered[ids].any()
+        covered[ids] = True
+        assert np.allclose(sf["T"], Tc_g[ids], atol=1e-12)
+        assert np.allclose(vf["Q"], Qc_g[:, ids], atol=1e-12)
+    assert covered.all()
+
+    pvd = solver.write_paraview(Tc, u, name="dd", root=str(tmp_path),
+                                cycle=3)
+    assert pvd.endswith("dd.pvd")
+    cdir = tmp_path / "dd" / "Cycle000003"
+    pv = ET.parse(cdir / "data.pvtu").getroot()
+    srcs = [p.get("Source") for p in pv.findall(".//Piece")]
+    assert srcs == [f"proc{p:06d}.vtu" for p in range(solver.pplan.nparts)]
+    for p in range(solver.pplan.nparts):
+        assert (cdir / f"proc{p:06d}.vtu").exists()
