@@ -421,14 +421,23 @@ def compensated_outer(step_fn, zero_state, state, tol, max_iter,
 
 
 def correction_outer(step_fn, zero_state, d, tol=1e-4, max_iter=3000,
-                     verbose=True, check_every=10):
+                     verbose=True, check_every=10, consume_d=False):
     """Solve the correction equation (I - A) e = d by the plain fixed
-    point e' = F(e) - b + d (b = F(0) precomputed; F affine).
+    point e' = F(e) + g with g = d - F(0) folded once (F affine).
 
     The iterate difference IS the linear residual: e' - e = d - (I - A) e,
     so convergence is monitored as ||e' - e|| / ||d|| at zero extra cost.
     Returns (e, n_step_applications, final_relres). `d` must be a device
-    tree matching the solver's (u, Tc) state structure."""
+    tree matching the solver's (u, Tc) state structure.
+
+    HBM: the loop's live set is consts + g + e + F(e) + step internals —
+    only TWO state trees beyond a plain solve (b is folded into g, the
+    update donates its inputs). With consume_d=True, `d`'s buffers are
+    DONATED into g (the caller's tree becomes invalid) — at flagship
+    scale (u ~1.1 GB f32) this is the difference between fitting and a
+    RESOURCE_EXHAUSTED on one chip."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -441,20 +450,27 @@ def correction_outer(step_fn, zero_state, d, tol=1e-4, max_iter=3000,
 
     b = F((u0, Tc0))
     nstep = 1
+    dn = float(jnp.sqrt(tree_dot(d, d)))
 
-    @jax.jit
-    def upd(Fe, b, d, e):
-        e_new = tm(lambda a, c, dd: a - c + dd, Fe, b, d)
+    donate = (0, 1) if consume_d else (1,)
+    g = jax.jit(
+        lambda dd, bb: tm(lambda a, c: a - c, dd, bb),
+        donate_argnums=donate,
+    )(d, b)
+    del b, d
+
+    @functools.partial(jax.jit, donate_argnums=(0, 2))
+    def upd(Fe, g, e):
+        e_new = tm(lambda a, c: a + c, Fe, g)
         diff = tm(lambda x1, x2: x1 - x2, e_new, e)
         return e_new, tree_dot(diff, diff)
 
-    dn = float(jnp.sqrt(tree_dot(d, d)))
     e = (u0, Tc0)
     rel = float("inf")
     for it in range(1, max_iter + 1):
         Fe = F(e)
         nstep += 1
-        e, rn2 = upd(Fe, b, d, e)
+        e, rn2 = upd(Fe, g, e)
         if it % check_every == 0 or it == max_iter:
             rel = float(jnp.sqrt(rn2)) / max(dn, 1e-300)
             if verbose:
