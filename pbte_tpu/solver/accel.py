@@ -481,9 +481,132 @@ def correction_outer(step_fn, zero_state, d, tol=1e-4, max_iter=3000,
     return e, nstep, rel
 
 
+def correction_bicgstab(step_fn, zero_state, d, tol=1e-2, max_iter=400,
+                        verbose=True, check_every=5, label="pbte_tpu"):
+    """Solve the correction equation (I - A) e = d with BiCGStab.
+
+    Same linear system as `correction_outer`, Krylov instead of the plain
+    fixed point: the operator is probed through the solver's affine step
+    ((I - A) v = v - (F(v) - F(0))) and the RHS is the defect d directly.
+    Measured f64 acceleration of the underlying recurrence is ~6x fewer
+    step applications (tests/test_accel.py); in the refinement loop the
+    inner tolerance only needs ~1e-2 (each round's contraction is capped
+    by the f32 solver's own relative bias anyway), which sits ABOVE the
+    measured TPU f32 Krylov stagnation floor (~7e-3 relres,
+    BASELINE.md r4b) — this is what makes Krylov usable on TPU f32 where
+    the direct accelerated solve to deep tolerances is not.
+
+    HBM: live set is consts + d + b + x + r + rhat + p + v + one
+    transient (s/t) ~= 9 state trees — one MORE than `bicgstab_outer`
+    (d must stay live for breakdown restarts). The hex-16^3 flagship
+    does not fit this beside the operators on one 16 GB chip (measured
+    r4b envelope); use `correction_outer` there. Returns
+    (e, n_step_applications, final_relres)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    u0, Tc0, Tv0 = zero_state
+    tm = jax.tree_util.tree_map
+
+    def F(z):
+        u, Tc, _, _ = step_fn(z[0], z[1], Tv0)
+        return (u, Tc)
+
+    b = F((u0, Tc0))
+    nmv = 1
+
+    # same multi-device XLA:CPU collective-deadlock mitigation as
+    # bicgstab_outer: serialize program dispatch fully
+    _leaf = jax.tree_util.tree_leaves(b)[0]
+    try:
+        _ndev = len(_leaf.sharding.device_set)
+    except AttributeError:  # pragma: no cover - non-Array leaf
+        _ndev = 1
+    serialize = jax.default_backend() == "cpu" and _ndev > 1
+    if serialize:
+        jax.block_until_ready(b)
+
+    sub = jax.jit(lambda v, Fv, bb: tm(lambda a, c, e_: a - (c - e_),
+                                       v, Fv, bb))
+    diff = jax.jit(lambda a, c: tm(lambda x1, x2: x1 - x2, a, c))
+
+    def Mop(v):
+        nonlocal nmv
+        nmv += 1
+        out = sub(v, F(v), b)
+        if serialize:
+            jax.block_until_ready(out)
+        return out
+
+    stage_p, stage_s, stage_x = make_bicgstab_kernels()
+    _copy = lambda tr: tm(lambda a: a.copy(), tr)
+    x = tm(jnp.zeros_like, (u0, Tc0))
+    r = _copy(d)        # r0 = d - (I-A)·0
+    rhat = _copy(d)
+    leaf0 = jax.tree_util.tree_leaves(Tc0)[0]
+    one = jnp.asarray(1.0, dtype=leaf0.dtype)
+    rho_prev = alpha = omega = one
+    v = tm(jnp.zeros_like, r)
+    p = tm(jnp.zeros_like, r)
+    dnorm = float(jnp.sqrt(tree_dot(d, d)))
+    rel = float("inf")
+    k = 0
+    best = float("inf")
+    stale = 0
+    last_gain_nmv = nmv
+    while nmv + 2 <= max_iter:
+        rho, p = stage_p(r, rhat, p, v, rho_prev, alpha, omega)
+        if serialize:
+            jax.block_until_ready(p)
+        v = Mop(p)
+        alpha, s = stage_s(r, rhat, v, rho)
+        if serialize:
+            jax.block_until_ready(s)
+        t = Mop(s)
+        omega, x, r, rnorm2 = stage_x(x, p, s, t, alpha)
+        if serialize:
+            jax.block_until_ready(rnorm2)
+        rho_prev = rho
+        k += 1
+        if k % check_every == 0 or nmv + 2 > max_iter:
+            rn = float(rnorm2) ** 0.5
+            rel = rn / max(dnorm, 1e-300)
+            if verbose:
+                print(f"[{label}] corr matvec {nmv}, linear relres = "
+                      f"{rel:.6e}")
+            if not np.isfinite(rel) or abs(float(rho)) < 1e-300:
+                if nmv + 1 > max_iter:
+                    break
+                # breakdown: restart the recurrence at x (r = d - (I-A)x)
+                r = diff(d, Mop(x))
+                if serialize:
+                    jax.block_until_ready(r)
+                rhat = _copy(r)
+                rho_prev = alpha = omega = one
+                v = tm(jnp.zeros_like, r)
+                p = tm(jnp.zeros_like, r)
+                if verbose:
+                    print(f"[{label}] corr bicgstab restart (breakdown)")
+                continue
+            if rel < tol:
+                break
+            # cadence-independent stagnation guard (see bicgstab_outer)
+            if rel < 0.9 * best:
+                best, stale, last_gain_nmv = rel, 0, nmv
+            else:
+                stale += 1
+                if stale >= 6 and nmv - last_gain_nmv >= 60:
+                    if verbose:
+                        print(f"[{label}] corr bicgstab stagnated at "
+                              f"relres {rel:.3e}; stopping")
+                    break
+    return x, nmv, rel
+
+
 def refined_solve(solver, step64_fn, tol=1e-7, max_iter=3000,
                   inner_tol=1e-4, inner_max_iter=3000, verbose=True,
-                  check_every=10, state=None):
+                  check_every=10, state=None, inner="plain"):
     """ITERATIVE REFINEMENT: the measured route to the 1e-8 field north
     star on f32 hardware (BASELINE.json "match fields to 1e-8 L2").
 
@@ -508,7 +631,11 @@ def refined_solve(solver, step64_fn, tol=1e-7, max_iter=3000,
     a float64 twin of `solver` on the SAME problem with identical state
     tree structure/shapes (e.g. a dtype=float64 CPU SourceIterationSolver
     .step, in-process or via a subprocess wrapper). Returns a dict with
-    the refined fields (float64) and the solve/correction diagnostics."""
+    the refined fields (float64) and the solve/correction diagnostics.
+
+    inner: "plain" (correction_outer fixed point, lowest HBM — fits the
+    hex-16^3 flagship) or "krylov" (correction_bicgstab, ~3-6x fewer
+    step applications measured, +1 state tree of HBM)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -560,7 +687,8 @@ def refined_solve(solver, step64_fn, tol=1e-7, max_iter=3000,
     def step_fn(u_, Tc_, Tv_):
         return solver._step_plain(solver.consts, u_, Tc_, Tv_)
 
-    e, nstep, relres = correction_outer(
+    corr = correction_bicgstab if inner == "krylov" else correction_outer
+    e, nstep, relres = corr(
         step_fn, solver.initial_state(), d32, tol=inner_tol,
         max_iter=inner_max_iter, verbose=verbose, check_every=check_every,
     )

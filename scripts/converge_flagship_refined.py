@@ -138,6 +138,11 @@ def main() -> int:
     ap.add_argument("--base-max-iter", type=int, default=2500)
     ap.add_argument("--inner-tol", type=float, default=1e-4)
     ap.add_argument("--inner-max-iter", type=int, default=1500)
+    ap.add_argument("--inner", default="plain", choices=("plain", "krylov"),
+                    help="correction solver: plain fixed point (lowest "
+                         "HBM; required at nx=16 on one 16 GB chip) or "
+                         "bicgstab (~3-6x fewer step applications, +1 "
+                         "state tree of HBM — use at nx<=12)")
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--save-state", default="",
                     help="npz path for the refined f64 state leaves "
@@ -284,11 +289,17 @@ def main() -> int:
             return solver._step_plain(solver.consts, u_, Tc_, Tv_)
 
         t1 = time.time()
-        e, nstep, relres = accel.correction_outer(
-            step_fn, solver.initial_state(), d32, tol=args.inner_tol,
-            max_iter=args.inner_max_iter, verbose=True, check_every=25,
-            consume_d=True,
-        )
+        if args.inner == "krylov":
+            e, nstep, relres = accel.correction_bicgstab(
+                step_fn, solver.initial_state(), d32, tol=args.inner_tol,
+                max_iter=args.inner_max_iter, verbose=True, check_every=5,
+            )
+        else:
+            e, nstep, relres = accel.correction_outer(
+                step_fn, solver.initial_state(), d32, tol=args.inner_tol,
+                max_iter=args.inner_max_iter, verbose=True, check_every=25,
+                consume_d=True,
+            )
         del d32
         e_leaves, _ = _flatten(e)
         x64 = [a + np.asarray(l, dtype=np.float64) / s_pow
@@ -344,8 +355,9 @@ def main() -> int:
             "x-scale on TPU f32 (accel.refined_solve method, "
             "tests/test_accel.py::test_refined_solve_reaches_1e8)"
         ),
+        "inner": args.inner,
         "cmd": f"python scripts/converge_flagship_refined.py "
-               f"--nx {args.nx} --tier {args.tier}",
+               f"--nx {args.nx} --tier {args.tier} --inner {args.inner}",
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)

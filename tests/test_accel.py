@@ -254,3 +254,45 @@ def test_refined_solve_reaches_1e8():
     assert base_bias > 1e-7, base_bias
     assert bias < 1e-8, (bias, base_bias, out["defect_norm"],
                          out["correction_relres"])
+
+
+def test_correction_bicgstab_matches_plain_correction():
+    """correction_bicgstab solves the SAME (I - A) e = d system as
+    correction_outer (Krylov vs plain fixed point): identical solution
+    tree, >= 3x fewer step applications (measured ~6x). This is the
+    inner solver of the refined flagship runner's --inner krylov mode."""
+    import jax
+
+    from pbte_tpu.solver import accel
+
+    ops, quad, tables = _problem(nx=4)
+    s = SourceIterationSolver(ops, quad, tables, BCS3, dtype=jnp.float64,
+                              sweep_mode="ring", supercell="off")
+
+    def step_fn(u, Tc, Tv):
+        return s._step_plain(s.consts, u, Tc, Tv)
+
+    # a deterministic state-shaped defect: d = 1e-3 * F(0)
+    u0, Tc0, Tv0 = s.initial_state()
+    uF, TcF, _, _ = step_fn(u0, Tc0, Tv0)
+    d = jax.tree_util.tree_map(lambda a: 1e-3 * a, (uF, TcF))
+
+    e_plain, n_plain, rel_plain = accel.correction_outer(
+        step_fn, s.initial_state(), d, tol=1e-10, max_iter=3000,
+        verbose=False, check_every=10)
+    e_kry, n_kry, rel_kry = accel.correction_bicgstab(
+        step_fn, s.initial_state(), d, tol=1e-10, max_iter=3000,
+        verbose=False, check_every=5)
+    assert rel_plain < 1e-10 and rel_kry < 1e-10, (rel_plain, rel_kry)
+    assert n_kry * 3 < n_plain, (n_kry, n_plain)
+    # both solve the same system to relres 1e-10 -> solutions agree to
+    # ~1e-10 of the GLOBAL solution scale (per-leaf scales are meaningless
+    # for leaves that are ~0 at solution scale)
+    scale = max(
+        float(np.abs(np.asarray(a)).max())
+        for a in jax.tree_util.tree_leaves(e_plain)
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(e_plain),
+                    jax.tree_util.tree_leaves(e_kry)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0, atol=1e-8 * scale)
