@@ -482,7 +482,8 @@ def correction_outer(step_fn, zero_state, d, tol=1e-4, max_iter=3000,
 
 
 def correction_bicgstab(step_fn, zero_state, d, tol=1e-2, max_iter=400,
-                        verbose=True, check_every=5, label="pbte_tpu"):
+                        verbose=True, check_every=5, label="pbte_tpu",
+                        consume_d=False):
     """Solve the correction equation (I - A) e = d with BiCGStab.
 
     Same linear system as `correction_outer`, Krylov instead of the plain
@@ -498,9 +499,10 @@ def correction_bicgstab(step_fn, zero_state, d, tol=1e-2, max_iter=400,
 
     HBM: live set is consts + d + b + x + r + rhat + p + v + one
     transient (s/t) ~= 9 state trees — one MORE than `bicgstab_outer`
-    (d must stay live for breakdown restarts). The hex-16^3 flagship
-    does not fit this beside the operators on one 16 GB chip (measured
-    r4b envelope); use `correction_outer` there. Returns
+    (d must stay live for breakdown restarts). With consume_d=True, d is
+    copied to HOST and its device buffers deleted (re-uploaded only on
+    the rare breakdown restart) → 8 live trees, the same envelope as the
+    flagship-proven `bicgstab_outer`. Returns
     (e, n_step_applications, final_relres)."""
     import jax
     import jax.numpy as jnp
@@ -541,15 +543,28 @@ def correction_bicgstab(step_fn, zero_state, d, tol=1e-2, max_iter=400,
 
     stage_p, stage_s, stage_x = make_bicgstab_kernels()
     _copy = lambda tr: tm(lambda a: a.copy(), tr)
+    if consume_d:
+        d_host = tm(lambda a: np.asarray(a), d)
+        dnorm = float(np.sqrt(sum(
+            float((np.asarray(l, dtype=np.float64) ** 2).sum())
+            for l in jax.tree_util.tree_leaves(d_host)
+        )))
+        for leaf in jax.tree_util.tree_leaves(d):
+            if hasattr(leaf, "delete"):
+                leaf.delete()
+        del d
+        fresh_d = lambda: tm(jnp.asarray, d_host)
+    else:
+        dnorm = float(jnp.sqrt(tree_dot(d, d)))
+        fresh_d = lambda: _copy(d)
     x = tm(jnp.zeros_like, (u0, Tc0))
-    r = _copy(d)        # r0 = d - (I-A)·0
-    rhat = _copy(d)
+    r = fresh_d()       # r0 = d - (I-A)·0
+    rhat = fresh_d()
     leaf0 = jax.tree_util.tree_leaves(Tc0)[0]
     one = jnp.asarray(1.0, dtype=leaf0.dtype)
     rho_prev = alpha = omega = one
     v = tm(jnp.zeros_like, r)
     p = tm(jnp.zeros_like, r)
-    dnorm = float(jnp.sqrt(tree_dot(d, d)))
     rel = float("inf")
     k = 0
     best = float("inf")
@@ -579,7 +594,7 @@ def correction_bicgstab(step_fn, zero_state, d, tol=1e-2, max_iter=400,
                 if nmv + 1 > max_iter:
                     break
                 # breakdown: restart the recurrence at x (r = d - (I-A)x)
-                r = diff(d, Mop(x))
+                r = diff(fresh_d(), Mop(x))
                 if serialize:
                     jax.block_until_ready(r)
                 rhat = _copy(r)
@@ -691,7 +706,9 @@ def refined_solve(solver, step64_fn, tol=1e-7, max_iter=3000,
     e, nstep, relres = corr(
         step_fn, solver.initial_state(), d32, tol=inner_tol,
         max_iter=inner_max_iter, verbose=verbose, check_every=check_every,
+        consume_d=True,
     )
+    del d32
 
     # ---- combine in float64 (unscaling by the exact power of two) --------
     Tc_ref = x64[1] + np.asarray(e[1], dtype=np.float64) / s_pow

@@ -20,6 +20,15 @@ rounds from any f32 base point. The certification bound is the standard
 fixed-point a-posteriori estimate ||x - x*|| <= ||F(x) - x|| / (1 - rho)
 with rho measured from the base solve's residual decay.
 
+Because the contraction is set by the CORRECTION solver's tier, the BASE
+solve can run at the cheap default tier (--base-tier default): starting
+the refinement from the default-tier point (8.1e-2 bias) instead of the
+high-tier point (3.5e-4) costs at most one extra round while the base
+solve itself runs ~3x faster (the high tier is bf16x3 = 3 MXU passes per
+dot). --inner krylov replaces the plain fixed-point correction solve with
+BiCGStab (measured ~10x fewer step applications; the defect is spilled to
+host so the live set stays at 8 state trees, flagship-feasible).
+
 The float64 twin runs in a persistent CPU subprocess (JAX_PLATFORMS=cpu,
 x64): an IDENTICAL SourceIterationSolver build (same mesh/quadrature/
 spectrum/ring plan — the plan depends only on the problem + PBTE_* env, not
@@ -132,6 +141,14 @@ def main() -> int:
     ap.add_argument("--tier", default="high",
                     help="matmul precision tier of the f32 solver "
                          "(default|high|highest|selective)")
+    ap.add_argument("--base-tier", default="",
+                    help="tier for the BASE solve only (defaults to "
+                         "--tier). 'default' runs the base ~3x faster; "
+                         "the per-round contraction is set by the "
+                         "CORRECTION tier, so this costs at most one "
+                         "extra round")
+    ap.add_argument("--platform", default="",
+                    help="force a jax platform (e.g. cpu) for smoke runs")
     ap.add_argument("--target", type=float, default=1e-8)
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--base-tol", type=float, default=1e-8)
@@ -139,10 +156,10 @@ def main() -> int:
     ap.add_argument("--inner-tol", type=float, default=1e-4)
     ap.add_argument("--inner-max-iter", type=int, default=1500)
     ap.add_argument("--inner", default="plain", choices=("plain", "krylov"),
-                    help="correction solver: plain fixed point (lowest "
-                         "HBM; required at nx=16 on one 16 GB chip) or "
-                         "bicgstab (~3-6x fewer step applications, +1 "
-                         "state tree of HBM — use at nx<=12)")
+                    help="correction solver: plain fixed point or "
+                         "bicgstab (measured ~10x fewer step "
+                         "applications; host-spilled d keeps the live "
+                         "set at 8 state trees — flagship-feasible)")
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--save-state", default="",
                     help="npz path for the refined f64 state leaves "
@@ -159,6 +176,9 @@ def main() -> int:
                              f"unset {var}")
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     import numpy as np
 
@@ -185,9 +205,10 @@ def main() -> int:
         return ln
 
     # ---- f32 base solve on TPU ------------------------------------------
+    base_tier = args.base_tier or args.tier
     t0 = time.time()
-    solver = _build(args.nx, args.tier, "float32")
-    print(f"[refined] f32 solver ({args.tier}) setup {time.time()-t0:.1f}s "
+    solver = _build(args.nx, base_tier, "float32")
+    print(f"[refined] f32 solver ({base_tier}) setup {time.time()-t0:.1f}s "
           f"ne={solver.ne} D={solver.D} K={solver.K} BS={solver.BS}",
           flush=True)
     res_hist = []
@@ -241,6 +262,22 @@ def main() -> int:
     del res, leaves32
     print(f"[refined] HBM after base-state free: {hbm()}", flush=True)
 
+    if base_tier != args.tier:
+        # swap in the correction-tier solver: free the base solver's
+        # device operators first (two const sets don't fit beside the
+        # correction loop's 8 state trees at nx=16)
+        import gc
+
+        for leaf in jax.tree_util.tree_leaves(solver.consts):
+            if hasattr(leaf, "delete"):
+                leaf.delete()
+        del solver
+        gc.collect()
+        t0 = time.time()
+        solver = _build(args.nx, args.tier, "float32")
+        print(f"[refined] correction solver ({args.tier}) setup "
+              f"{time.time()-t0:.1f}s; HBM: {hbm()}", flush=True)
+
     worker_line()  # READY
     fin = os.path.join(wdir, "in.npz")
     fout = os.path.join(wdir, "out.npz")
@@ -293,6 +330,7 @@ def main() -> int:
             e, nstep, relres = accel.correction_bicgstab(
                 step_fn, solver.initial_state(), d32, tol=args.inner_tol,
                 max_iter=args.inner_max_iter, verbose=True, check_every=5,
+                consume_d=True,
             )
         else:
             e, nstep, relres = accel.correction_outer(
@@ -338,6 +376,7 @@ def main() -> int:
         "problem": f"hex {args.nx}^3 p=2 (ne={solver.ne} D={solver.D}) "
                    f"K={solver.K} BS={solver.BS}",
         "tier": args.tier,
+        "base_tier": base_tier,
         "target_rel_l2": args.target,
         "certified_rel_bound": certified,
         "met": certified is not None and certified <= args.target,

@@ -283,6 +283,14 @@ def test_correction_bicgstab_matches_plain_correction():
     e_kry, n_kry, rel_kry = accel.correction_bicgstab(
         step_fn, s.initial_state(), d, tol=1e-10, max_iter=3000,
         verbose=False, check_every=5)
+    # host-spilled-d variant (the flagship HBM envelope): d's device
+    # buffers are deleted, the recurrence must be unaffected
+    d2 = jax.tree_util.tree_map(lambda a: a.copy(), d)
+    e_sp, n_sp, rel_sp = accel.correction_bicgstab(
+        step_fn, s.initial_state(), d2, tol=1e-10, max_iter=3000,
+        verbose=False, check_every=5, consume_d=True)
+    assert all(l.is_deleted() for l in jax.tree_util.tree_leaves(d2))
+    assert n_sp == n_kry and rel_sp < 1e-10, (n_sp, n_kry, rel_sp)
     assert rel_plain < 1e-10 and rel_kry < 1e-10, (rel_plain, rel_kry)
     assert n_kry * 3 < n_plain, (n_kry, n_plain)
     # both solve the same system to relres 1e-10 -> solutions agree to
