@@ -501,8 +501,17 @@ def correction_bicgstab(step_fn, zero_state, d, tol=1e-2, max_iter=400,
     transient (s/t) ~= 9 state trees — one MORE than `bicgstab_outer`
     (d must stay live for breakdown restarts). With consume_d=True, d is
     copied to HOST and its device buffers deleted (re-uploaded only on
-    the rare breakdown restart) → 8 live trees, the same envelope as the
-    flagship-proven `bicgstab_outer`. Returns
+    the rare breakdown restart) → 8 live trees. MEASURED boundary: that
+    still OOMs the hex-16^3 flagship on one 16 GB chip (r5: the 5 Krylov
+    vectors + the s/t transient sit beside the step's OWN state-sized
+    temporaries — rhs_base/t_old are (Km,BS,D,ne) each — so the peak is
+    ~10 state trees ~ 11 GB + operators; RESOURCE_EXHAUSTED in the first
+    stage). Use at nx<=12 (u <= ~0.5 GB); the flagship correction path
+    is the plain `correction_outer` (2 extra trees, donated). A Schur
+    reduction to macroscopic space was investigated and is structurally
+    unavailable: the sweep rhs carries a FULL-RANK lagged term
+    relax_w*(M u_old) (source_iteration.py rhs_base), so the affine map
+    does not factor through the moment fields. Returns
     (e, n_step_applications, final_relres)."""
     import jax
     import jax.numpy as jnp

@@ -27,7 +27,9 @@ high-tier point (3.5e-4) costs at most one extra round while the base
 solve itself runs ~3x faster (the high tier is bf16x3 = 3 MXU passes per
 dot). --inner krylov replaces the plain fixed-point correction solve with
 BiCGStab (measured ~10x fewer step applications; the defect is spilled to
-host so the live set stays at 8 state trees, flagship-feasible).
+host). MEASURED r5 boundary: krylov OOMs at nx=16 on one 16 GB chip (the
+Krylov vectors sit beside the step's own state-sized temporaries) — use
+--inner plain there; krylov is the right inner at nx<=12.
 
 The float64 twin runs in a persistent CPU subprocess (JAX_PLATFORMS=cpu,
 x64): an IDENTICAL SourceIterationSolver build (same mesh/quadrature/
@@ -156,10 +158,10 @@ def main() -> int:
     ap.add_argument("--inner-tol", type=float, default=1e-4)
     ap.add_argument("--inner-max-iter", type=int, default=1500)
     ap.add_argument("--inner", default="plain", choices=("plain", "krylov"),
-                    help="correction solver: plain fixed point or "
-                         "bicgstab (measured ~10x fewer step "
-                         "applications; host-spilled d keeps the live "
-                         "set at 8 state trees — flagship-feasible)")
+                    help="correction solver: plain fixed point (lowest "
+                         "HBM; required at nx=16 on one 16 GB chip — "
+                         "krylov OOMs there, measured r5) or bicgstab "
+                         "(~10x fewer step applications; use at nx<=12)")
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--save-state", default="",
                     help="npz path for the refined f64 state leaves "
