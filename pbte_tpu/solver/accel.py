@@ -593,9 +593,19 @@ def correction_bicgstab(step_fn, zero_state, d, tol=1e-2, max_iter=400,
             jax.block_until_ready(rnorm2)
         rho_prev = rho
         k += 1
+        # fetch the (already computed) residual scalar EVERY iteration:
+        # besides the stopping test this is the only reliable device sync
+        # on the tunneled TPU platform (block_until_ready returns early
+        # there), and without it the host dispatches check_every
+        # iterations ahead — each pinning its generation of state trees
+        # until remote execution catches up. MEASURED r5: that run-ahead
+        # (~5 iters x ~5 trees) RESOURCE_EXHAUSTEDs hex-12^3 whose steady
+        # live-set is only ~3 GB of a ~10.5 GB usable chip; one scalar
+        # fetch per matvec pair bounds it and costs only the tunnel
+        # round-trip (~ms) against a full-sweep matvec.
+        rn = float(rnorm2) ** 0.5
+        rel = rn / max(dnorm, 1e-300)
         if k % check_every == 0 or nmv + 2 > max_iter:
-            rn = float(rnorm2) ** 0.5
-            rel = rn / max(dnorm, 1e-300)
             if verbose:
                 print(f"[{label}] corr matvec {nmv}, linear relres = "
                       f"{rel:.6e}")
