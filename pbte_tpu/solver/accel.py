@@ -226,8 +226,14 @@ def bicgstab_outer(step_fn, zero_state, state, tol, max_iter, verbose=True,
             # collective executions are enqueued without a host sync —
             # same mitigation as the plain domain-decomposed solve loops
             jax.block_until_ready(rnorm2)
+        # fetch the residual scalar EVERY iteration: on the tunneled TPU
+        # platform block_until_ready returns early, and un-synced host
+        # run-ahead pins one generation of state trees per in-flight
+        # iteration (measured RESOURCE_EXHAUSTED in correction_bicgstab
+        # at hex-12^3 from run-ahead alone — see that loop's note).
+        # Cadence of the printing/stopping logic below is unchanged.
+        rn = float(rnorm2) ** 0.5
         if k % fetch_every == 0 or nmv + 4 > max_iter:
-            rn = float(rnorm2) ** 0.5
             res = rn / bnorm if bnorm > 0 else rn
             if verbose:
                 print(f"[{label}] matvec {nmv}, linear relres = {res:.6e}")
