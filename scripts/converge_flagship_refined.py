@@ -26,10 +26,15 @@ the refinement from the default-tier point (8.1e-2 bias) instead of the
 high-tier point (3.5e-4) costs at most one extra round while the base
 solve itself runs ~3x faster (the high tier is bf16x3 = 3 MXU passes per
 dot). --inner krylov replaces the plain fixed-point correction solve with
-BiCGStab (measured ~10x fewer step applications; the defect is spilled to
-host). MEASURED r5 boundary: krylov OOMs at nx=16 on one 16 GB chip (the
-Krylov vectors sit beside the step's own state-sized temporaries) — use
---inner plain there; krylov is the right inner at nx<=12.
+BiCGStab (the defect is spilled to host). MEASURED r5 boundary: krylov
+OOMs at nx=16 on one 16 GB chip (the Krylov vectors sit beside the step's
+own state-sized temporaries) — use --inner plain there. MEASURED r5c at
+nx=10 ON TPU (converge_flagship_refined_krylov_nx10.json): certified
+6.2e-9 <= 1e-8 in 2 rounds / 472 total BiCGStab steps vs plain's ~1126
+per round x 3 rounds — each round's BiCGStab stagnation at the f32
+affinity floor (relres ~1.7e-3) IS the per-round contraction refinement
+needs, so the stagnation that kills direct deep-tolerance TPU Krylov
+(r4c artifact) is harmless inside refinement.
 
 The float64 twin runs in a persistent CPU subprocess (JAX_PLATFORMS=cpu,
 x64): an IDENTICAL SourceIterationSolver build (same mesh/quadrature/
