@@ -501,7 +501,12 @@ def correction_bicgstab(step_fn, zero_state, d, tol=1e-2, max_iter=400,
     by the f32 solver's own relative bias anyway), which sits ABOVE the
     measured TPU f32 Krylov stagnation floor (~7e-3 relres,
     BASELINE.md r4b) — this is what makes Krylov usable on TPU f32 where
-    the direct accelerated solve to deep tolerances is not.
+    the direct accelerated solve to deep tolerances is not. MEASURED on
+    TPU at hex-10^3 (bench_artifacts/converge_flagship_refined_krylov_
+    nx10.json): certified 6.2e-9 <= 1e-8 in 2 refinement rounds / 472
+    total step applications vs the plain inner's ~1126 per round — each
+    round stagnates at the f32 affinity floor (~1.7e-3 relres), which IS
+    the per-round contraction the refinement loop needs.
 
     HBM: live set is consts + d + b + x + r + rhat + p + v + one
     transient (s/t) ~= 9 state trees — one MORE than `bicgstab_outer`
